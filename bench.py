@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed with a count() action (forces full computation,
+no driver-side result materialization cost). A warmup pass on the
+flagship amortizes JVM/codegen startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from forex_data_pipeline_spark import catalog  # noqa: E402
+from forex_data_pipeline_spark.session import get_spark  # noqa: E402
+
+#: Headline set: flagship + the widest-coverage per-family queries.
+#: Anything registered but not listed still runs in verify; bench tracks
+#: the representative hot paths.
+HEADLINE: tuple[str, ...] = (
+    "candles_5m",
+    "candles_multi_tf",
+    "candle_indicators",
+    "dedup_keyed_latest",
+    "watermark_incremental_filter",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("forex-spark-bench")
+    catalog._ensure_loaded()
+    names = [n for n in HEADLINE if n in catalog.REGISTRY]
+    extra = os.environ.get("BENCH_QUERIES")
+    if extra == "all":
+        names = sorted(catalog.REGISTRY)
+    elif extra:
+        names = [n for n in extra.split(",") if n in catalog.REGISTRY]
+
+    # warmup: JVM + codegen + parquet footer caches
+    catalog.REGISTRY[names[0]].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        catalog.REGISTRY[name].fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall time",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

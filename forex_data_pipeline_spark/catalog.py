@@ -1,0 +1,80 @@
+"""The query registry: every operator from SURVEY.md §2 (plus the
+north-star LLM-pipeline operators) is registered here as a named query
+with an optional DuckDB oracle SQL string.
+
+``__spark_entry__.py`` exposes this registry to the verify driver;
+``tests/test_correctness.py`` runs the same Spark-vs-DuckDB comparison
+locally.
+
+Determinism discipline (hash-matching contract):
+- Alias every computed column identically in Spark and oracle SQL.
+- Money sums are aggregated as DECIMAL (exact, order-independent) and cast
+  to DOUBLE at the end → bit-identical across engines.
+- Float window/ratio outputs are rounded (typically 6 dp) on both sides.
+- Top-k orderings always carry a unique tie-break key.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import tune
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+) -> Callable:
+    """Decorator: register fn(spark, sf_dir) -> DataFrame under ``name``."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        REGISTRY[name] = QuerySpec(name, wrapped, oracle, doc or (fn.__doc__ or ""), tags)
+        return wrapped
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _ensure_loaded()
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _ensure_loaded()
+    return {n: s.oracle for n, s in REGISTRY.items() if s.oracle is not None}
+
+
+_loaded = False
+
+
+def _ensure_loaded() -> None:
+    """Import query modules for their registration side effects."""
+    global _loaded
+    if _loaded:
+        return
+    from .queries import llm_ops, relational, timeseries  # noqa: F401
+
+    _loaded = True

@@ -1,0 +1,148 @@
+"""Time-bucketing + OHLC candle aggregation.
+
+Re-expresses the reference mart's multi-timeframe candle computation
+(/root/reference/models/marts/fct_eurusd_timeframes.sql:32-71) Spark-first:
+
+- The reference stamps out 7 near-identical SQL branches (one per
+  timeframe) and UNION ALLs them (fct:40-57) — 7 scans of the input.
+  Here a single parameterized bucket expression is exploded over a
+  timeframe array → ONE scan, one shuffle, branch-free (SURVEY §2.5 U1).
+- The reference's "NY close" alignment shifts intraday frames by +2 h,
+  truncates, then shifts back (fct:36,42-52). That is exactly
+  ``floor((epoch + shift)/dur)*dur - shift`` — one codegen'd expression.
+- Candle open/close use ordered ``array_agg(... limit 1)[offset(0)]``
+  in the reference (fct:63,66); Spark's ``min_by``/``max_by`` compute the
+  same thing hash-aggregated, no sort, no array materialization.
+
+Scale notes: the aggregate is a plain hash aggregation keyed on
+(timeframe, candle_start[, series keys]) — partial aggregation map-side,
+one shuffle on the group keys. The explode multiplies rows ×|timeframes|
+*before* the partial agg, but partial agg collapses them within each input
+partition, so shuffled bytes stay ~|buckets| not |rows|×|timeframes|.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Timeframe:
+    name: str
+    seconds: int
+    shift_seconds: int = 0  # "NY close" style clock shift (fct:36)
+
+
+#: The reference's 7 timeframes (fct_eurusd_timeframes.sql:40-57):
+#: intraday frames use the +2 h shifted clock; 24 h is pure UTC (fct:54-56).
+#: For dur ≤ 1 h a 2 h shift is ≡ 0 (mod dur), so it only changes 4 h/12 h.
+REFERENCE_TIMEFRAMES: tuple[Timeframe, ...] = (
+    Timeframe("5m", 300, 7200),
+    Timeframe("15m", 900, 7200),
+    Timeframe("30m", 1800, 7200),
+    Timeframe("1h", 3600, 7200),
+    Timeframe("4h", 14400, 7200),
+    Timeframe("12h", 43200, 7200),
+    Timeframe("24h", 86400, 0),
+)
+
+
+def epoch_seconds(ts: Column) -> Column:
+    """Whole epoch seconds of a timestamp(-ntz) column (UTC session)."""
+    return F.unix_timestamp(ts.cast("timestamp"))
+
+
+def bucket(ts: Column, seconds: int | Column, shift_seconds: int | Column = 0) -> Column:
+    """Tumbling-bucket start for ``ts``: shift → truncate → unshift.
+
+    Equivalent to the reference's datetime_add/datetime_trunc/div dance
+    (fct:42-52) and to ``F.window(ts, dur, startTime=-shift).start``;
+    written as epoch arithmetic so the bucket width can be a *column*
+    (needed for the exploded multi-timeframe form).
+    """
+    e = epoch_seconds(ts)
+    start = F.floor((e + shift_seconds) / seconds) * seconds - shift_seconds
+    return F.timestamp_seconds(start.cast("long")).cast("timestamp_ntz")
+
+
+def ohlc(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    series_cols: Sequence[str] = (),
+    *,
+    seconds: int = 300,
+    shift_seconds: int = 0,
+) -> DataFrame:
+    """Single-timeframe OHLC candles (SURVEY §2.6 A1-A6).
+
+    Output: series_cols..., candle_start, open/high/low/close, n_ticks.
+    """
+    b = bucket(F.col(ts_col), seconds, shift_seconds).alias("candle_start")
+    return df.groupBy(*series_cols, b).agg(*_ohlc_aggs(ts_col, value_col))
+
+
+def multi_timeframe_ohlc(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    series_cols: Sequence[str] = (),
+    timeframes: Sequence[Timeframe] = REFERENCE_TIMEFRAMES,
+) -> DataFrame:
+    """All timeframes in ONE scan via explode (vs the reference's 7-way
+    UNION ALL, fct:40-57). Output grain: (series..., timeframe,
+    candle_start)."""
+    tf_array = F.array(
+        *[
+            F.struct(
+                F.lit(tf.name).alias("timeframe"),
+                F.lit(tf.seconds).alias("dur"),
+                F.lit(tf.shift_seconds).alias("shift"),
+            )
+            for tf in timeframes
+        ]
+    )
+    exploded = df.withColumn("_tf", F.explode(tf_array))
+    b = bucket(F.col(ts_col), F.col("_tf.dur"), F.col("_tf.shift")).alias("candle_start")
+    return exploded.groupBy(
+        *series_cols, F.col("_tf.timeframe").alias("timeframe"), b
+    ).agg(*_ohlc_aggs(ts_col, value_col))
+
+
+def ohlc_window(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    series_cols: Sequence[str] = (),
+    *,
+    duration: str = "5 minutes",
+) -> DataFrame:
+    """Same candles via the idiomatic ``F.window`` tumbling window —
+    used by the flagship query and the streaming variant; must agree
+    with :func:`ohlc` (asserted in tests)."""
+    w = F.window(F.col(ts_col), duration).alias("w")
+    out = df.groupBy(*series_cols, w).agg(*_ohlc_aggs(ts_col, value_col))
+    return out.select(
+        *series_cols,
+        F.col("w.start").cast("timestamp_ntz").alias("candle_start"),
+        "open_value",
+        "high_value",
+        "low_value",
+        "close_value",
+        "n_ticks",
+    )
+
+
+def _ohlc_aggs(ts_col: str, value_col: str) -> list[Column]:
+    v, t = F.col(value_col), F.col(ts_col)
+    return [
+        F.min_by(v, t).alias("open_value"),   # fct:63 ordered-first
+        F.max(v).alias("high_value"),          # fct:64
+        F.min(v).alias("low_value"),           # fct:65
+        F.max_by(v, t).alias("close_value"),  # fct:66 ordered-last
+        F.count(F.lit(1)).alias("n_ticks"),    # fct:68
+    ]

@@ -1,0 +1,249 @@
+"""Time-series queries: the reference pipeline's semantics re-expressed
+on the synthetic ``events`` table (event_type plays the role of symbol,
+value the role of price).
+
+Each query has a DuckDB oracle. Determinism notes:
+- bucket starts are pure integer epoch arithmetic → exact on both engines;
+- OHLC aggs are min/max/arg_min/arg_max of untouched doubles → exact;
+- window indicators (avg) are rounded to 6 dp on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..operators import dedup
+from ..operators.candles import (
+    REFERENCE_TIMEFRAMES,
+    multi_timeframe_ohlc,
+    ohlc_window,
+)
+from ..operators.indicators import sma_sql, with_indicators
+from ..operators.quality import (
+    accepted_values_violations,
+    not_null_violations,
+    unique_violations,
+)
+from ..tables import load
+
+# ---------------------------------------------------------------- helpers
+
+def _bucket_sql(ts: str, dur: int, shift: int) -> str:
+    """DuckDB SQL mirror of operators.candles.bucket (exact int math)."""
+    return (
+        f"make_timestamp(CAST(floor((floor(epoch({ts})) + {shift}) / {dur})"
+        f" * {dur} - {shift} AS BIGINT) * 1000000)"
+    )
+
+
+_OHLC_AGG_SQL = """
+        arg_min(value, ts) AS open_value,
+        max(value) AS high_value,
+        min(value) AS low_value,
+        arg_max(value, ts) AS close_value,
+        count(*) AS n_ticks
+"""
+
+
+# ---------------------------------------------------------------- queries
+
+@register(
+    "candles_5m",
+    oracle=f"""
+    SELECT {_bucket_sql('ts', 300, 0)} AS candle_start,
+           event_type,
+           {_OHLC_AGG_SQL}
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Flagship: 5-minute OHLC candles per event_type via F.window "
+    "(reference mart's core semantic, fct_eurusd_timeframes.sql:40-71).",
+    tags=("timeseries", "aggregation", "flagship"),
+)
+def candles_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    out = ohlc_window(ev, "ts", "value", ["event_type"], duration="5 minutes")
+    return out.select(
+        "candle_start", "event_type", "open_value", "high_value",
+        "low_value", "close_value", "n_ticks",
+    )
+
+
+def _multi_tf_oracle() -> str:
+    """Generate the reference-shaped 7-branch UNION ALL oracle
+    (fct_eurusd_timeframes.sql:40-57) from the same timeframe spec the
+    Spark side uses — one source of truth for bucket math."""
+    branches = []
+    for tf in REFERENCE_TIMEFRAMES:
+        branches.append(
+            f"""
+    SELECT '{tf.name}' AS timeframe,
+           {_bucket_sql('ts', tf.seconds, tf.shift_seconds)} AS candle_start,
+           event_type,
+           {_OHLC_AGG_SQL}
+    FROM events
+    GROUP BY 1, 2, 3"""
+        )
+    return "\nUNION ALL\n".join(branches)
+
+
+@register(
+    "candles_multi_tf",
+    oracle=_multi_tf_oracle(),
+    doc="All 7 reference timeframes (5m..24h, +2h NY-close shift on "
+    "intraday) in ONE scan via explode — vs the reference's 7-way UNION "
+    "ALL (fct:40-57). Oracle deliberately uses the 7-branch shape.",
+    tags=("timeseries", "aggregation", "set-ops"),
+)
+def candles_multi_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    out = multi_timeframe_ohlc(ev, "ts", "value", ["event_type"])
+    return out.select(
+        "timeframe", "candle_start", "event_type", "open_value",
+        "high_value", "low_value", "close_value", "n_ticks",
+    )
+
+
+@register(
+    "candle_indicators",
+    oracle=f"""
+    WITH candles AS (
+        SELECT {_bucket_sql('ts', 3600, 7200)} AS candle_start,
+               event_type,
+               {_OHLC_AGG_SQL}
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT candle_start, event_type, open_value, high_value, low_value,
+           close_value, n_ticks,
+           close_value - lag(close_value) OVER w AS price_diff,
+           {sma_sql("close_value", 20, "w")} AS sma_20,
+           {sma_sql("close_value", 50, "w")} AS sma_50
+    FROM candles
+    WINDOW w AS (PARTITION BY event_type ORDER BY candle_start)
+    """,
+    doc="1h candles + lag price_diff + SMA-20/50 over one shared Window "
+    "spec (reference indicators CTE, fct:73-80). One shuffle for all "
+    "three indicators.",
+    tags=("timeseries", "window"),
+)
+def candle_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    candles = multi_timeframe_ohlc(
+        ev, "ts", "value", ["event_type"],
+        timeframes=[tf for tf in REFERENCE_TIMEFRAMES if tf.name == "1h"],
+    ).drop("timeframe")
+    return with_indicators(candles, ["event_type"]).select(
+        "candle_start", "event_type", "open_value", "high_value",
+        "low_value", "close_value", "n_ticks", "price_diff", "sma_20",
+        "sma_50",
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    doc="D1 exact dedup (reference: pandas drop_duplicates, "
+    "extract_forex.py:127-131) as dropDuplicates on a projection.",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return dedup.exact(ev.select("user_id", "event_type"))
+
+
+@register(
+    "dedup_keyed_latest",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts, value
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id, event_type
+        ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    doc="D2 QUALIFY-style keyed dedup (stg_eurusd.sql:36-39): latest "
+    "event per (user_id, event_type), deterministic tie-break on "
+    "event_id.",
+    tags=("dedup", "window"),
+)
+def dedup_keyed_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    out = dedup.keyed_latest(
+        ev,
+        ["user_id", "event_type"],
+        [F.col("ts").desc(), F.col("event_id").desc()],
+    )
+    return out.select("event_id", "user_id", "event_type", "ts", "value")
+
+
+@register(
+    "watermark_incremental_filter",
+    oracle="""
+    SELECT event_id, ts, event_type, value
+    FROM events
+    WHERE ts > (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+    """,
+    doc="P3/P4 incremental high-watermark + lookback filter "
+    "(stg_eurusd.sql:18-21, fct:25-29): scalar max() collected on the "
+    "driver, then a partition-prunable predicate.",
+    tags=("filter", "incremental"),
+)
+def watermark_incremental_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    # Reference pattern: the scalar subquery runs first, its result is a
+    # literal in the main scan's predicate → parquet min/max + partition
+    # pruning both apply (SURVEY §2.2 P3).
+    wm = ev.agg(F.max("ts")).first()[0]
+    return ev.filter(
+        F.col("ts") > F.lit(wm) - F.expr("INTERVAL 7 DAYS")
+    ).select("event_id", "ts", "event_type", "value")
+
+
+@register(
+    "quality_checks",
+    oracle="""
+    WITH candles AS (
+        SELECT 'g' AS tf_tag, event_type,
+               {b} AS candle_start, count(*) AS n_ticks
+        FROM events GROUP BY 1, 2, 3
+    )
+    SELECT 'unique_key' AS check_name,
+           (SELECT count(*) FROM (
+               SELECT event_type, candle_start FROM candles
+               GROUP BY 1, 2 HAVING count(*) > 1)) AS n_violations
+    UNION ALL
+    SELECT 'not_null_candle_start',
+           (SELECT count(*) FROM candles WHERE candle_start IS NULL)
+    UNION ALL
+    SELECT 'accepted_values_event_type',
+           (SELECT count(*) FROM candles WHERE event_type NOT IN
+               ('signup','click','error','view','purchase')
+               OR event_type IS NULL)
+    """.format(b=_bucket_sql("ts", 3600, 0)),
+    doc="Q1-Q3 dbt-test equivalents (marts_eurusd.yml:1-21) evaluated "
+    "over hourly candles; each row is one check with its violation "
+    "count (0 = contract holds).",
+    tags=("quality",),
+)
+def quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    candles = ohlc_window(ev, "ts", "value", ["event_type"], duration="1 hour")
+    uniq = unique_violations(candles, ["event_type", "candle_start"])
+    nn = not_null_violations(candles, "candle_start")
+    acc = accepted_values_violations(
+        candles, "event_type", ["signup", "click", "error", "view", "purchase"]
+    )
+
+    def _one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("n_violations"),
+        )
+
+    return (
+        _one("unique_key", uniq)
+        .unionByName(_one("not_null_candle_start", nn))
+        .unionByName(_one("accepted_values_event_type", acc))
+    )
