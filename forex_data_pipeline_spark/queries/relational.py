@@ -1,5 +1,496 @@
-"""General relational queries over the TPC-H-ish tables: aggregations,
-joins (broadcast/shuffle/semi/anti/as-of/range), set ops, windows,
-scalar functions. Populated in build-plan Phase 1 (SURVEY §7)."""
+"""General relational queries over the TPC-H-ish tables (SURVEY §2
+families: projections P1-P6, aggregations A1-A7, joins, set ops U1,
+windows W1-W4, scalar functions F1-F8, top-k O1, rollup).
+
+Float determinism rules (see operators/indicators.py docstring):
+- Sums of money-like doubles are summed as integer cents
+  (``round(x·100)→long``) — exact, order-independent — then presented as
+  doubles with one division. Never sum raw doubles across rows.
+- Per-row scalar float expressions are identical IEEE ops on identical
+  inputs → safe to emit raw.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import register
+from ..operators.joins import asof_join, range_join
+from ..tables import load
+
+
+def _cents_sum(col_expr, alias: str):
+    """Exact money sum: round to integer cents, sum longs, divide once."""
+    return (
+        F.sum(F.round(col_expr * 100).cast("long")).cast("double") / 100.0
+    ).alias(alias)
+
+
+_CENTS_SUM_SQL = "sum(CAST(round(({expr}) * 100) AS BIGINT)) / 100.0"
+
+
+def _cents_sum_sql(expr: str, alias: str) -> str:
+    return f"CAST({_CENTS_SUM_SQL.format(expr=expr)} AS DOUBLE) AS {alias}"
+
+
+# ------------------------------------------------------------ projections
+
+@register(
+    "typed_projection",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber,
+           CAST(l_quantity AS BIGINT) AS quantity,
+           CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date,
+           l_returnflag || '/' || l_linestatus AS flag_status,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+               AS price_dec
+    FROM lineitem
+    WHERE l_quantity >= 25
+    """,
+    doc="P1/P2 typed projection + rename + filter (stg_eurusd.sql:27-31): "
+    "casts reach the parquet scan as pruned columns + pushed predicate. "
+    "DATE/DECIMAL are exercised internally but presented as "
+    "string/double — pandas representations of those types differ "
+    "between Spark (date/Decimal objects) and DuckDB (datetime64/"
+    "float64), which would break value-hash comparison.",
+    tags=("projection", "filter"),
+)
+def typed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") >= 25).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("quantity"),
+        F.col("l_shipdate").cast("date").cast("string").alias("ship_date"),
+        F.concat_ws("/", "l_returnflag", "l_linestatus").alias("flag_status"),
+        F.col("l_extendedprice")
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("price_dec"),
+    )
+
+
+# ----------------------------------------------------------- aggregations
+
+@register(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           {_cents_sum_sql('l_extendedprice', 'sum_base_price')},
+           {_cents_sum_sql('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {_cents_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
+           {_CENTS_SUM_SQL.format(expr='l_extendedprice')} / count(*) AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="A1-A7 grouped hash-agg in TPC-H Q1 shape: partial map-side agg, "
+    "one shuffle on the tiny group key; money sums in exact cents.",
+    tags=("aggregation",),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    qty_sum = F.sum(F.col("l_quantity").cast("bigint"))
+    price_cents = F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        qty_sum.alias("sum_qty"),
+        _cents_sum(F.col("l_extendedprice"), "sum_base_price"),
+        _cents_sum(disc, "sum_disc_price"),
+        _cents_sum(charge, "sum_charge"),
+        (qty_sum.cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+        ((price_cents / 100.0) / F.count(F.lit(1))).alias("avg_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "distinct_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="DISTINCT aggregates (Spark expands to a two-phase plan "
+    "automatically; no reference equivalent — surface breadth).",
+    tags=("aggregation",),
+)
+def distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "rollup_order_counts",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           CAST(grouping(o_orderstatus) + 2 * grouping(o_orderpriority)
+                AS BIGINT) AS grp
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="ROLLUP grouping-sets (generalizes the reference's hand-rolled "
+    "7-timeframe grouping-set union, fct:40-57).",
+    tags=("aggregation", "set-ops"),
+)
+def rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (
+            F.grouping("o_orderstatus") + 2 * F.grouping("o_orderpriority")
+        ).cast("bigint").alias("grp"),
+    )
+
+
+# ------------------------------------------------------------------ joins
+
+@register(
+    "join_revenue_by_nation",
+    oracle=f"""
+    SELECT n.n_name,
+           r.r_name,
+           count(*) AS n_orders,
+           {_cents_sum_sql('o.o_totalprice', 'revenue')}
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY n.n_name, r.r_name
+    """,
+    doc="Multi-way equi join: fact (orders) joined to dims with "
+    "broadcast hints — zero shuffle joins; the only shuffle is the "
+    "final small-key aggregation. At 100 TB the dims stay broadcast.",
+    tags=("join", "aggregation"),
+)
+def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("n_name", "r_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _cents_sum(F.col("o_totalprice"), "revenue"),
+    )
+
+
+@register(
+    "semi_join_customers",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'O')
+    """,
+    doc="LEFT SEMI join (EXISTS): customers holding an open order — "
+    "probe side never duplicated, build side broadcastable.",
+    tags=("join",),
+)
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "anti_join_customers",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="LEFT ANTI join (NOT EXISTS): customers with no orders — the "
+    "building block of the incremental MERGE writer (S9).",
+    tags=("join", "incremental"),
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "asof_join_purchases",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, p.value AS purchase_value,
+           (SELECT arg_max(c.value, c.ts) FROM events c
+            WHERE c.event_type = 'click'
+              AND c.user_id = p.user_id
+              AND c.ts <= p.ts) AS value_last_click
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+    doc="AS-OF join (time-series alignment, SURVEY §2.3): each purchase "
+    "gets the latest prior click value per user. Union+window "
+    "formulation — O(n log n) with one shuffle, vs an O(n·m) "
+    "inequality join.",
+    tags=("join", "timeseries", "window"),
+)
+def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases, clicks, ["user_id"], "ts", "ts", ["value"],
+        suffix="_last_click",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "purchase_value", "value_last_click"
+    )
+
+
+@register(
+    "range_join_price_bands",
+    oracle="""
+    SELECT b.band, count(*) AS n_parts,
+           CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) / 100.0
+                AS DOUBLE) AS total_price
+    FROM part p
+    JOIN (VALUES ('budget', 0.0, 1100.0),
+                 ('mid', 1100.0, 1600.0),
+                 ('premium', 1600.0, 1e9)) AS b(band, lo, hi)
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band
+    """,
+    doc="Range/band join against a broadcast literal dimension — "
+    "evaluated map-side (BroadcastNestedLoopJoin over 3 rows), no "
+    "shuffle before the aggregation.",
+    tags=("join", "aggregation"),
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 1100.0), ("mid", 1100.0, 1600.0),
+         ("premium", 1600.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    joined = range_join(
+        p, bands, F.col("p_retailprice"), F.col("lo"), F.col("hi")
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        _cents_sum(F.col("p_retailprice"), "total_price"),
+    )
+
+
+# ---------------------------------------------------------------- set ops
+
+@register(
+    "set_ops_customers",
+    oracle="""
+    WITH building AS (SELECT c_custkey FROM customer
+                      WHERE c_mktsegment = 'BUILDING'),
+         rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    SELECT 'both' AS tag, c_custkey FROM
+        (SELECT * FROM building INTERSECT SELECT * FROM rich)
+    UNION ALL
+    SELECT 'building_only', c_custkey FROM
+        (SELECT * FROM building EXCEPT SELECT * FROM rich)
+    UNION ALL
+    SELECT 'rich_only', c_custkey FROM
+        (SELECT * FROM rich EXCEPT SELECT * FROM building)
+    """,
+    doc="U1 + INTERSECT/EXCEPT (reference only has UNION ALL, fct:43-54; "
+    "the rest come built-in).",
+    tags=("set-ops",),
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+
+    def tag(df: DataFrame, t: str) -> DataFrame:
+        return df.select(F.lit(t).alias("tag"), "c_custkey")
+
+    return (
+        tag(building.intersect(rich), "both")
+        .unionByName(tag(building.exceptAll(rich.distinct()), "building_only"))
+        .unionByName(tag(rich.exceptAll(building.distinct()), "rich_only"))
+    )
+
+
+# ---------------------------------------------------------------- windows
+
+@register(
+    "topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+    doc="O1 per-group top-k via row_number (Spark pushes a group-limit "
+    "into the sort below the window — no full per-group sort "
+    "materialization).",
+    tags=("window", "topk"),
+)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "running_total_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                / 100.0 AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+    doc="W3-style running aggregate: cumulative spend per customer, "
+    "summed in exact integer cents (order-independent across engines).",
+    tags=("window",),
+)
+def running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (F.sum(cents).over(w).cast("double") / 100.0).alias("running_spend"),
+    )
+
+
+@register(
+    "window_rank_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS rnk,
+           dense_rank() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate) AS drnk,
+           lead(o_totalprice) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS next_price
+    FROM orders
+    """,
+    doc="W1 family completeness: rank / dense_rank (date ties share "
+    "ranks) + lead — all three share one Window sort.",
+    tags=("window",),
+)
+def window_rank_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    wd = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    wt = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.rank().over(wd).alias("rnk"),
+        F.dense_rank().over(wd).alias("drnk"),
+        F.lead("o_totalprice").over(wt).alias("next_price"),
+    )
+
+
+# ------------------------------------------------------- scalar functions
+
+@register(
+    "surrogate_keys",
+    oracle="""
+    SELECT o_orderkey,
+           md5(concat(CAST(o_orderkey AS VARCHAR), '|', o_orderstatus,
+                      '|', CAST(CAST(o_orderdate AS DATE) AS VARCHAR)))
+               AS unique_id,
+           upper(o_orderpriority) AS priority_uc,
+           CAST(extract(year FROM o_orderdate) AS BIGINT) AS order_year,
+           CAST(extract(month FROM o_orderdate) AS BIGINT) AS order_month
+    FROM orders
+    """,
+    doc="F1-F8 scalar functions: md5 surrogate key over concat'd key "
+    "material (fct_eurusd_timeframes.sql:83), string case ops, date "
+    "part extraction.",
+    tags=("scalar",),
+)
+def surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.md5(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit("|"),
+                F.col("o_orderstatus"),
+                F.lit("|"),
+                F.col("o_orderdate").cast("date").cast("string"),
+            )
+        ).alias("unique_id"),
+        F.upper("o_orderpriority").alias("priority_uc"),
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+    )
+
+
+@register(
+    "json_extraction",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS DOUBLE) / count(*) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="JSON path extraction over events.props (get_json_object → "
+    "typed agg); integer sums are exact on both engines.",
+    tags=("scalar", "aggregation"),
+)
+def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        (F.sum(k).cast("double") / F.count(F.lit(1))).alias("avg_k"),
+    )

@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Driver simulation: runs the __spark_entry__ contract exactly like the
+round driver — plain un-tuned SparkSession, sf0.01 tables, STRICT
+order-insensitive value-hash comparison against the DuckDB oracles
+(repr-equality on floats, no tolerance).
+
+Usage: python scripts/driver_sim.py [sf_dir]
+Exit code 0 iff every oracle-backed query hash-matches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            s = pd.to_datetime(df[c])
+            if getattr(s.dt, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = s.astype("datetime64[us]")
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].map(repr)
+    df = df.astype(str)
+    if len(df):
+        df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    import __spark_entry__ as ent
+
+    n = len(ent.entry(spark).collect())
+    print(f"entry: {n} rows")
+    assert n > 0
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    qs, oracles = ent.queries(), ent.oracle_sql()
+    fails = []
+    for name, fn in qs.items():
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            fails.append(name)
+            print(f"{name}: ERROR {type(exc).__name__}: {exc}")
+            continue
+        if name not in oracles:
+            print(f"{name}: rows-only {len(got)}")
+            continue
+        exp = con.execute(oracles[name]).df()
+        ok = len(got) == len(exp) and value_hash(got) == value_hash(exp)
+        if not ok:
+            fails.append(name)
+        print(f"{name}: {'OK' if ok else 'MISMATCH'} rows={len(got)}/{len(exp)}")
+    print(f"{len(qs) - len(fails)}/{len(qs)} ok; FAILS: {fails or 'none'}")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
