@@ -75,6 +75,6 @@ def _ensure_loaded() -> None:
     global _loaded
     if _loaded:
         return
-    from .queries import llm_ops, relational, timeseries  # noqa: F401
+    from .queries import llm_ops, pipeline_q, relational, timeseries  # noqa: F401
 
     _loaded = True

@@ -56,17 +56,29 @@ def epoch_seconds(ts: Column) -> Column:
     return F.unix_timestamp(ts.cast("timestamp"))
 
 
+def bucket_epoch(
+    ts: Column, seconds: int | Column, shift_seconds: int | Column = 0
+) -> Column:
+    """Tumbling-bucket start (epoch seconds, LongType) for ``ts``:
+    shift → truncate → unshift. Kept in integer space so callers can do
+    exact boundary arithmetic (merge edges, context windows)."""
+    e = epoch_seconds(ts)
+    return (
+        F.floor((e + shift_seconds) / seconds) * seconds - shift_seconds
+    ).cast("long")
+
+
 def bucket(ts: Column, seconds: int | Column, shift_seconds: int | Column = 0) -> Column:
-    """Tumbling-bucket start for ``ts``: shift → truncate → unshift.
+    """Tumbling-bucket start for ``ts`` as a timestamp.
 
     Equivalent to the reference's datetime_add/datetime_trunc/div dance
     (fct:42-52) and to ``F.window(ts, dur, startTime=-shift).start``;
     written as epoch arithmetic so the bucket width can be a *column*
     (needed for the exploded multi-timeframe form).
     """
-    e = epoch_seconds(ts)
-    start = F.floor((e + shift_seconds) / seconds) * seconds - shift_seconds
-    return F.timestamp_seconds(start.cast("long")).cast("timestamp_ntz")
+    return F.timestamp_seconds(
+        bucket_epoch(ts, seconds, shift_seconds)
+    ).cast("timestamp_ntz")
 
 
 def ohlc(
@@ -92,10 +104,25 @@ def multi_timeframe_ohlc(
     value_col: str,
     series_cols: Sequence[str] = (),
     timeframes: Sequence[Timeframe] = REFERENCE_TIMEFRAMES,
+    *,
+    min_candle_start=None,
+    keep_spec: bool = False,
 ) -> DataFrame:
     """All timeframes in ONE scan via explode (vs the reference's 7-way
     UNION ALL, fct:40-57). Output grain: (series..., timeframe,
-    candle_start)."""
+    candle_start).
+
+    ``min_candle_start``: incremental-recompute edge. Only candles whose
+    start is >= that timeframe's OWN bucket containing the edge are
+    produced — a per-timeframe boundary snap. (A single scalar cutoff
+    cannot be correct: with mixed clock shifts there is NO instant that
+    is a boundary of every timeframe, so a scalar cut always slices some
+    candle in half and a partial aggregate would then overwrite a
+    complete one at merge time.)
+
+    ``keep_spec``: also emit ``dur_s``/``shift_s`` so callers can do
+    boundary arithmetic downstream without re-joining the spec.
+    """
     tf_array = F.array(
         *[
             F.struct(
@@ -107,10 +134,18 @@ def multi_timeframe_ohlc(
         ]
     )
     exploded = df.withColumn("_tf", F.explode(tf_array))
-    b = bucket(F.col(ts_col), F.col("_tf.dur"), F.col("_tf.shift")).alias("candle_start")
-    return exploded.groupBy(
-        *series_cols, F.col("_tf.timeframe").alias("timeframe"), b
+    dur, shift = F.col("_tf.dur"), F.col("_tf.shift")
+    be = bucket_epoch(F.col(ts_col), dur, shift)
+    if min_candle_start is not None:
+        edge = bucket_epoch(F.lit(min_candle_start), dur, shift)
+        exploded = exploded.filter(be >= edge)
+    grouped = exploded.groupBy(
+        *series_cols,
+        F.col("_tf.timeframe").alias("timeframe"),
+        *( [dur.alias("dur_s"), shift.alias("shift_s")] if keep_spec else [] ),
+        F.timestamp_seconds(be).cast("timestamp_ntz").alias("candle_start"),
     ).agg(*_ohlc_aggs(ts_col, value_col))
+    return grouped
 
 
 def ohlc_window(

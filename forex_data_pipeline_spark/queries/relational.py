@@ -225,15 +225,19 @@ def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, c_name
     FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey)
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     """,
-    doc="LEFT ANTI join (NOT EXISTS): customers with no orders — the "
-    "building block of the incremental MERGE writer (S9).",
+    doc="LEFT ANTI join (NOT EXISTS): customers with no urgent orders — "
+    "the building block of the incremental MERGE writer (S9). The "
+    "priority filter keeps the result non-empty at every scale factor.",
     tags=("join", "incremental"),
 )
 def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )

@@ -1,0 +1,115 @@
+"""Sinks: partitioned parquet writer + incremental MERGE upsert (SURVEY
+§2.1 S3/S4/S9).
+
+The reference gets MERGE for free from BigQuery
+(/root/reference/models/staging/stg_eurusd.sql:2-11,
+ /root/reference/models/marts/fct_eurusd_timeframes.sql:2-13:
+``incremental_strategy='merge'`` on a ``unique_key``, day-partitioned).
+Pure-Spark equivalent, two strategies:
+
+- ``rewrite``  — read existing → anti-join on keys → union new → write to
+  a temp dir → atomic swap. Correct everywhere; rewrites the whole
+  table, so only for small/medium tables.
+- ``dynamic``  — dynamic partition overwrite: only partitions touched by
+  the new batch are read, anti-joined, and overwritten
+  (``spark.sql.sources.partitionOverwriteMode=dynamic``). This is the
+  100 TB path: cost ∝ touched partitions (a daily batch touches 1-2 day
+  partitions), not table size — exactly the reference's day-partitioned
+  MERGE cost model.
+
+Atomicity caveat (SURVEY §7 hard-part 1): without a transactional table
+format, ``rewrite`` swaps directories (brief window where the table is a
+moved-aside copy) and ``dynamic`` relies on Spark's output-committer
+per-partition atomicity. Delta Lake's MERGE INTO would subsume both
+behind this same interface; it is not available in this container.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str] = (),
+    mode: str = "overwrite",
+    coalesce_small: bool = False,
+) -> None:
+    """S3/S4: snappy parquet (Spark default codec), hive-style partition
+    dirs like the reference's ``symbol/year=/month=`` layout
+    (extract_forex.py:159-168). ``coalesce_small`` mirrors its
+    one-file-per-batch small-file control (extract_forex.py:168-171)."""
+    w = (df.coalesce(1) if coalesce_small else df).write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)
+
+
+def table_exists(spark: SparkSession, path: str) -> bool:
+    try:
+        spark.read.parquet(path).schema
+        return True
+    except Exception:  # noqa: BLE001 - missing path / empty dir
+        return False
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    new_df: DataFrame,
+    keys: Sequence[str],
+    *,
+    partition_cols: Sequence[str] = (),
+    strategy: str = "rewrite",
+) -> None:
+    """S9 MERGE: upsert ``new_df`` into the parquet table at ``path`` on
+    ``keys`` — new rows win, untouched rows are preserved.
+
+    Equivalent to ``MERGE INTO path USING new_df ON keys WHEN MATCHED
+    UPDATE ALL WHEN NOT MATCHED INSERT ALL``.
+    """
+    keys = list(keys)
+    if not table_exists(spark, path):
+        write_partitioned(new_df, path, partition_cols)
+        return
+
+    existing = spark.read.parquet(path)
+
+    if strategy == "dynamic" and partition_cols:
+        # Scale path: touch only the partitions present in the new batch.
+        parts = new_df.select(*partition_cols).distinct()
+        touched = existing.join(F.broadcast(parts), list(partition_cols), "left_semi")
+        kept = touched.join(new_df.select(*keys).distinct(), keys, "left_anti")
+        result = kept.unionByName(new_df.select(*kept.columns))
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # 'overwrite' + dynamic mode replaces only partitions present in
+        # `result` — everything else on disk is untouched.
+        result.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+        return
+
+    kept = existing.join(new_df.select(*keys).distinct(), keys, "left_anti")
+    result = kept.unionByName(new_df.select(*kept.columns))
+    tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
+    write_partitioned(result, tmp, partition_cols)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def high_watermark(
+    spark: SparkSession, path: str, col: str
+):
+    """P3: max(col) of an existing table, None when absent
+    (stg_eurusd.sql:18-21). Collected on the driver so the incremental
+    filter becomes a pushable literal predicate."""
+    if not table_exists(spark, path):
+        return None
+    return spark.read.parquet(path).agg(F.max(col)).first()[0]
