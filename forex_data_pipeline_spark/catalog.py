@@ -75,6 +75,12 @@ def _ensure_loaded() -> None:
     global _loaded
     if _loaded:
         return
-    from .queries import llm_ops, pipeline_q, relational, timeseries  # noqa: F401
+    from .queries import (  # noqa: F401
+        llm_ops,
+        pipeline_q,
+        relational,
+        streaming_q,
+        timeseries,
+    )
 
     _loaded = True

@@ -1,0 +1,109 @@
+"""Driver-visible streaming + session-window queries.
+
+``streaming_candles_5m`` runs a REAL Structured Streaming job
+(file source → watermark → windowed OHLC → availableNow drain) and must
+hash-match the same oracle as the batch flagship — proving
+batch/streaming semantic parity on identical input.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..streaming.candles_stream import (
+    read_tick_stream,
+    run_available_now_to_table,
+    streaming_candles,
+)
+from ..tables import load
+from .timeseries import _OHLC_AGG_SQL, _bucket_sql
+
+
+@register(
+    "streaming_candles_5m",
+    oracle=f"""
+    SELECT {_bucket_sql('ts', 300, 0)} AS candle_start,
+           event_type,
+           {_OHLC_AGG_SQL}
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Structured Streaming flagship parity: file-source stream + "
+    "watermark + tumbling-window OHLC, drained with Trigger.AvailableNow "
+    "(the reference's daily-cron equivalent, SURVEY §2.10) — must equal "
+    "the batch candles_5m oracle bit-for-bit.",
+    tags=("streaming", "timeseries"),
+)
+def streaming_candles_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stage the single events.parquet into a stream source directory.
+    src = tempfile.mkdtemp(prefix="fx_stream_src_")
+    os.symlink(
+        f"{sf_dir}/events.parquet", f"{src}/events.parquet"
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ts_is_long = raw_schema["ts"].dataType.typeName() == "long"
+
+    ticks = read_tick_stream(
+        spark, src, raw_schema, ts_is_nanos_long=ts_is_long
+    )
+    candles = streaming_candles(
+        ticks, "ts", "value", ["event_type"], duration="5 minutes"
+    )
+    table = f"stream_candles_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="fx_stream_ckpt_")
+    run_available_now_to_table(candles, table, ckpt)
+    return spark.table(table).select(
+        "candle_start", "event_type", "open_value", "high_value",
+        "low_value", "close_value", "n_ticks",
+    )
+
+
+@register(
+    "session_windows",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    doc="Session windows (30-min inactivity gap) via F.session_window — "
+    "the streaming-native sessionization operator, checked against a "
+    "gaps-and-islands SQL formulation. Extends the reference's tumbling "
+    "candles (SURVEY §2.10) with the session window family.",
+    tags=("streaming", "window", "timeseries"),
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )

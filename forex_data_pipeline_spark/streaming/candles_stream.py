@@ -1,0 +1,112 @@
+"""Structured Streaming candles (SURVEY §2.10).
+
+The reference's "stream" is a daily cron micro-batch
+(/root/reference/.github/workflows/daily_run.yml:4-6) with a manual
+high-watermark (stg_eurusd.sql:18-21) — i.e. hand-rolled streaming
+semantics. Spark-native mapping:
+
+- ingestion trigger  → file-source stream + ``Trigger.AvailableNow``
+  (process everything present, then stop — the cron-batch equivalent,
+  with exactly-once file tracking via the checkpoint instead of the
+  hand-rolled watermark);
+- tumbling candles   → ``F.window(ts, dur)`` groupBy aggregation;
+- late data          → ``withWatermark`` bounds state; late rows beyond
+  the delay are dropped (the reference's watermark filter drops ALL
+  out-of-order rows — ours is strictly more tolerant);
+- running indicators → deliberately NOT in the stream: an unbounded
+  SMA-50 over all history is not a watermark-boundable streaming agg,
+  so indicators stay a batch post-pass over the merged gold table —
+  exactly the reference's recompute-the-tail design (fct:25-29), see
+  ``pipeline.medallion.gold_run``.
+
+Scale: streaming state is keyed by (series, window); with watermarking,
+state size ∝ active windows × series, independent of history length.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.candles import _ohlc_aggs
+
+
+def read_tick_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    *,
+    ts_is_nanos_long: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a directory of tick parquet files."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(source_dir)
+    if ts_is_nanos_long:
+        # Watermarks require TimestampType (not NTZ); identical wall
+        # clock under the pinned UTC session.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def streaming_candles(
+    ticks: DataFrame,
+    ts_col: str,
+    value_col: str,
+    series_cols: Sequence[str] = (),
+    *,
+    duration: str = "5 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window OHLC aggregation on a stream. In append mode a
+    window emits once the watermark passes its end — exactly-once candle
+    emission; ``watermark_delay`` is the late-data tolerance."""
+    w = F.window(F.col(ts_col), duration).alias("w")
+    out = (
+        ticks.withWatermark(ts_col, watermark_delay)
+        .groupBy(*series_cols, w)
+        .agg(*_ohlc_aggs(ts_col, value_col))
+    )
+    return out.select(
+        *series_cols,
+        F.col("w.start").cast("timestamp_ntz").alias("candle_start"),
+        "open_value", "high_value", "low_value", "close_value", "n_ticks",
+    )
+
+
+def run_available_now_to_table(
+    result: DataFrame, table_name: str, checkpoint_dir: str,
+    output_mode: str = "complete",
+) -> StreamingQuery:
+    """Drain everything currently in the source (the daily-cron
+    equivalent) into an in-memory table, then stop. ``complete`` mode
+    emits every window including still-open ones, matching a batch
+    recompute; production continuous mode would use append+watermark
+    into a parquet/Delta sink instead."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def streaming_dedup(
+    ticks: DataFrame, keys: Sequence[str], ts_col: str, delay: str = "10 minutes"
+) -> DataFrame:
+    """Exactly-once keyed dedup in-stream: state bounded by the
+    watermark (the streaming form of D1/D2)."""
+    return ticks.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
