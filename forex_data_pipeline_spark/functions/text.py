@@ -1,0 +1,113 @@
+"""Text-analysis building blocks for the training-data pipeline:
+tokenization, shingling, MinHash, SimHash, language-ID markers, quality
+stats. All pure Catalyst expressions (split/transform/slice/md5) — the
+hot path stays JVM-side; each helper has a DuckDB SQL mirror for oracle
+construction.
+
+Hash-function choice: MinHash/SimHash need a keyed hash that exists
+bit-identically in both engines. xxhash64 (Spark) has no DuckDB
+counterpart, so we use md5 HEX STRINGS under lexicographic MIN — a
+string-valued minhash is exactly as valid as an integer one (any
+injective hash + total order works) and md5 is identical everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: whitespace tokenizer — shared by Spark and oracle mirrors
+TOKEN_SPLIT_RE = r"\s+"
+#: BPE-ish fallback tokenizer: letter runs, digit runs, single symbols
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+#: tiny per-language marker lexicons for the n-gram/stopword-style
+#: language-ID heuristic (deterministic argmax with fixed priority)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "los", "un"),
+    "fr": ("le", "les", "des", "un", "et"),
+    "de": ("der", "die", "das", "und", "ein"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),  # pinyin-ish markers
+}
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(text), TOKEN_SPLIT_RE)
+
+
+def tokens_sql(text: str) -> str:
+    return f"regexp_split_to_array(trim({text}), '{TOKEN_SPLIT_RE}')"
+
+
+def shingles(toks: Column, k: int = 5) -> Column:
+    """Word k-grams as space-joined strings; empty array when the doc is
+    shorter than k tokens."""
+    n = F.size(toks)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+
+
+def shingles_sql(arr: str, k: int = 5) -> str:
+    return (
+        f"list_transform(generate_series(1, greatest(len({arr}) - {k - 1}, 0)),"
+        f" i -> array_to_string({arr}[i:i + {k - 1}], ' '))"
+    )
+
+
+def minhash_value(shingle: Column, hash_idx: Column) -> Column:
+    """Keyed hash for MinHash: md5 over (seed, shingle). The signature
+    component is MIN of this string per doc."""
+    return F.md5(F.concat_ws("#", hash_idx.cast("string"), shingle))
+
+
+def minhash_value_sql(shingle: str, hash_idx: str) -> str:
+    return f"md5(concat_ws('#', CAST({hash_idx} AS VARCHAR), {shingle}))"
+
+
+def stopword_hits(toks: Column, words=EN_STOPWORDS) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def stopword_hits_sql(arr: str, words=EN_STOPWORDS) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({arr}, t -> t IN ({lst})))"
+
+
+def simhash_bit_sums(token: Column, cnt: Column, n_bits: int = 16) -> list[Column]:
+    """SimHash: per token, bit i of md5(token) votes ±count. Returns the
+    n_bits signed-sum aggregate expressions (caller groups by doc)."""
+    h = F.md5(token)
+    sums = []
+    for i in range(n_bits):
+        bit_on = F.substring(h, i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f")
+        sums.append(
+            F.sum(F.when(bit_on, cnt).otherwise(-cnt)).alias(f"_s{i}")
+        )
+    return sums
+
+
+def simhash_from_sums(n_bits: int = 16) -> Column:
+    """Assemble the fingerprint: bit i set iff the signed sum is > 0
+    (ties → 0, deterministic)."""
+    out = F.lit(0).cast("long")
+    for i in range(n_bits):
+        out = out + F.when(F.col(f"_s{i}") > 0, F.lit(2 ** i)).otherwise(0).cast("long")
+    return out
+
+
+def simhash_sql(token: str, cnt: str, n_bits: int = 16) -> tuple[str, str]:
+    """(per-bit sum select list, fingerprint expression) mirrors."""
+    sums = ", ".join(
+        f"sum(CASE WHEN substring(md5({token}), {i + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN {cnt} ELSE -{cnt} END) AS _s{i}"
+        for i in range(n_bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN _s{i} > 0 THEN {2 ** i} ELSE 0 END)" for i in range(n_bits)
+    )
+    return sums, f"CAST({fp} AS BIGINT)"

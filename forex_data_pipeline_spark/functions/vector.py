@@ -1,0 +1,44 @@
+"""Vector math over ``array<float>`` embedding columns — pure Catalyst
+expressions (zip_with + aggregate fold), no UDFs: stays inside
+whole-stage codegen, no Python round-trips, vectorizes with the parquet
+reader.
+
+Determinism: elements are promoted float→double (exact), the fold is
+sequential in array order on both Spark (``aggregate``) and DuckDB
+(``list_inner_product``), sqrt is IEEE correctly-rounded → cosine values
+are bit-identical across engines; callers round(6) only to stabilize
+top-k ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+# --- DuckDB oracle mirrors (same math, same fold order) ---------------
+
+def dot_sql(a: str, b: str) -> str:
+    return f"list_inner_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return (
+        f"{dot_sql(a, b)} / (sqrt({dot_sql(a, a)}) * sqrt({dot_sql(b, b)}))"
+    )

@@ -1,5 +1,621 @@
-"""Training-data pipeline operators: dedup (exact/MinHash/SimHash/
-n-gram Jaccard/embedding), similarity search, text analysis, multimodal
-plumbing. Populated in build-plan Phase 4 (SURVEY §7)."""
+"""Training-data pipeline operators (BASELINE.json north star): dedup
+(exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine),
+similarity search (brute-force + IVF), text analysis (stats, lang-ID,
+fingerprinting), multimodal column plumbing.
+
+Scale design notes are on each query; the common theme: never O(n²) on
+the full corpus — blocking (shared shingle, LSH band, IVF cell) turns
+pairwise problems into equi-join problems, which Spark shuffles by key
+and solves at any n.
+"""
 
 from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import register
+from ..functions.text import (
+    BPE_RE,
+    EN_STOPWORDS,
+    LANG_MARKERS,
+    minhash_value,
+    minhash_value_sql,
+    shingles,
+    shingles_sql,
+    simhash_bit_sums,
+    simhash_from_sums,
+    simhash_sql,
+    stopword_hits,
+    stopword_hits_sql,
+    tokens,
+    tokens_sql,
+)
+from ..functions.vector import cosine, cosine_sql
+from ..tables import load
+
+MINHASH_K = 8          # signature length
+LSH_BANDS = 2          # bands × rows: 2 × 4 — candidates at est-J ≥ ~0.5
+LSH_ROWS = MINHASH_K // LSH_BANDS
+
+_TOK_CTE = f"SELECT doc_id, {tokens_sql('text')} AS toks FROM documents"
+_SH_CTE = (
+    f"SELECT DISTINCT doc_id, unnest({shingles_sql('toks', 5)}) AS sh "
+    f"FROM ({_TOK_CTE})"
+)
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.explode(shingles(tokens(F.col("text")), 5)).alias("sh")
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------- text analysis
+
+@register(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT)
+               AS n_bpe_tokens,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(strlen(text) AS DOUBLE) / len(toks) AS avg_token_len,
+           CAST({stopword_hits_sql('toks')} AS DOUBLE) / len(toks)
+               AS stopword_ratio
+    FROM (SELECT doc_id, text, {tokens_sql('text')} AS toks FROM documents)
+    """,
+    doc="Per-document quality stats: token counts (whitespace + BPE-ish "
+    "regex), byte length, avg token length, stopword ratio — the "
+    "filter-features of a corpus-quality pass; all ratios are "
+    "int/int divisions (exact).",
+    tags=("llm", "text"),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        (F.octet_length("text").cast("double") / n).alias("avg_token_len"),
+        (stopword_hits(toks).cast("double") / n).alias("stopword_ratio"),
+    )
+
+
+def _lang_scores_sql() -> tuple[str, str]:
+    score_cols = ", ".join(
+        f"{stopword_hits_sql('toks', ws)} AS s_{lang}"
+        for lang, ws in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    case = "CASE "
+    for lang in langs[:-1]:
+        others = " AND ".join(
+            f"s_{lang} >= s_{o}" for o in langs if o != lang
+        )
+        case += f"WHEN {others} THEN '{lang}' "
+    case += f"ELSE '{langs[-1]}' END"
+    return score_cols, case
+
+
+_SCORES, _PRED_CASE = _lang_scores_sql()
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+    SELECT doc_id, lang, {_PRED_CASE} AS predicted_lang,
+           CAST(s_en AS BIGINT) AS score_en
+    FROM (SELECT doc_id, lang, {_SCORES}
+          FROM (SELECT doc_id, lang, {tokens_sql('text')} AS toks
+                FROM documents))
+    """,
+    doc="Language-ID heuristic: per-language marker-lexicon hit counts, "
+    "deterministic argmax (fixed priority order on ties). A real "
+    "deployment swaps the lexicons for char-n-gram profiles — the "
+    "plan shape (map-side scoring, no shuffle) is identical.",
+    tags=("llm", "text"),
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            stopword_hits(toks, ws).alias(f"s_{lang}")
+            for lang, ws in LANG_MARKERS.items()
+        ],
+    )
+    langs = list(LANG_MARKERS)
+    pred = F.lit(langs[-1])
+    for lang in reversed(langs[:-1]):
+        cond = None
+        for o in langs:
+            if o != lang:
+                c = F.col(f"s_{lang}") >= F.col(f"s_{o}")
+                cond = c if cond is None else (cond & c)
+        pred = F.when(cond, lang).otherwise(pred)
+    return scored.select(
+        "doc_id", "lang", pred.alias("predicted_lang"),
+        F.col("s_en").cast("bigint").alias("score_en"),
+    )
+
+
+@register(
+    "vocab_top20",
+    oracle=f"""
+    SELECT token, n_docs, n_occurrences
+    FROM (
+        SELECT token, count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_occurrences,
+               row_number() OVER (ORDER BY count(*) DESC, token) AS rn
+        FROM (SELECT doc_id, unnest(toks) AS token FROM ({_TOK_CTE}))
+        GROUP BY token)
+    WHERE rn <= 20
+    """,
+    doc="Corpus vocabulary top-k (the explode→agg word-count classic): "
+    "partial aggregation collapses the exploded rows map-side, so "
+    "shuffle bytes ∝ vocabulary, not corpus size.",
+    tags=("llm", "text", "topk"),
+)
+def vocab_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    agg = tok.groupBy("token").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), "token")
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("token", "n_docs", "n_occurrences")
+    )
+
+
+# ------------------------------------------------------------------ dedup
+
+@register(
+    "doc_fingerprint_dedup",
+    oracle="""
+    SELECT doc_id, md5(lower(trim(text))) AS fingerprint,
+           CAST(row_number() OVER (
+               PARTITION BY md5(lower(trim(text))) ORDER BY doc_id)
+               AS BIGINT) AS copy_rank
+    FROM documents
+    """,
+    doc="Exact content dedup via normalized-text fingerprint: "
+    "copy_rank=1 rows form the deduplicated corpus, rank>1 are exact "
+    "dups. Hashing first means the shuffle key is 32 bytes regardless "
+    "of document size — dedup cost is independent of payload width.",
+    tags=("llm", "dedup"),
+)
+def doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    w = Window.partitionBy(fp).orderBy("doc_id")
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.row_number().over(w).cast("bigint").alias("copy_rank"),
+    )
+
+
+def _sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    idx = spark.range(MINHASH_K).select(F.col("id").cast("int").alias("hash_idx"))
+    return (
+        sh.crossJoin(F.broadcast(idx))
+        .groupBy("doc_id", "hash_idx")
+        .agg(F.min(minhash_value(F.col("sh"), F.col("hash_idx"))).alias("minhash"))
+    )
+
+
+@register(
+    "minhash_signatures",
+    oracle=f"""
+    SELECT s.doc_id, g.i AS hash_idx,
+           min({minhash_value_sql('s.sh', 'g.i')}) AS minhash
+    FROM ({_SH_CTE}) s
+    CROSS JOIN generate_series(0, {MINHASH_K - 1}) g(i)
+    GROUP BY s.doc_id, g.i
+    """,
+    doc=f"MinHash signatures ({MINHASH_K} keyed md5-string hashes over "
+    "distinct 5-word shingles). String-min is a valid minhash (any "
+    "injective hash + total order); md5 exists bit-identically in "
+    "every engine, unlike xxhash64.",
+    tags=("llm", "dedup"),
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sig_df(spark, sf_dir)
+
+
+_SIG_CTE = f"""
+    SELECT s.doc_id, g.i AS hash_idx,
+           min({minhash_value_sql('s.sh', 'g.i')}) AS minhash
+    FROM ({_SH_CTE}) s
+    CROSS JOIN generate_series(0, {MINHASH_K - 1}) g(i)
+    GROUP BY s.doc_id, g.i
+"""
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    WITH sig AS ({_SIG_CTE}),
+    bands AS (
+        SELECT doc_id, hash_idx // {LSH_ROWS} AS band_idx,
+               md5(string_agg(minhash, '|' ORDER BY hash_idx)) AS band_hash
+        FROM sig
+        GROUP BY doc_id, hash_idx // {LSH_ROWS}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    )
+    SELECT c.a_id, c.b_id,
+           CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+                AS DOUBLE) / {MINHASH_K} AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.a_id
+    JOIN sig sb ON sb.doc_id = c.b_id AND sb.hash_idx = sa.hash_idx
+    GROUP BY c.a_id, c.b_id
+    HAVING est_jaccard >= 0.5
+    """,
+    doc="MinHash + LSH near-dup pairs: band-hash blocking turns O(n²) "
+    "pair search into an equi-join on (band, band_hash) — candidates "
+    "≈ true near-dups + vanishing noise; estimated Jaccard from "
+    "signature agreement, thresholded at 0.5. THE scalable near-dup "
+    "dedup for 100 TB corpora.",
+    tags=("llm", "dedup", "join"),
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _sig_df(spark, sf_dir)
+    bands = (
+        sig.withColumn("band_idx", (F.col("hash_idx") / LSH_ROWS).cast("long"))
+        .groupBy("doc_id", "band_idx")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("hash_idx", "minhash"))
+                        ),
+                        lambda s: s.minhash,
+                    ),
+                )
+            ).alias("band_hash")
+        )
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    agree = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("a_id"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("b_id"))
+            & (F.col("sb.hash_idx") == F.col("sa.hash_idx")),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("sa.minhash") == F.col("sb.minhash"), 1).otherwise(0)
+                ).cast("double")
+                / MINHASH_K
+            ).alias("est_jaccard")
+        )
+    )
+    return agree.filter(F.col("est_jaccard") >= 0.5)
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS ({_SH_CTE}),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a_id, b_id,
+           CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jaccard
+    FROM common
+    JOIN cnt ca ON ca.doc_id = a_id
+    JOIN cnt cb ON cb.doc_id = b_id
+    WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5
+    """,
+    doc="EXACT n-gram Jaccard near-dup pairs via shingle inverted-index "
+    "self-join: only docs sharing ≥1 shingle are ever compared "
+    "(blocking), the rest is count arithmetic — int/int division, "
+    "exact. Ground truth for the MinHash estimate.",
+    tags=("llm", "dedup", "join"),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    j = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        common.join(F.broadcast(ca), "a_id")
+        .join(F.broadcast(cb), "b_id")
+        .select("a_id", "b_id", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+_SIMHASH_SUMS, _SIMHASH_FP = simhash_sql("token", "cnt")
+
+
+@register(
+    "simhash_fingerprints",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(toks) AS token FROM ({_TOK_CTE})
+    ),
+    tc AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+    sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM tc GROUP BY doc_id)
+    SELECT doc_id, {_SIMHASH_FP} AS simhash
+    FROM sums
+    """,
+    doc="SimHash document fingerprints (16-bit): each token votes its "
+    "md5 bits ± its frequency; near-dup docs land at small Hamming "
+    "distance. One explode + two hash-aggs — no pairwise work at all.",
+    tags=("llm", "dedup"),
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tc = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    sums = tc.groupBy("doc_id").agg(
+        *simhash_bit_sums(F.col("token"), F.col("cnt"))
+    )
+    return sums.select("doc_id", simhash_from_sums().alias("simhash"))
+
+
+# ------------------------------------------------------ similarity search
+
+@register(
+    "embedding_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    scored AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               round({cosine_sql('q.embedding', 'e.embedding')}, 6) AS cos_sim
+        FROM q JOIN embeddings e ON e.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+    doc="Brute-force cosine top-k ANN baseline: broadcast the query set, "
+    "score map-side with a pure Catalyst fold (no UDF), per-query "
+    "top-k via window group-limit. Exact; cost O(n·q) — the recall "
+    "yardstick for ann_ivf_topk.",
+    tags=("llm", "similarity", "topk"),
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 1500 AND b.vec_id < 1500
+      AND round({cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.45
+    """,
+    doc="Embedding-cosine near-dup pairs over a bounded slice (the "
+    "all-pairs baseline; production variant blocks by LSH/IVF cell "
+    "first — see ann_ivf_topk — making it an equi-join).",
+    tags=("llm", "dedup", "similarity"),
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1500)
+    a = emb.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+    sim = F.round(cosine(F.col("ea"), F.col("eb")), 6)
+    return pairs.select("a_id", "b_id", sim.alias("cos_sim")).filter(
+        F.col("cos_sim") >= 0.45
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    # No oracle: multi-stage approximate algorithm; recall vs the exact
+    # brute-force result is asserted in tests/test_llm_ops.py instead.
+    doc="IVF-style approximate nearest neighbor: coarse centroids "
+    "(deterministic subset), every vector assigned to its nearest "
+    "centroid (one broadcast scoring pass), queries probe the 2 best "
+    "cells only — search cost drops by ~|cells|/probes. The scale "
+    "path when brute force stops fitting; recall measured against "
+    "embedding_cosine_topk in tests.",
+    tags=("llm", "similarity", "topk"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    )
+    # assign every vector to its nearest centroid (broadcast, map-side)
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "cell_id",
+        cosine(F.col("embedding"), F.col("c_emb")).alias("c_sim"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("c_sim").desc(), "cell_id"
+    )
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell_id")
+    )
+    # queries probe their 2 best cells
+    queries = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    q_cells = (
+        queries.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id", "q_emb", "cell_id",
+            cosine(F.col("q_emb"), F.col("c_emb")).alias("c_sim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("c_sim").desc(), "cell_id"
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 2)
+        .select("query_id", "q_emb", "cell_id")
+    )
+    # search only within probed cells (equi-join on cell_id!)
+    cand = q_cells.join(assigned, "cell_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = F.round(cosine(F.col("q_emb"), F.col("embedding")), 6)
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    return (
+        cand.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            sim.alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+# ------------------------------------------------------------- multimodal
+
+_MEDIA_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, width bigint, height bigint, "
+    "checksum string"
+)
+
+
+def _decode_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """'Decode' a binary media column batch-wise.
+
+    STUB: a real deployment calls PIL/ffmpeg here (not in this
+    container); the deterministic stand-in derives features from the
+    bytes so the full Spark plumbing — binary column, Arrow batch
+    transfer, schema contract, partition parallelism — is real and
+    oracle-checkable.
+    """
+    for pdf in batches:
+        payloads = [bytes(b) for b in pdf["media"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": [len(b) for b in payloads],
+                "width": [len(b) % 640 for b in payloads],
+                "height": [len(b) % 480 for b in payloads],
+                "checksum": [hashlib.md5(b).hexdigest() for b in payloads],
+            }
+        )
+
+
+@register(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(strlen(text) % 640 AS BIGINT) AS width,
+           CAST(strlen(text) % 480 AS BIGINT) AS height,
+           md5(text) AS checksum
+    FROM documents
+    """,
+    doc="Multimodal column plumbing: text bytes stand in for image "
+    "payloads (binary column + typed metadata), decoded via a "
+    "mapInPandas Arrow-batched UDF — the real 100 TB pattern for "
+    "image/audio feature extraction; the decode itself is a "
+    "deterministic stub (no media libs in this container).",
+    tags=("llm", "multimodal"),
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("media")
+    )
+    return docs.mapInPandas(_decode_media, _MEDIA_SCHEMA)

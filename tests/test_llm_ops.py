@@ -1,0 +1,40 @@
+"""Semantic tests for the approximate operators (beyond hash oracles):
+IVF recall vs brute force, MinHash-vs-exact-Jaccard agreement."""
+
+from __future__ import annotations
+
+from forex_data_pipeline_spark import catalog
+
+catalog._ensure_loaded()
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in catalog.REGISTRY["embedding_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in catalog.REGISTRY["ann_ivf_topk"].fn(spark, sf_dir).collect()
+    }
+    recall = len(brute & ivf) / len(brute)
+    # Uniform random embeddings are the worst case for IVF (no cluster
+    # structure); probing 2/5 cells still must recover a solid fraction.
+    assert recall >= 0.3, f"IVF recall {recall:.2f} vs brute force"
+
+
+def test_minhash_agrees_with_exact_jaccard(spark, sf_dir):
+    exact = {
+        (r.a_id, r.b_id)
+        for r in catalog.REGISTRY["ngram_jaccard_pairs"].fn(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.a_id, r.b_id)
+        for r in catalog.REGISTRY["minhash_lsh_pairs"].fn(spark, sf_dir).collect()
+    }
+    assert exact, "test corpus should contain planted near-dups"
+    # LSH is an estimator: demand high recall of true near-dups and no
+    # wild overreach (allow estimator noise around the 0.5 threshold).
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall:.2f}"
+    assert len(lsh - exact) <= max(5, len(exact)), "LSH overreach"
