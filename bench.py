@@ -25,11 +25,20 @@ from forex_data_pipeline_spark.session import get_spark  # noqa: E402
 #: Anything registered but not listed still runs in verify; bench tracks
 #: the representative hot paths.
 HEADLINE: tuple[str, ...] = (
+    # reference-parity time-series core
     "candles_5m",
     "candles_multi_tf",
-    "candle_indicators",
+    "medallion_gold",
     "dedup_keyed_latest",
-    "watermark_incremental_filter",
+    # relational hot paths
+    "pricing_summary",
+    "join_revenue_by_nation",
+    "topk_orders_per_customer",
+    "asof_join_purchases",
+    # LLM-pipeline operators
+    "minhash_lsh_pairs",
+    "embedding_cosine_topk",
+    "text_stats",
 )
 
 
