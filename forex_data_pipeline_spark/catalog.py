@@ -79,6 +79,7 @@ def _ensure_loaded() -> None:
         llm_ops,
         pipeline_q,
         relational,
+        sources_q,
         streaming_q,
         timeseries,
     )

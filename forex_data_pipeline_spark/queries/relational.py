@@ -498,3 +498,154 @@ def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         (F.sum(k).cast("double") / F.count(F.lit(1))).alias("avg_k"),
     )
+
+
+# --------------------------------------------- grouping sets / percentiles
+
+@register(
+    "cube_revenue",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_items,
+           {_cents_sum_sql('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE over (returnflag, linestatus): all 4 grouping sets in one "
+    "pass — Spark expands the sets map-side then hash-aggregates once, "
+    "i.e. one shuffle regardless of how many sets (the reference's "
+    "hand-rolled 7-branch UNION over granularities is this operator "
+    "done manually, fct_eurusd_timeframes.sql:40-57). grouping_id "
+    "disambiguates NULL-as-subtotal from NULL data.",
+    tags=("aggregation", "rollup"),
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n_items"),
+        _cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+    )
+
+
+@register(
+    "quantity_percentiles",
+    oracle="""
+    SELECT l_linestatus,
+           round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+           round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           round(quantile_cont(l_quantity, 0.75), 6) AS q75,
+           round(quantile_disc(l_quantity, 0.5), 6) AS median_disc
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    doc="Exact percentiles (continuous + discrete) per group. Spark's "
+    "percentile() is the exact sort-based aggregate (identical "
+    "linear-interpolation definition as quantile_cont); at 100 TB "
+    "swap in approx_percentile (t-digest sketch, mergeable map-side) "
+    "— same call shape.",
+    tags=("aggregation",),
+)
+def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.percentile(q, F.lit(0.25)), 6).alias("q25"),
+        F.round(F.percentile(q, F.lit(0.5)), 6).alias("median_qty"),
+        F.round(F.percentile(q, F.lit(0.75)), 6).alias("q75"),
+        F.round(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)"), 6).alias("median_disc"),
+    )
+
+
+@register(
+    "approx_distinct_customers",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           CAST(1 AS BOOLEAN) AS hll_within_10pct
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="HyperLogLog++ distinct-count sketch vs exact: emits the exact "
+    "count plus a property check that the sketch landed within 10% "
+    "(the oracle asserts the property, not the estimate — sketches "
+    "are engine-specific). At 100 TB approx_count_distinct is THE "
+    "distinct count: mergeable, fixed memory, no giant shuffle of "
+    "distinct keys.",
+    tags=("aggregation", "approx"),
+)
+def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load(spark, sf_dir, "orders")
+    return od.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("exact_customers"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey").cast("double")
+                - F.count_distinct("o_custkey").cast("double")
+            )
+            / F.count_distinct("o_custkey")
+            <= 0.10
+        ).alias("hll_within_10pct"),
+    )
+
+
+@register(
+    "range_frame_revenue",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                PARTITION BY o_custkey
+                ORDER BY CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 100.0 AS revenue_7d
+    FROM orders
+    """,
+    doc="RANGE-framed window (trailing 7 calendar days per customer, "
+    "value-based frame — peers included, unlike ROWS): the frame key "
+    "is integer epoch-days so both engines bound identically; cents "
+    "are summed as BIGINT inside the frame (exact at any order).",
+    tags=("window",),
+)
+def range_frame_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return od.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.sum(cents).over(w).cast("double") / 100.0).alias("revenue_7d"),
+    )
+
+
+@register(
+    "window_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="Distribution window functions (percent_rank / cume_dist / "
+    "ntile): rank arithmetic over int counts — exact; ordering "
+    "carries the unique o_orderkey tie-break so both engines see "
+    "one total order.",
+    tags=("window",),
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return od.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )

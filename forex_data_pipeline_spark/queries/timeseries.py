@@ -247,3 +247,41 @@ def quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_one("not_null_candle_start", nn))
         .unionByName(_one("accepted_values_event_type", acc))
     )
+
+
+@register(
+    "sliding_window_counts",
+    oracle=f"""
+    SELECT make_timestamp(CAST(floor(floor(epoch(ts)) / 300) * 300 - off
+               AS BIGINT) * 1000000) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    CROSS JOIN (SELECT unnest([0, 300, 600]) AS off)
+    GROUP BY 1, 2
+    """,
+    doc="Hopping windows (15 min length, 5 min slide): each event lands "
+    "in 3 overlapping windows — batch twin of the Structured "
+    "Streaming sliding window (same F.window call works under "
+    "readStream). Spark expands the window list map-side then "
+    "hash-aggregates: one shuffle, fan-out ×(len/slide), the "
+    "standard alerting/rate-monitoring shape.",
+    tags=("timeseries", "aggregation", "streaming"),
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    win = F.window("ts", "15 minutes", "5 minutes")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n_events", "min_value", "max_value",
+        )
+    )
