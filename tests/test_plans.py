@@ -1,0 +1,121 @@
+"""Physical-plan audits: lock in the plan shapes that make the engine
+scale (SURVEY §4). Correctness tests prove the numbers; these prove the
+plan would survive 100×: small dims broadcast (no shuffle of the big
+side), filters reach the parquet scan, projections prune columns at the
+reader, hot expressions stay inside whole-stage codegen, and no
+accidental cartesian products.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from forex_data_pipeline_spark import catalog
+from forex_data_pipeline_spark.tables import load
+
+catalog._ensure_loaded()
+
+
+def plan_of(df) -> str:
+    """Formatted physical plan (what .explain('formatted') prints)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def run(name: str, spark, sf_dir):
+    return catalog.REGISTRY[name].fn(spark, sf_dir)
+
+
+def test_small_dim_joins_are_broadcast(spark, sf_dir):
+    """nation/region/supplier are KBs — shuffling lineitem to join them
+    would be the classic 100 TB mistake. Catalyst must pick
+    BroadcastHashJoin for every join in the revenue rollup."""
+    plan = plan_of(run("join_revenue_by_nation", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semi_anti_joins_are_broadcast(spark, sf_dir):
+    for q in ("semi_join_customers", "anti_join_customers"):
+        plan = plan_of(run(q, spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, q
+        assert "CartesianProduct" not in plan, q
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    """A typed filter on a scan column must appear as PushedFilters on
+    the parquet reader, not as a post-scan Filter only."""
+    li = load(spark, sf_dir, "lineitem").filter("l_quantity > 40").select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = plan_of(li)
+    assert "PushedFilters" in plan
+    assert "GreaterThan(l_quantity,40.0)" in plan.replace(" ", "")
+
+
+def test_column_pruning_reaches_parquet_scan(spark, sf_dir):
+    """pricing_summary touches 7 of lineitem's 11 columns; the scan's
+    ReadSchema must not include the untouched ones."""
+    plan = plan_of(run("pricing_summary", spark, sf_dir))
+    read_schema = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln
+    ]
+    assert read_schema, "no ReadSchema in plan"
+    schema_line = read_schema[0]
+    for unused in ("l_partkey", "l_suppkey", "l_comment"):
+        assert unused not in schema_line
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    """The candle groupBy must do a map-side partial aggregate (two
+    HashAggregate nodes around one Exchange) — at 100 TB the partial
+    collapses each 5-min bucket per partition before shuffling."""
+    plan = plan_of(run("candles_5m", spark, sf_dir))
+    exchanges = plan.count("Exchange")
+    aggregates = plan.count("HashAggregate") + plan.count(
+        "SortAggregate"
+    ) + plan.count("ObjectHashAggregate")
+    assert aggregates >= 2, plan
+    assert exchanges <= aggregates
+
+
+def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
+    """Scalar expression pipelines must run inside generated JVM code,
+    not interpreted row-at-a-time evaluation. AQE only materializes the
+    final plan after execution, so run the query first."""
+    df = run("pricing_summary", spark, sf_dir)
+    df.collect()
+    plan = plan_of(df)
+    # formatted mode tags codegen'd operators with "[codegen id : N]"
+    assert "codegen id" in plan
+    assert "isFinalPlan=true" in plan
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    """No registered query may fall back to CartesianProduct; bounded
+    nested-loop joins must at least broadcast one side."""
+    offenders = []
+    for name, spec in sorted(catalog.REGISTRY.items()):
+        if "stream" in spec.tags or name in (
+            "streaming_candles_5m",
+            "session_windows",
+        ):
+            continue  # streaming plans are only resolved at run time
+        try:
+            plan = plan_of(spec.fn(spark, sf_dir))
+        except Exception:  # noqa: BLE001 - e.g. writes in query setup
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
+
+
+def test_minhash_single_shingle_pass(spark, sf_dir):
+    """The wide MinHash signature must aggregate all K hashes in one
+    pass over the shingles — exactly one Exchange feeding the final
+    aggregate (no K-fold explosion join)."""
+    plan = plan_of(run("minhash_signatures", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
