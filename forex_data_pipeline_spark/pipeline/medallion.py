@@ -254,3 +254,20 @@ def run_batch(
     silver_run(spark, cfg)
     gold_run(spark, cfg)
     return gold_checks(spark, cfg)
+
+
+def run_daily(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    source,
+    date_str: str,
+) -> dict[str, int] | None:
+    """EP1 + EP3 end-to-end for one UTC day: REST fetch through the
+    retry wrapper (S1/S2, sources/rest.py), then the medallion DAG.
+    Returns the quality-check result, or None when the vendor returned
+    an empty day (the reference aborts that run with a non-zero exit,
+    extract_forex.py:245-247)."""
+    raw = source.to_spark(spark, date_str)
+    if raw is None:
+        return None
+    return run_batch(spark, cfg, raw)

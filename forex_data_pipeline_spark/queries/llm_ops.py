@@ -226,8 +226,17 @@ def doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sig_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide MinHash signatures (doc_id, m0..m7) in ONE pass: all K keyed
     hashes are aggregated as K min() columns over a single shingle scan
-    — no K× row explosion, shuffle bytes ∝ docs, not docs×K."""
-    sh = _doc_shingles(spark, sf_dir)
+    — no K× row explosion, shuffle bytes ∝ docs, not docs×K.
+
+    min() is idempotent, so duplicate shingles cannot change it — we
+    skip ``_doc_shingles``'s distinct() (one whole shuffle of the
+    exploded shingle set). The pre-explode repartition on doc_id also
+    satisfies the groupBy's distribution, so the aggregate runs with NO
+    exchange after the explode: shuffle bytes ∝ raw docs, not shingles."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.repartition(32, "doc_id").select(
+        "doc_id", F.explode(shingles(tokens(F.col("text")), 5)).alias("sh")
+    )
     return sh.groupBy("doc_id").agg(
         *[
             F.min(minhash_value(F.col("sh"), F.lit(i))).alias(f"m{i}")

@@ -144,3 +144,38 @@ def test_quality_checks_catch_violations(spark, tmp_path):
     )
     assert unique_violations(bad, ["unique_id", "timeframe"]).count() == 1
     assert accepted_values_violations(bad, "timeframe", ["5m"]).count() == 1
+
+
+def test_run_daily_from_rest_source(spark, tmp_path):
+    """EP1+EP3: vendor payload (via fake transport) → bronze → silver →
+    gold, quality-green, with the S2 retry wrapper in the path."""
+    from datetime import datetime
+
+    from forex_data_pipeline_spark.pipeline.medallion import run_daily
+    from forex_data_pipeline_spark.sources.rest import (
+        RetryPolicy,
+        TimeSeriesRestSource,
+    )
+
+    calls = {"n": 0}
+
+    def transport(symbol, interval, start, end, outputsize):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("rate limit")  # exercise the retry path
+        pdf = make_ticks(start, 288).set_index("datetime")
+        pdf.index.name = "datetime"
+        return pdf
+
+    src = TimeSeriesRestSource(
+        transport=transport,
+        retry=RetryPolicy(sleep=lambda _s: None),
+        now=lambda: datetime(2026, 1, 3, 1, 0, 0),
+    )
+    cfg = _cfg(tmp_path, "daily")
+    checks = run_daily(spark, cfg, src, "2026-01-02")
+    assert checks is not None
+    assert all(v == 0 for v in checks.values()), checks
+    gold = spark.read.parquet(cfg.gold_path)
+    assert gold.count() > 0
+    assert calls["n"] == 2  # one throttle + one success
