@@ -649,3 +649,48 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(4).over(w).cast("bigint").alias("quartile"),
     )
+
+
+@register(
+    "skew_salted_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           {_cents_sum_sql('l_extendedprice', 'revenue')},
+           max(l_quantity) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Skew-safe two-stage aggregation (operators/skew.py): stage 1 "
+    "groups by (key, salt) — a hot key spreads over 16 reducers — "
+    "stage 2 merges partials by key. l_returnflag has only 3 values, "
+    "so EVERY key is hot: the worst case for a naive final-agg "
+    "reducer. Sums are commutative monoids over integer cents, so "
+    "the result is salt-assignment-independent and the oracle is the "
+    "plain GROUP BY. Salt is pmod(xxhash64(pk), 16) — deterministic "
+    "under task retry, never rand().",
+    tags=("aggregation", "skew"),
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_aggregate
+
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "cents", F.round(F.col("l_extendedprice") * 100).cast("long")
+    )
+    out = salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {
+            "n_items": ("count", "l_orderkey"),
+            "revenue_cents": ("sum", "cents"),
+            "max_qty": ("max", "l_quantity"),
+        },
+        salts=16,
+        uniform_cols=["l_orderkey", "l_linenumber"],
+    )
+    return out.select(
+        "l_returnflag",
+        "n_items",
+        (F.col("revenue_cents").cast("double") / 100.0).alias("revenue"),
+        "max_qty",
+    )

@@ -113,3 +113,30 @@ def high_watermark(
     if not table_exists(spark, path):
         return None
     return spark.read.parquet(path).agg(F.max(col)).first()[0]
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    key_cols: Sequence[str],
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Bucketed, optionally sorted, managed parquet table — the
+    co-located-join layout: two tables bucketed by the same key into the
+    same bucket count join with NO shuffle (each bucket pair meets
+    locally), and sortBy pre-sorts within buckets so sort-merge join
+    skips its sort too. This is the 100 TB answer for a join both of
+    whose sides are too big to broadcast and which is executed
+    repeatedly (fact-to-fact); the write pays the shuffle once.
+
+    The reference's ``cluster_by=['timeframe']``
+    (/root/reference/models/marts/fct_eurusd_timeframes.sql:11) is the
+    warehouse cousin of this layout.
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        buckets, *key_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

@@ -1,0 +1,102 @@
+"""Skew salting and bucketed co-located joins: results must be identical
+to the unsalted/unbucketed plans, and the bucketed join must run without
+a shuffle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from forex_data_pipeline_spark.operators.skew import (
+    salted_aggregate,
+    salted_replicate_join,
+)
+from forex_data_pipeline_spark.sources.writers import write_bucketed
+from forex_data_pipeline_spark.tables import load
+from tests.test_plans import plan_of
+
+
+def _sorted_rows(df, cols):
+    return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
+
+
+def test_salted_aggregate_equals_plain_groupby(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "cents", F.round(F.col("l_extendedprice") * 100).cast("long")
+    )
+    salted = salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {
+            "n_items": ("count", "l_orderkey"),
+            "revenue_cents": ("sum", "cents"),
+            "max_qty": ("max", "l_quantity"),
+            "min_ship": ("min", "l_shipdate"),
+        },
+        salts=16,
+        uniform_cols=["l_orderkey", "l_linenumber"],
+    )
+    plain = li.groupBy("l_returnflag").agg(
+        F.count("l_orderkey").alias("n_items"),
+        F.sum("cents").alias("revenue_cents"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+    )
+    cols = ["l_returnflag", "n_items", "revenue_cents", "max_qty", "min_ship"]
+    assert _sorted_rows(salted, cols) == _sorted_rows(plain, cols)
+
+
+def test_salted_aggregate_rejects_non_mergeable():
+    with pytest.raises(ValueError):
+        salted_aggregate(None, ["k"], {"a": ("avg", "x")})
+
+
+def test_salted_replicate_join_equals_plain_join(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    salted = salted_replicate_join(
+        orders,
+        cust.withColumnRenamed("c_custkey", "o_custkey"),
+        ["o_custkey"],
+        salts=8,
+        left_uniform_cols=["o_orderkey"],
+    )
+    plain = orders.join(
+        cust.withColumnRenamed("c_custkey", "o_custkey"), ["o_custkey"]
+    )
+    cols = ["o_orderkey", "o_custkey", "c_mktsegment"]
+    assert _sorted_rows(salted, cols) == _sorted_rows(plain, cols)
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Both sides bucketed by the join key into the same bucket count:
+    the join plan must contain no Exchange (co-located buckets), and
+    with sortBy, no extra Sort before the merge join."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    write_bucketed(orders, "orders_b", 8, ["o_orderkey"], ["o_orderkey"])
+    write_bucketed(li, "lineitem_b", 8, ["l_orderkey"], ["l_orderkey"])
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("orders_b").join(
+                spark.table("lineitem_b"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            plan = plan_of(joined)
+            assert "Exchange" not in plan, plan
+            assert "SortMergeJoin" in plan
+            # same rows as the unbucketed join
+            n_b = joined.count()
+            n = orders.join(
+                li, F.col("o_orderkey") == F.col("l_orderkey")
+            ).count()
+            assert n_b == n
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
