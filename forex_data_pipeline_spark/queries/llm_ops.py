@@ -688,3 +688,107 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "utf-8").alias("media")
     )
     return docs.mapInPandas(_decode_media, _MEDIA_SCHEMA)
+
+
+_FRAME_COUNT = 4
+_FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx bigint, frame_offset bigint, "
+    "frame_bytes bigint, frame_checksum string"
+)
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Uniform-stride frame sampling over an opaque media payload.
+
+    STUB decode (no ffmpeg in this container): the payload is treated
+    as N equal 'frames' of bytes; a real deployment swaps the slicing
+    loop for keyframe extraction. The Spark contract — binary in, one
+    row PER FRAME out (1→many via mapInPandas), deterministic offsets,
+    Arrow batching — is the real 100 TB video-pipeline shape.
+    """
+    rows: dict[str, list] = {
+        "doc_id": [], "frame_idx": [], "frame_offset": [],
+        "frame_bytes": [], "frame_checksum": [],
+    }
+    for pdf in batches:
+        for doc_id, buf in zip(pdf["doc_id"], pdf["media"]):
+            data = bytes(buf)
+            chunk = len(data) // _FRAME_COUNT
+            if chunk == 0:
+                continue
+            for k in range(_FRAME_COUNT):
+                piece = data[k * chunk : (k + 1) * chunk]
+                rows["doc_id"].append(doc_id)
+                rows["frame_idx"].append(k)
+                rows["frame_offset"].append(k * chunk)
+                rows["frame_bytes"].append(chunk)
+                rows["frame_checksum"].append(hashlib.md5(piece).hexdigest())
+        yield pd.DataFrame(rows)
+        rows = {k: [] for k in rows}
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS frame_idx,
+           CAST(k * chunk AS BIGINT) AS frame_offset,
+           CAST(chunk AS BIGINT) AS frame_bytes,
+           md5(substr(text, k * chunk + 1, chunk)) AS frame_checksum
+    FROM (SELECT doc_id, text, strlen(text) // {_FRAME_COUNT} AS chunk
+          FROM documents)
+    CROSS JOIN generate_series(0, {_FRAME_COUNT - 1}) g(k)
+    WHERE chunk > 0
+    """,
+    doc=f"Video-style frame sampling: each media payload explodes into "
+    f"{_FRAME_COUNT} uniformly-strided frames (one row per frame) via "
+    "mapInPandas — the 1→many decode shape for video/audio corpora; "
+    "deterministic byte-slice stub in place of ffmpeg, real schema / "
+    "offsets / Arrow batching.",
+    tags=("llm", "multimodal"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("media")
+    )
+    return docs.repartition(32, "doc_id").mapInPandas(
+        _sample_frames, _FRAME_SCHEMA
+    )
+
+
+@register(
+    "quality_filter",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(toks) >= 50 AND strlen(text) < 8000
+                AND ({stopword_hits_sql('toks')} * 1.0 / len(toks)) >= 0.05
+                AS BOOLEAN) AS keep,
+           CAST(len(toks) < 50 AS BOOLEAN) AS too_short,
+           CAST(strlen(text) >= 8000 AS BOOLEAN) AS too_long,
+           CAST(({stopword_hits_sql('toks')} * 1.0 / len(toks)) < 0.05
+                AS BOOLEAN) AS low_stopword
+    FROM ({_TOK_CTE})
+    JOIN documents USING (doc_id)
+    """,
+    doc="C4-style corpus quality gate: keep/drop verdict plus the "
+    "per-rule flags that explain it (min tokens, max bytes, stopword "
+    "floor) — the audit-friendly shape for training-data filtering "
+    "(flags let you measure each rule's kill rate in one pass). Pure "
+    "map-side: no shuffle at any scale.",
+    tags=("llm", "text"),
+)
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    sw_ratio = stopword_hits(toks) * F.lit(1.0) / n
+    too_short = n < 50
+    too_long = F.octet_length("text") >= 8000
+    low_sw = sw_ratio < 0.05
+    return docs.select(
+        "doc_id",
+        (~too_short & ~too_long & ~low_sw).alias("keep"),
+        too_short.alias("too_short"),
+        too_long.alias("too_long"),
+        low_sw.alias("low_stopword"),
+    )

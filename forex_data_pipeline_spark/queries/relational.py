@@ -694,3 +694,76 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("revenue_cents").cast("double") / 100.0).alias("revenue"),
         "max_qty",
     )
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS status_f,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS status_o,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS status_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="PIVOT (long→wide): explicit value list so Spark skips the "
+    "extra distinct-values job — at scale an unbounded pivot is a "
+    "full pre-scan plus an unbounded column fan-out; a declared "
+    "domain keeps it one aggregate. Oracle is the portable "
+    "conditional-aggregation form.",
+    tags=("aggregation", "pivot"),
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load(spark, sf_dir, "orders")
+    wide = (
+        od.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+    )
+
+
+@register(
+    "array_agg_functions",
+    oracle="""
+    SELECT o_custkey,
+           array_to_string(list_sort(list(o_orderkey)) [1:3], ',')
+               AS first3_orders,
+           CAST(len(list(o_orderkey)) AS INTEGER) AS n_orders,
+           array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+               AS priorities
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    doc="Array aggregation surface: collect_list → sort → slice, and "
+    "collect_set → sort (canonical order makes set semantics "
+    "hash-comparable). Arrays stay columnar (no explode round trip); "
+    "collect_* state is bounded per key here, the scale caveat is "
+    "documented: for unbounded groups prefer top-k windows.",
+    tags=("aggregation", "array"),
+)
+def array_agg_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load(spark, sf_dir, "orders")
+    agg = od.groupBy("o_custkey").agg(
+        F.slice(F.array_sort(F.collect_list("o_orderkey")), 1, 3).alias(
+            "_first3"
+        ),
+        F.size(F.collect_list("o_orderkey")).alias("n_orders"),
+        F.array_sort(F.collect_set("o_orderpriority")).alias("_prios"),
+    )
+    # arrays are canonicalized to strings for the hash compare (engines
+    # render list cells differently); the operators under test are the
+    # collect/sort/slice pipeline above
+    return agg.select(
+        "o_custkey",
+        F.concat_ws(",", F.col("_first3").cast("array<string>")).alias(
+            "first3_orders"
+        ),
+        "n_orders",
+        F.concat_ws(",", "_prios").alias("priorities"),
+    )

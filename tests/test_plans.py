@@ -119,3 +119,24 @@ def test_minhash_single_shingle_pass(spark, sf_dir):
     plan = plan_of(run("minhash_signatures", spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_partition_pruning_on_partitioned_table(spark, sf_dir, tmp_path):
+    """Hive-layout writes (S4) must yield partition-pruned scans: a
+    filter on the partition column shows up as PartitionFilters and
+    never as a data filter — at 100 TB this is the difference between
+    reading one day and reading the lake."""
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    day = ev.select(F.min("day").alias("d")).first()["d"]
+    path = str(tmp_path / "ev_partitioned")
+    ev.write.partitionBy("day").parquet(path)
+
+    pruned = spark.read.parquet(path).filter(F.col("day") == F.lit(day))
+    plan = plan_of(pruned)
+    scan_part = plan[plan.index("PartitionFilters"):]
+    assert "day" in scan_part.splitlines()[0]
+    # and the partition predicate must NOT degrade into a row-level
+    # Filter operator — pruning consumes it entirely at planning time
+    assert "Filter (" not in plan

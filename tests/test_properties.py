@@ -1,0 +1,142 @@
+"""Property-based tests (hypothesis): the invariants behind the
+operators, checked over randomized inputs rather than fixtures.
+
+Kept deliberately small per example (driver-side data, ≤60 rows) — the
+properties are about semantics, not volume; volume is bench's job.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from forex_data_pipeline_spark.operators.candles import bucket_epoch
+from forex_data_pipeline_spark.operators.skew import salted_aggregate
+from forex_data_pipeline_spark.operators.joins import asof_join
+
+_SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    epochs=st.lists(
+        st.integers(min_value=0, max_value=2_000_000_000), min_size=1, max_size=40
+    ),
+    dur=st.sampled_from([60, 300, 900, 3600, 14400, 86400]),
+    shift=st.sampled_from([0, 3600, 7200]),
+)
+@settings(**_SETTINGS)
+def test_bucket_matches_integer_floor_semantics(spark, epochs, dur, shift):
+    """bucket(ts, dur, shift) must equal the pure-integer definition
+    floor((epoch+shift)/dur)*dur - shift for any timestamp, duration,
+    and clock shift — the invariant the reference hand-stamps per
+    timeframe (fct_eurusd_timeframes.sql:42-56)."""
+    pdf = pd.DataFrame({"ts": pd.to_datetime(epochs, unit="s")})
+    df = spark.createDataFrame(pdf).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = [
+        r.b
+        for r in df.select(
+            bucket_epoch(F.col("ts"), dur, shift).alias("b")
+        ).collect()
+    ]
+    expected = [((e + shift) // dur) * dur - shift for e in epochs]
+    assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "hot"]),  # skewed key domain
+            st.integers(min_value=-10_000, max_value=10_000),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    salts=st.sampled_from([1, 2, 7, 16]),
+)
+@settings(**_SETTINGS)
+def test_salted_aggregate_salt_invariance(spark, rows, salts):
+    """The salted two-stage plan must equal the plain groupBy for ANY
+    salt count — sum/count/min/max are commutative monoids, so the
+    result cannot depend on how rows were split."""
+    pdf = pd.DataFrame(rows, columns=["k", "v"])
+    pdf["rid"] = range(len(pdf))
+    df = spark.createDataFrame(pdf)
+    salted = salted_aggregate(
+        df,
+        ["k"],
+        {"s": ("sum", "v"), "n": ("count", "v"),
+         "lo": ("min", "v"), "hi": ("max", "v")},
+        salts=salts,
+        uniform_cols=["rid"],
+    )
+    got = {
+        r.k: (r.s, r.n, r.lo, r.hi) for r in salted.collect()
+    }
+    grp = pdf.groupby("k")["v"]
+    expected = {
+        k: (int(g.sum()), int(g.count()), int(g.min()), int(g.max()))
+        for k, g in grp
+    }
+    assert got == expected
+
+
+@given(
+    left_ts=st.lists(
+        st.integers(min_value=0, max_value=500), min_size=1, max_size=25
+    ),
+    right=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),
+            st.integers(min_value=-100, max_value=100),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, left_ts, right):
+    """asof_join (union+window formulation) must agree with pandas
+    merge_asof ('backward', inclusive) on arbitrary timestamp sets —
+    including duplicates and left rows before any right row (NULL)."""
+    lpdf = pd.DataFrame(
+        {"k": "x", "lts": pd.to_datetime(sorted(set(left_ts)), unit="s")}
+    )
+    rpdf = (
+        pd.DataFrame(right, columns=["rts", "val"])
+        .drop_duplicates("rts")
+        .sort_values("rts")
+    )
+    rpdf["k"] = "x"
+    rpdf["rts"] = pd.to_datetime(rpdf["rts"], unit="s")
+
+    got = (
+        asof_join(
+            spark.createDataFrame(lpdf),
+            spark.createDataFrame(rpdf[["k", "rts", "val"]]),
+            on=["k"],
+            left_ts="lts",
+            right_ts="rts",
+            value_cols=["val"],
+        )
+        .orderBy("lts")
+        .toPandas()
+    )
+    expected = pd.merge_asof(
+        lpdf.sort_values("lts"),
+        rpdf.sort_values("rts"),
+        left_on="lts",
+        right_on="rts",
+        by="k",
+        direction="backward",
+    )
+    got_vals = [None if pd.isna(v) else int(v) for v in got["val_asof"]]
+    exp_vals = [None if pd.isna(v) else int(v) for v in expected["val"]]
+    assert got_vals == exp_vals

@@ -44,3 +44,58 @@ def test_streaming_dedup_drops_in_stream_duplicates(spark, tmp_path):
     got = spark.table("dedup_t").toPandas().sort_values("k").reset_index(drop=True)
     assert got.k.tolist() == [1, 2, 3]
     assert got.v.tolist() == [10, 20, 30]
+
+
+def test_stateful_running_ema_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: state must carry across micro-batches —
+    two files processed one per trigger must produce the same final EMA
+    as one batch fold over the whole ordered series."""
+    import math
+
+    from forex_data_pipeline_spark.streaming.stateful import (
+        batch_ema,
+        running_ema,
+    )
+
+    src = tmp_path / "ema_src"
+    src.mkdir()
+    full = pd.DataFrame(
+        {
+            "event_id": range(40),
+            "ts": pd.date_range("2024-01-01", periods=40, freq="1min"),
+            "event_type": ["click", "view"] * 20,
+            "value": [float(10 + (i * 7 % 13)) for i in range(40)],
+        }
+    )
+    sdf = spark.createDataFrame(full).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    # two time-ordered files → two micro-batches with maxFilesPerTrigger=1
+    sdf.filter("event_id < 20").coalesce(1).write.parquet(str(src / "f1"))
+    sdf.filter("event_id >= 20").coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(sdf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        running_ema(stream, alpha=0.1)
+        .writeStream.format("memory")
+        .queryName("ema_t")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ema_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("ema_t").toPandas()
+    # at least one emission per key per micro-batch; take the last per key
+    assert got.groupby("event_type").size().min() >= 2
+    final = (
+        got.sort_values("n_events").groupby("event_type").last().to_dict("index")
+    )
+    expected = batch_ema(full, alpha=0.1)
+    for key, exp in expected.items():
+        assert final[key]["n_events"] == exp["n_events"]
+        assert math.isclose(final[key]["ema"], exp["ema"], rel_tol=1e-12)
