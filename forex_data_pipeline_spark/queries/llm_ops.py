@@ -290,9 +290,7 @@ def _band_hash_cols() -> list[tuple[str, list[str]]]:
     ]
 
 
-@register(
-    "minhash_lsh_pairs",
-    oracle=f"""
+_LSH_PAIRS_ORACLE = f"""
     WITH sig AS ({_SIG_WIDE_CTE}),
     bands AS (
         SELECT doc_id,
@@ -315,7 +313,12 @@ def _band_hash_cols() -> list[tuple[str, list[str]]]:
     WHERE CAST({" + ".join(f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)"
                            for i in range(MINHASH_K))}
                AS DOUBLE) / {MINHASH_K} >= 0.5
-    """,
+    """
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle=_LSH_PAIRS_ORACLE,
     doc="MinHash + LSH near-dup pairs: band-hash blocking turns O(n²) "
     "pair search into an equi-join on band hashes — candidates ≈ true "
     "near-dups + vanishing noise; estimated Jaccard from signature "
@@ -791,4 +794,113 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         too_short.alias("too_short"),
         too_long.alias("too_long"),
         low_sw.alias("low_stopword"),
+    )
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_LSH_PAIRS_ORACLE}),
+    edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL
+        SELECT b_id, a_id FROM pairs
+    ),
+    nodes AS (SELECT doc_id FROM documents),
+    reach AS (
+        SELECT doc_id AS src, doc_id AS dst FROM nodes
+        UNION
+        SELECT r.src, e.dst
+        FROM reach r JOIN edges e ON e.src = r.dst
+    )
+    SELECT src AS doc_id,
+           min(dst) AS cluster_id,
+           CAST(src = min(dst) AS BOOLEAN) AS is_canonical
+    FROM reach
+    GROUP BY src
+    """,
+    doc="Near-dup CLUSTERING (the step after pair generation): connected "
+    "components over the LSH pair graph via iterative min-label "
+    "propagation — each round, every node takes the min label among "
+    "itself and its neighbors; converges in ≤ component-diameter "
+    "rounds (near-dup clusters are shallow, so 2-4 in practice; a "
+    "100 TB corpus with adversarial chains would swap in the "
+    "alternating small-star/large-star algorithm, same join shape, "
+    "O(log n) rounds). cluster_id = min doc_id in the component; "
+    "is_canonical marks the row to KEEP — the actual dedup decision. "
+    "The oracle is a recursive-CTE transitive closure.",
+    tags=("llm", "dedup", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
+    edges = (
+        pairs.selectExpr("a_id AS src", "b_id AS dst")
+        .unionByName(pairs.selectExpr("b_id AS src", "a_id AS dst"))
+        .localCheckpoint(eager=True)  # reused every round
+    )
+    labels = (
+        load(spark, sf_dir, "documents")
+        .select(F.col("doc_id"), F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _round in range(20):
+        neighbor = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .select(F.col("dst").alias("doc_id"), "cluster_id")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)  # truncate plan lineage per round
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+            .filter(F.col("cluster_id") != F.col("prev"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    SELECT vec_id, amax,
+           array_to_string(list_transform(embedding,
+               x -> CAST(round(x * 127.0 / amax) AS BIGINT)), ',') AS codes
+    FROM (SELECT vec_id, embedding,
+                 list_max(list_transform(embedding, x -> abs(x))) AS amax
+          FROM embeddings)
+    WHERE amax > 0
+    """,
+    doc="Scalar int8 quantization (symmetric, per-vector max-abs "
+    "scale): 4× smaller vectors for the ANN candidate stage — at "
+    "100 TB the index reads int8 codes and only re-scores survivors "
+    "against float32. Pure map-side higher-order functions (no "
+    "shuffle, no UDF); x·127/amax is the same IEEE op sequence in "
+    "both engines, so codes hash-match exactly.",
+    tags=("llm", "similarity"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    amax = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    with_amax = emb.select("vec_id", "embedding", amax.alias("amax")).filter(
+        F.col("amax") > 0
+    )
+    codes = F.transform(
+        "embedding",
+        lambda x: F.round(x * 127.0 / F.col("amax")).cast("bigint"),
+    )
+    return with_amax.select(
+        "vec_id",
+        "amax",
+        F.concat_ws(",", codes.cast("array<string>")).alias("codes"),
     )

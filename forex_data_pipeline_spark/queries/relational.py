@@ -767,3 +767,32 @@ def array_agg_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.concat_ws(",", "_prios").alias("priorities"),
     )
+
+
+_SQL_REVENUE = """
+    SELECT n.n_name AS nation,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS total_price
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+"""
+
+
+@register(
+    "sql_interface_revenue",
+    oracle=_SQL_REVENUE,
+    doc="The SQL entry point: the IDENTICAL ANSI text runs through "
+    "spark.sql() over registered views and through the DuckDB oracle "
+    "— same parser-facing surface a reference user writes in dbt "
+    "models. Catalyst still broadcasts the dims and prunes columns; "
+    "declarative SQL and the DataFrame API compile to the same plans.",
+    tags=("sql", "join", "aggregation"),
+)
+def sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_REVENUE)

@@ -285,3 +285,73 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n_events", "min_value", "max_value",
         )
     )
+
+
+@register(
+    "candles_gap_fill",
+    oracle=f"""
+    WITH candles AS (
+        SELECT {_bucket_sql('ts', 3600, 0)} AS candle_start, event_type,
+               arg_max(value, ts) AS close_value, count(*) AS n_ticks
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, min(candle_start) AS lo, max(candle_start) AS hi
+        FROM candles GROUP BY event_type
+    ),
+    grid AS (
+        SELECT event_type,
+               unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                   AS candle_start
+        FROM bounds
+    )
+    SELECT g.event_type, g.candle_start,
+           CAST(c.candle_start IS NULL AS BOOLEAN) AS is_gap,
+           coalesce(c.n_ticks, 0) AS n_ticks,
+           last_value(c.close_value IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.candle_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS close_ffill
+    FROM grid g LEFT JOIN candles c
+      ON c.event_type = g.event_type AND c.candle_start = g.candle_start
+    """,
+    doc="Gap filling + forward fill: build the dense per-series hour "
+    "grid with sequence()+explode (no driver loop), left-join real "
+    "candles, carry close_value forward with last(ignorenulls) — the "
+    "resample→ffill of time-series libraries, expressed as one "
+    "partition-parallel plan. Grid size is bounded by span/step per "
+    "series, independent of tick count.",
+    tags=("timeseries", "window"),
+)
+def candles_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    candles = ohlc_window(ev, "ts", "value", ["event_type"], duration="1 hour")
+    candles = candles.select("event_type", "candle_start", "close_value", "n_ticks")
+    grid = (
+        candles.groupBy("event_type")
+        .agg(
+            F.min("candle_start").alias("lo"),
+            F.max("candle_start").alias("hi"),
+        )
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("candle_start"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("candle_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = grid.join(candles, ["event_type", "candle_start"], "left")
+    return joined.select(
+        "event_type",
+        "candle_start",
+        F.col("n_ticks").isNull().alias("is_gap"),
+        F.coalesce("n_ticks", F.lit(0)).alias("n_ticks"),
+        F.last("close_value", ignorenulls=True).over(w).alias("close_ffill"),
+    )
