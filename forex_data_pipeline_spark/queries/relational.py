@@ -796,3 +796,80 @@ def sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_REVENUE)
+
+
+@register(
+    "string_functions",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_mktsegment) AS seg_uc,
+           regexp_replace(c_name, '^Customer#0*', '') AS short_id,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+           substr(c_name, 1, 8) AS prefix8,
+           CAST(levenshtein(c_mktsegment, 'BUILDING') AS BIGINT) AS lev_b,
+           CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+           reverse(c_mktsegment) AS seg_rev,
+           concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR))
+               AS seg_nation
+    FROM customer
+    """,
+    doc="String scalar-function family (F8 generalized): case, regexp "
+    "replace, pad, substring, edit distance (the entity-resolution "
+    "primitive), position, reverse, concat — all map-side "
+    "whole-stage-codegen expressions, byte-identical across engines.",
+    tags=("scalar",),
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load(spark, sf_dir, "customer")
+    return cu.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_uc"),
+        F.regexp_replace("c_name", "^Customer#0*", "").alias("short_id"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.substring("c_name", 1, 8).alias("prefix8"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING"))
+        .cast("bigint")
+        .alias("lev_b"),
+        F.instr("c_name", "#").cast("bigint").alias("hash_pos"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.concat_ws(
+            "-", "c_mktsegment", F.col("c_nationkey").cast("string")
+        ).alias("seg_nation"),
+    )
+
+
+@register(
+    "date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           CAST(dayofmonth(o_orderdate) AS BIGINT) AS dom,
+           CAST(o_orderdate AS DATE) + 90 AS due_date,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           date_trunc('month', CAST(o_orderdate AS DATE)) AS month_start,
+           CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow
+    FROM orders
+    """,
+    doc="Date scalar-function family (F4 generalized): calendar parts, "
+    "day arithmetic, month boundaries, ISO weekday (pinned to the "
+    "unambiguous ISO numbering — engines disagree on locale-relative "
+    "DOW). All exact integer/date math.",
+    tags=("scalar",),
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return od.select(
+        "o_orderkey",
+        F.year(d).cast("bigint").alias("yr"),
+        F.quarter(d).cast("bigint").alias("qtr"),
+        F.month(d).cast("bigint").alias("mo"),
+        F.dayofmonth(d).cast("bigint").alias("dom"),
+        F.date_add(d, 90).cast("timestamp_ntz").alias("due_date"),
+        F.last_day(d).cast("timestamp_ntz").alias("month_end"),
+        F.trunc(d, "month").cast("timestamp_ntz").alias("month_start"),
+        # Spark weekday() is Monday=0; ISO numbering is Monday=1
+        (F.weekday(d) + 1).cast("bigint").alias("iso_dow"),
+    )

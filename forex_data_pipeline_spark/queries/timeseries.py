@@ -355,3 +355,100 @@ def candles_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_ticks", F.lit(0)).alias("n_ticks"),
         F.last("close_value", ignorenulls=True).over(w).alias("close_ffill"),
     )
+
+
+@register(
+    "batch_sessionization",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS is_new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+    ),
+    sessions AS (
+        SELECT user_id, ts, event_type,
+               sum(is_new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_type
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+    doc="Batch sessionization (gap > 30 min starts a session): "
+    "lag-gap flag → running sum = session sequence → per-session "
+    "rollup. The batch twin of the streaming session_window query — "
+    "one shuffle on user_id drives all three steps (window, window, "
+    "groupBy share the partitioning). Pure integer epoch math.",
+    tags=("timeseries", "window", "aggregation"),
+)
+def batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    from ..operators.candles import epoch_seconds
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_type")
+    e = epoch_seconds(F.col("ts"))
+    gap = e - F.lag(e).over(w)
+    flagged = ev.withColumn(
+        "is_new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    run = Window.partitionBy("user_id").orderBy("ts", "event_type").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = flagged.withColumn(
+        "session_seq", F.sum("is_new_session").over(run).cast("bigint")
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def _minmax_norm_pdf(pdf):
+    import pandas as _pd
+
+    lo, hi = pdf["value"].min(), pdf["value"].max()
+    span = hi - lo
+    out = pdf[["event_id", "event_type"]].copy()
+    out["value_norm"] = (
+        ((pdf["value"] - lo) / span).round(6) if span > 0 else 0.0
+    )
+    return out
+
+
+@register(
+    "grouped_minmax_norm",
+    oracle="""
+    SELECT event_id, event_type,
+           round((value - min(value) OVER (PARTITION BY event_type))
+                 / (max(value) OVER (PARTITION BY event_type)
+                    - min(value) OVER (PARTITION BY event_type)), 6)
+               AS value_norm
+    FROM events
+    """,
+    doc="Grouped-map Pandas UDF (applyInPandas): per-series min-max "
+    "normalization computed vectorized per group — the per-group "
+    "feature-engineering shape (fit a scaler per key). min/max are "
+    "order-independent, so the normalized value is the identical IEEE "
+    "expression in both engines. At 100 TB each group must fit one "
+    "executor's memory — the documented applyInPandas contract; for "
+    "unbounded groups use the window formulation the oracle shows.",
+    tags=("llm", "udf", "window"),
+)
+def grouped_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return ev.groupBy("event_type").applyInPandas(
+        _minmax_norm_pdf,
+        "event_id bigint, event_type string, value_norm double",
+    )
