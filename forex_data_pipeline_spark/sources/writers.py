@@ -140,3 +140,38 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_files: int = 1,
+    partition_cols: Sequence[str] = (),
+) -> int:
+    """Small-file compaction: rewrite the table at ``path`` into
+    ``target_files`` files (per partition when partitioned), atomically
+    via temp-dir + swap. Returns the row count preserved.
+
+    The daily micro-batch regime produces one file per batch
+    (the reference's one-parquet-per-day layout,
+    /root/reference/scripts/extract_forex.py:168-171); after a year a
+    day-partitioned table is 365 tiny files per partition key and scan
+    task scheduling dominates runtime. Periodic compaction restores
+    ~maxPartitionBytes-sized files; at 100 TB this runs per-partition
+    (only recent partitions churn) as the reference's cost model
+    intends."""
+    df = spark.read.parquet(path)
+    n = df.count()
+    compacted = (
+        df.repartition(target_files, *partition_cols)
+        if partition_cols
+        else df.coalesce(target_files)
+    )
+    tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
+    write_partitioned(compacted, tmp, partition_cols)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return n

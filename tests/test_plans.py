@@ -140,3 +140,11 @@ def test_partition_pruning_on_partitioned_table(spark, sf_dir, tmp_path):
     # and the partition predicate must NOT degrade into a row-level
     # Filter operator — pruning consumes it entirely at planning time
     assert "Filter (" not in plan
+
+
+def test_topk_uses_window_group_limit_pushdown(spark, sf_dir):
+    """Per-group top-k must plan as WindowGroupLimit (rank filter pushed
+    below the full window sort) — at scale this keeps k rows per group
+    per partition instead of ranking every row."""
+    plan = plan_of(run("topk_orders_per_customer", spark, sf_dir))
+    assert "WindowGroupLimit" in plan

@@ -100,3 +100,21 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_compaction_preserves_rows_and_reduces_files(spark, sf_dir, tmp_path):
+    import glob
+
+    from forex_data_pipeline_spark.sources.writers import compact
+
+    path = str(tmp_path / "many_small")
+    ev = load(spark, sf_dir, "events")
+    ev.repartition(24).write.parquet(path)
+    before_files = len(glob.glob(f"{path}/*.parquet"))
+    n_before = spark.read.parquet(path).count()
+
+    n = compact(spark, path, target_files=2)
+
+    after_files = len(glob.glob(f"{path}/*.parquet"))
+    assert n == n_before == spark.read.parquet(path).count()
+    assert before_files >= 24 and after_files <= 2

@@ -99,3 +99,43 @@ def test_stateful_running_ema_across_microbatches(spark, tmp_path):
     for key, exp in expected.items():
         assert final[key]["n_events"] == exp["n_events"]
         assert math.isclose(final[key]["ema"], exp["ema"], rel_tol=1e-12)
+
+
+def test_stream_merge_foreachbatch_idempotent(spark, tmp_path):
+    """Stream → MERGE sink: two micro-batches with overlapping keys must
+    land as an upsert (latest wins per key never duplicates), and the
+    final table must equal the batch-mode merge of the same data."""
+    from forex_data_pipeline_spark.streaming.candles_stream import (
+        run_stream_merge,
+    )
+
+    src = tmp_path / "merge_src"
+    src.mkdir()
+    b1 = pd.DataFrame(
+        {"k": [1, 2, 3], "ts": pd.to_datetime(["2024-01-01"] * 3), "v": [10, 20, 30]}
+    )
+    b2 = pd.DataFrame(
+        {"k": [3, 4], "ts": pd.to_datetime(["2024-01-02"] * 2), "v": [33, 44]}
+    )
+    sdf1 = spark.createDataFrame(b1).withColumn("ts", F.col("ts").cast("timestamp"))
+    sdf2 = spark.createDataFrame(b2).withColumn("ts", F.col("ts").cast("timestamp"))
+    sdf1.coalesce(1).write.parquet(str(src / "f1"))
+    sdf2.coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(sdf1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = str(tmp_path / "merged")
+    q = run_stream_merge(stream, out, ["k"], str(tmp_path / "ckpt_m"))
+    q.awaitTermination()
+
+    got = (
+        spark.read.parquet(out)
+        .orderBy("k")
+        .select("k", "v")
+        .toPandas()
+    )
+    assert got.k.tolist() == [1, 2, 3, 4]
+    assert got.v.tolist() == [10, 20, 33, 44]  # k=3 upserted by batch 2
