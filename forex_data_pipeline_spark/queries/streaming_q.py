@@ -107,3 +107,51 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "session_end", "n_events")
     )
+
+
+@register(
+    "streaming_sliding_counts",
+    oracle="""
+    SELECT make_timestamp(CAST(floor(floor(epoch(ts)) / 300) * 300 - off
+               AS BIGINT) * 1000000) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(value) AS max_value
+    FROM events
+    CROSS JOIN (SELECT unnest([0, 300, 600]) AS off)
+    GROUP BY 1, 2
+    """,
+    doc="Sliding windows under readStream (15 min / 5 min hop, "
+    "watermarked, availableNow drain): each event feeds 3 overlapping "
+    "windows in streaming state — must match the batch hopping-window "
+    "oracle exactly, proving batch/stream parity for the second "
+    "window shape.",
+    tags=("streaming", "timeseries"),
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = tempfile.mkdtemp(prefix="fx_slide_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ts_is_long = raw_schema["ts"].dataType.typeName() == "long"
+
+    ticks = read_tick_stream(
+        spark, src, raw_schema, ts_is_nanos_long=ts_is_long
+    )
+    win = F.window("ts", "15 minutes", "5 minutes").alias("w")
+    agg = (
+        ticks.withWatermark("ts", "10 minutes")
+        .groupBy(win, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type", "n_events", "max_value",
+        )
+    )
+    table = f"stream_slide_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="fx_slide_ckpt_")
+    run_available_now_to_table(agg, table, ckpt)
+    return spark.table(table)
