@@ -170,7 +170,8 @@ def gold_run(spark: SparkSession, cfg: PipelineConfig) -> None:
     wm = high_watermark(spark, cfg.gold_path, "candle_start")
     if wm is None:
         merge_upsert(
-            spark, cfg.gold_path, gold_transform(cfg, silver), ["unique_id"]
+            spark, cfg.gold_path, gold_transform(cfg, silver), ["unique_id"],
+            sort_within=("timeframe", "candle_start"),  # cluster_by, fct:11
         )
         return
 
@@ -209,7 +210,10 @@ def gold_run(spark: SparkSession, cfg: PipelineConfig) -> None:
         "close_value", cfg.sma_windows,
     )
     to_merge = indicated.filter(cs_epoch >= edge).drop("dur_s", "shift_s")
-    merge_upsert(spark, cfg.gold_path, _finalize_gold(to_merge), ["unique_id"])
+    merge_upsert(
+        spark, cfg.gold_path, _finalize_gold(to_merge), ["unique_id"],
+        sort_within=("timeframe", "candle_start"),      # cluster_by, fct:11
+    )
 
 
 def _tf_spec_df(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:

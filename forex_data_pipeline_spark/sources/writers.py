@@ -41,11 +41,21 @@ def write_partitioned(
     partition_cols: Sequence[str] = (),
     mode: str = "overwrite",
     coalesce_small: bool = False,
+    sort_within: Sequence[str] = (),
 ) -> None:
     """S3/S4: snappy parquet (Spark default codec), hive-style partition
     dirs like the reference's ``symbol/year=/month=`` layout
     (extract_forex.py:159-168). ``coalesce_small`` mirrors its
-    one-file-per-batch small-file control (extract_forex.py:168-171)."""
+    one-file-per-batch small-file control (extract_forex.py:168-171).
+
+    ``sort_within`` = the reference's ``cluster_by``
+    (fct_eurusd_timeframes.sql:11): sortWithinPartitions before the
+    write clusters rows so parquet row-group min/max stats become
+    selective — scans filtered on the sort key skip whole row groups
+    (the poor man's Z-order; no extra shuffle, just an in-partition
+    sort at write time)."""
+    if sort_within:
+        df = df.sortWithinPartitions(*sort_within)
     w = (df.coalesce(1) if coalesce_small else df).write.mode(mode)
     if partition_cols:
         w = w.partitionBy(*partition_cols)
@@ -68,6 +78,7 @@ def merge_upsert(
     *,
     partition_cols: Sequence[str] = (),
     strategy: str = "rewrite",
+    sort_within: Sequence[str] = (),
 ) -> None:
     """S9 MERGE: upsert ``new_df`` into the parquet table at ``path`` on
     ``keys`` — new rows win, untouched rows are preserved.
@@ -77,7 +88,7 @@ def merge_upsert(
     """
     keys = list(keys)
     if not table_exists(spark, path):
-        write_partitioned(new_df, path, partition_cols)
+        write_partitioned(new_df, path, partition_cols, sort_within=sort_within)
         return
 
     existing = spark.read.parquet(path)
@@ -88,6 +99,8 @@ def merge_upsert(
         touched = existing.join(F.broadcast(parts), list(partition_cols), "left_semi")
         kept = touched.join(new_df.select(*keys).distinct(), keys, "left_anti")
         result = kept.unionByName(new_df.select(*kept.columns))
+        if sort_within:
+            result = result.sortWithinPartitions(*sort_within)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # 'overwrite' + dynamic mode replaces only partitions present in
         # `result` — everything else on disk is untouched.
@@ -97,7 +110,7 @@ def merge_upsert(
     kept = existing.join(new_df.select(*keys).distinct(), keys, "left_anti")
     result = kept.unionByName(new_df.select(*kept.columns))
     tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
-    write_partitioned(result, tmp, partition_cols)
+    write_partitioned(result, tmp, partition_cols, sort_within=sort_within)
     old = f"{path}__old_{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
     os.rename(tmp, path)

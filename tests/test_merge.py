@@ -89,3 +89,24 @@ def test_high_watermark(spark, tmp_path):
         spark.createDataFrame([(1, 5), (2, 9)], "k int, v int"), path
     )
     assert high_watermark(spark, path, "v") == 9
+
+
+def test_sort_within_clusters_rows_for_rowgroup_skipping(spark, tmp_path):
+    """cluster_by analogue: sort_within must leave each output file
+    internally sorted on the cluster key so parquet row-group min/max
+    stats are selective."""
+    import glob
+
+    import pandas as pd
+
+    from forex_data_pipeline_spark.sources.writers import write_partitioned
+    from forex_data_pipeline_spark.tables import load
+
+    df = load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_type", "value"
+    )
+    path = str(tmp_path / "clustered")
+    write_partitioned(df, path, sort_within=("event_type",))
+    for f in glob.glob(f"{path}/*.parquet"):
+        col = pd.read_parquet(f, columns=["event_type"])["event_type"]
+        assert col.is_monotonic_increasing, f
