@@ -904,3 +904,106 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "amax",
         F.concat_ws(",", codes.cast("array<string>")).alias("codes"),
     )
+
+
+_SH_BANDS = 4          # 4 bands × 4 bits over the 16-bit fingerprint
+_HAMMING_MAX = 3       # bands > threshold ⇒ guaranteed recall (pigeonhole)
+
+
+def _simhash_fp_cte() -> str:
+    from ..functions.text import simhash_sql
+
+    sums, fp = simhash_sql("token", "cnt")
+    return f"""
+        SELECT doc_id, {fp} AS simhash
+        FROM (SELECT doc_id, {sums}
+              FROM (SELECT doc_id, token, count(*) AS cnt
+                    FROM (SELECT doc_id, unnest(toks) AS token
+                          FROM ({_TOK_CTE}))
+                    GROUP BY 1, 2)
+              GROUP BY doc_id)
+    """
+
+
+_SH_CAND_SQL = " UNION ".join(
+    f"""SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               a.simhash AS ha, b.simhash AS hb
+        FROM fp a JOIN fp b
+          ON (a.simhash // {16 ** k}) % 16 = (b.simhash // {16 ** k}) % 16
+         AND a.doc_id < b.doc_id"""
+    for k in range(_SH_BANDS)
+)
+
+
+@register(
+    "simhash_hamming_pairs",
+    oracle=f"""
+    WITH fp AS ({_simhash_fp_cte()}),
+    cand AS ({_SH_CAND_SQL})
+    SELECT a_id, b_id, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {_HAMMING_MAX}
+    """,
+    doc=f"SimHash near-dup PAIRS: band the fingerprint into {_SH_BANDS} "
+    "4-bit chunks, equi-join per band (pigeonhole: any pair at "
+    f"Hamming ≤ {_HAMMING_MAX} shares ≥1 of {_SH_BANDS} bands — exact "
+    "recall, no all-pairs scan), then filter candidates by "
+    "bit_count(xor) — pure integer ops, identical in every engine. "
+    "The constant-size cousin of MinHash-LSH: one machine word per "
+    "doc instead of K hashes.",
+    tags=("llm", "dedup", "join"),
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = simhash_fingerprints(spark, sf_dir).localCheckpoint(eager=True)
+    cands = None
+    for k in range(_SH_BANDS):
+        band = (F.col("simhash") / (16 ** k)).cast("long") % 16
+        a = fp.select(
+            F.col("doc_id").alias("a_id"),
+            F.col("simhash").alias("ha"),
+            band.alias("bv"),
+        )
+        b = fp.select(
+            F.col("doc_id").alias("b_id"),
+            F.col("simhash").alias("hb"),
+            band.alias("bv"),
+        )
+        c = a.join(b, "bv").filter(F.col("a_id") < F.col("b_id")).select(
+            "a_id", "b_id", "ha", "hb"
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    hamming = F.bit_count(F.expr("ha ^ hb")).cast("bigint")
+    return (
+        cands.distinct()
+        .select("a_id", "b_id", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+    )
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(min(doc_id) AS BIGINT) AS min_id
+    FROM documents
+    WHERE (doc_id * 2654435761) % 100 < 10
+    GROUP BY lang
+    """,
+    doc="Deterministic hash sampling (Knuth multiplicative): keep ~10% "
+    "per stratum via (id·φ⁻¹-prime) mod 100 — reproducible across "
+    "runs, engines, and retries, unlike rand()-based sample(); the "
+    "training-data curation primitive (fixed eval slices, ablation "
+    "subsets). Pure integer math, no shuffle before the rollup.",
+    tags=("llm", "sampling"),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    keep = (F.col("doc_id") * F.lit(2654435761)) % 100 < 10
+    return (
+        docs.filter(keep)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_id"),
+        )
+    )
