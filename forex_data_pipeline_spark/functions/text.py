@@ -6,9 +6,11 @@ construction.
 
 Hash-function choice: MinHash/SimHash need a keyed hash that exists
 bit-identically in both engines. xxhash64 (Spark) has no DuckDB
-counterpart, so we use md5 HEX STRINGS under lexicographic MIN — a
-string-valued minhash is exactly as valid as an integer one (any
-injective hash + total order works) and md5 is identical everywhere.
+counterpart, so the base hash is md5 (identical everywhere); MinHash
+then applies a universal affine family over GF(2^31-1) to the md5
+prefix — one digest per shingle, K integer mixes, BIGINT signatures
+(8x fewer digests and ~5x fewer shuffle bytes than one md5 hex string
+per (shingle, index)).
 """
 
 from __future__ import annotations
@@ -59,14 +61,37 @@ def shingles_sql(arr: str, k: int = 5) -> str:
     )
 
 
-def minhash_value(shingle: Column, hash_idx: Column) -> Column:
-    """Keyed hash for MinHash: md5 over (seed, shingle). The signature
-    component is MIN of this string per doc."""
-    return F.md5(F.concat_ws("#", hash_idx.cast("string"), shingle))
+#: Universal-hash family over a Mersenne-prime field: one md5 per
+#: shingle (the expensive part), then K cheap integer mixes
+#: h_i = (A_i·base + B_i) mod p — 8× fewer digest computations than
+#: md5-per-(shingle, index), identical integers in every engine
+#: (exact 64-bit arithmetic, no overflow: A_i, base < 2³¹ ⇒ product
+#: < 2⁶²).
+MINHASH_P = 2_147_483_647  # 2³¹ − 1
+_MINHASH_A = (999_983, 611_953, 479_909, 363_563, 262_147, 131_101,
+              65_537, 32_771, 16_411, 8_209, 4_099, 2_053)
+_MINHASH_B = (15_485_863, 9_999_991, 6_700_417, 4_256_233, 2_097_593,
+              1_299_709, 611_957, 104_729, 65_539, 32_779, 16_417, 8_219)
 
 
-def minhash_value_sql(shingle: str, hash_idx: str) -> str:
-    return f"md5(concat_ws('#', CAST({hash_idx} AS VARCHAR), {shingle}))"
+def minhash_value(shingle: Column, hash_idx: int) -> Column:
+    """Keyed hash for MinHash: 60 bits of md5(shingle) reduced mod p,
+    then the ``hash_idx``-th affine mix. The signature component is
+    MIN of this BIGINT per doc."""
+    base = F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast(
+        "bigint"
+    ) % MINHASH_P
+    a, b = _MINHASH_A[hash_idx], _MINHASH_B[hash_idx]
+    return (base * F.lit(a) + F.lit(b)) % MINHASH_P
+
+
+def minhash_value_sql(shingle: str, hash_idx: int) -> str:
+    a, b = _MINHASH_A[hash_idx], _MINHASH_B[hash_idx]
+    base = (
+        f"(CAST(('0x' || substr(md5({shingle}), 1, 15)) AS BIGINT)"
+        f" % {MINHASH_P})"
+    )
+    return f"(({base} * {a} + {b}) % {MINHASH_P})"
 
 
 def stopword_hits(toks: Column, words=EN_STOPWORDS) -> Column:

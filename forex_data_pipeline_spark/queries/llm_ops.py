@@ -239,7 +239,7 @@ def _sig_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sh.groupBy("doc_id").agg(
         *[
-            F.min(minhash_value(F.col("sh"), F.lit(i))).alias(f"m{i}")
+            F.min(minhash_value(F.col("sh"), i)).alias(f"m{i}")
             for i in range(MINHASH_K)
         ]
     )
@@ -248,7 +248,7 @@ def _sig_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIG_WIDE_CTE = (
     "SELECT doc_id, "
     + ", ".join(
-        f"min({minhash_value_sql('sh', str(i))}) AS m{i}"
+        f"min({minhash_value_sql('sh', i)}) AS m{i}"
         for i in range(MINHASH_K)
     )
     + f" FROM ({_SH_CTE}) GROUP BY doc_id"
@@ -265,11 +265,11 @@ _SIG_WIDE_CTE = (
                    AS minhash
         FROM ({_SIG_WIDE_CTE}))
     """,
-    doc=f"MinHash signatures ({MINHASH_K} keyed md5-string hashes over "
-    "distinct 5-word shingles), computed as K parallel min() aggregates "
-    "in ONE shingle pass (no K-fold row explosion), then unpivoted. "
-    "String-min is a valid minhash (any injective hash + total order); "
-    "md5 exists bit-identically in every engine, unlike xxhash64.",
+    doc=f"MinHash signatures ({MINHASH_K} universal-hash mixes of ONE md5 "
+    "per shingle — 8x fewer digests than md5-per-(shingle,index)), "
+    "computed as K parallel min() aggregates in ONE shingle pass (no "
+    "K-fold row explosion), then unpivoted. The affine field mixes are "
+    "exact 64-bit integer math, identical in every engine.",
     tags=("llm", "dedup"),
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
