@@ -873,3 +873,80 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Spark weekday() is Monday=0; ISO numbering is Monday=1
         (F.weekday(d) + 1).cast("bigint").alias("iso_dow"),
     )
+
+
+@register(
+    "star_join_revenue",
+    oracle=f"""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_items,
+           {_cents_sum_sql('l.l_extendedprice * (1 - l.l_discount)',
+                           'revenue')}
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY r.r_name, n.n_name
+    """,
+    doc="4-hop star join (TPC-H Q5 shape): fact → orders → customer → "
+    "nation → region. At 100 TB the only shuffle is lineitem⋈orders "
+    "(the two facts); customer/nation/region broadcast, the status "
+    "filter pushes into the orders scan before the join, and the "
+    "aggregate is partial-before-shuffle. Catalyst join reordering + "
+    "AQE pick that plan from the declarative form.",
+    tags=("join", "aggregation"),
+)
+def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    cu = load(spark, sf_dir, "customer")
+    na = load(spark, sf_dir, "nation")
+    re = load(spark, sf_dir, "region")
+    joined = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+    )
+    return joined.groupBy(
+        F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+    )
+
+
+#: the correlated scalar is computed in integer cents (exact sum, exact
+#: count) so the 1.5x-mean threshold is the same two IEEE ops on the
+#: same exact integers in both engines — double avg() would be
+#: summation-order-dependent in a parallel engine and could flip a
+#: boundary row.
+_ABOVE_AVG_SQL = """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders o
+    WHERE CAST(round(o_totalprice * 100) AS BIGINT) >
+          (SELECT 1.5 * sum(CAST(round(i.o_totalprice * 100) AS BIGINT))
+                  / count(*)
+           FROM orders i
+           WHERE i.o_orderstatus = o.o_orderstatus)
+"""
+
+
+@register(
+    "correlated_subquery_orders",
+    oracle=_ABOVE_AVG_SQL,
+    doc="Correlated scalar subquery (orders 50% above their own status "
+    "group's mean), submitted as SQL text: Catalyst DECORRELATES it "
+    "into an aggregate + join — never one subquery execution per outer "
+    "row (which would be O(n²) at scale). The cents-based "
+    "threshold is exact-integer-fed, so the filter is deterministic "
+    "at any parallelism.",
+    tags=("sql", "filter", "aggregation"),
+)
+def correlated_subquery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_ABOVE_AVG_SQL)

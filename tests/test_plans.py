@@ -148,3 +148,20 @@ def test_topk_uses_window_group_limit_pushdown(spark, sf_dir):
     per partition instead of ranking every row."""
     plan = plan_of(run("topk_orders_per_customer", spark, sf_dir))
     assert "WindowGroupLimit" in plan
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    """TPC-H Q5 shape: only the fact-to-fact join may shuffle; the
+    three dimension hops must all be broadcast."""
+    plan = plan_of(run("star_join_revenue", spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_correlated_subquery_is_decorrelated(spark, sf_dir):
+    """The correlated scalar subquery must plan as aggregate + join —
+    no per-row subquery execution (no InSubquery/ScalarSubquery left
+    in the physical plan)."""
+    plan = plan_of(run("correlated_subquery_orders", spark, sf_dir))
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+    assert "Join" in plan
