@@ -1007,3 +1007,52 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_id"),
         )
     )
+
+
+_CHUNK_LEN = 64
+
+
+@register(
+    "sequence_chunking",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(c - 1 AS BIGINT) AS chunk_idx,
+           CAST(least(len(toks) - (c - 1) * {_CHUNK_LEN}, {_CHUNK_LEN})
+                AS BIGINT) AS n_tokens,
+           md5(array_to_string(
+               toks[(c - 1) * {_CHUNK_LEN} + 1 : c * {_CHUNK_LEN}], ' '))
+               AS chunk_hash
+    FROM (SELECT doc_id, toks,
+                 unnest(generate_series(
+                     1, CAST(ceil(len(toks) / {_CHUNK_LEN}.0) AS BIGINT)))
+                     AS c
+          FROM ({_TOK_CTE})
+          WHERE len(toks) > 0)
+    """,
+    doc=f"Context-window chunking: each doc's token stream splits into "
+    f"{_CHUNK_LEN}-token training sequences (last chunk ragged) — the "
+    "doc→sample explosion every pretraining/RAG pipeline runs. Pure "
+    "higher-order array ops (sequence→transform→slice), map-side "
+    "only; chunk content is hash-fingerprinted so the oracle compares "
+    "payloads without shipping them.",
+    tags=("llm", "text"),
+)
+def sequence_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    with_toks = docs.select("doc_id", toks.alias("toks")).filter(n > 0)
+    n_chunks = F.ceil(F.size("toks") / F.lit(float(_CHUNK_LEN))).cast("int")
+    chunks = with_toks.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(1), n_chunks)).alias("c"),
+    )
+    start = (F.col("c") - 1) * _CHUNK_LEN
+    piece = F.slice(F.col("toks"), start + 1, _CHUNK_LEN)
+    return chunks.select(
+        "doc_id",
+        (F.col("c") - 1).cast("bigint").alias("chunk_idx"),
+        F.size(piece).cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", piece)).alias("chunk_hash"),
+    )
