@@ -906,14 +906,20 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SH_BANDS = 4          # 4 bands × 4 bits over the 16-bit fingerprint
+_SH_BANDS = 4          # 4 bands × 8 bits over a 32-bit pair fingerprint
+_SH_BAND_MOD = 256     # 8-bit bands
+_SH_PAIR_BITS = 32     # wider than the 16-bit fingerprint query: pair
+#                        search needs discrimination (at 16 bits ~14% of
+#                        RANDOM pairs pass Hamming ≤ 3 on this corpus —
+#                        quadratic output; at 32 bits random pass rate
+#                        is ~1e-6 and only true near-dups survive)
 _HAMMING_MAX = 3       # bands > threshold ⇒ guaranteed recall (pigeonhole)
 
 
 def _simhash_fp_cte() -> str:
     from ..functions.text import simhash_sql
 
-    sums, fp = simhash_sql("token", "cnt")
+    sums, fp = simhash_sql("token", "cnt", _SH_PAIR_BITS)
     return f"""
         SELECT doc_id, {fp} AS simhash
         FROM (SELECT doc_id, {sums}
@@ -929,7 +935,8 @@ _SH_CAND_SQL = " UNION ".join(
     f"""SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                a.simhash AS ha, b.simhash AS hb
         FROM fp a JOIN fp b
-          ON (a.simhash // {16 ** k}) % 16 = (b.simhash // {16 ** k}) % 16
+          ON (a.simhash // {_SH_BAND_MOD ** k}) % {_SH_BAND_MOD}
+             = (b.simhash // {_SH_BAND_MOD ** k}) % {_SH_BAND_MOD}
          AND a.doc_id < b.doc_id"""
     for k in range(_SH_BANDS)
 )
@@ -944,8 +951,8 @@ _SH_CAND_SQL = " UNION ".join(
     FROM cand
     WHERE bit_count(xor(ha, hb)) <= {_HAMMING_MAX}
     """,
-    doc=f"SimHash near-dup PAIRS: band the fingerprint into {_SH_BANDS} "
-    "4-bit chunks, equi-join per band (pigeonhole: any pair at "
+    doc=f"SimHash near-dup PAIRS: band a {_SH_PAIR_BITS}-bit fingerprint "
+    f"into {_SH_BANDS} 8-bit chunks, equi-join per band (pigeonhole: any pair at "
     f"Hamming ≤ {_HAMMING_MAX} shares ≥1 of {_SH_BANDS} bands — exact "
     "recall, no all-pairs scan), then filter candidates by "
     "bit_count(xor) — pure integer ops, identical in every engine. "
@@ -954,10 +961,24 @@ _SH_CAND_SQL = " UNION ".join(
     tags=("llm", "dedup", "join"),
 )
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fp = simhash_fingerprints(spark, sf_dir).localCheckpoint(eager=True)
+    from ..functions.text import simhash_bit_sums, simhash_from_sums
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.repartition(32, "doc_id").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    tc = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    fp = (
+        tc.groupBy("doc_id")
+        .agg(*simhash_bit_sums(F.col("token"), F.col("cnt"), _SH_PAIR_BITS))
+        .select("doc_id", simhash_from_sums(_SH_PAIR_BITS).alias("simhash"))
+        .localCheckpoint(eager=True)
+    )
     cands = None
     for k in range(_SH_BANDS):
-        band = (F.col("simhash") / (16 ** k)).cast("long") % 16
+        band = (F.col("simhash") / (_SH_BAND_MOD ** k)).cast(
+            "long"
+        ) % _SH_BAND_MOD
         a = fp.select(
             F.col("doc_id").alias("a_id"),
             F.col("simhash").alias("ha"),
@@ -968,16 +989,18 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("simhash").alias("hb"),
             band.alias("bv"),
         )
-        c = a.join(b, "bv").filter(F.col("a_id") < F.col("b_id")).select(
-            "a_id", "b_id", "ha", "hb"
+        hamming = F.bit_count(F.expr("ha ^ hb")).cast("bigint")
+        # filter INSIDE each band branch: the Hamming predicate kills
+        # ~99% of candidates, so the dedup-distinct sees survivors only
+        # (orders of magnitude fewer rows than distinct-then-filter)
+        c = (
+            a.join(b, "bv")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id", hamming.alias("hamming"))
+            .filter(F.col("hamming") <= _HAMMING_MAX)
         )
         cands = c if cands is None else cands.unionByName(c)
-    hamming = F.bit_count(F.expr("ha ^ hb")).cast("bigint")
-    return (
-        cands.distinct()
-        .select("a_id", "b_id", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= _HAMMING_MAX)
-    )
+    return cands.distinct()
 
 
 @register(
