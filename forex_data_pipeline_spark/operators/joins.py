@@ -92,3 +92,47 @@ def range_join(
     """Band join: fact rows matched to [lo, hi) intervals of a small
     broadcast dimension — evaluated map-side, zero shuffle."""
     return facts.join(F.broadcast(bands), (value >= lo) & (value < hi))
+
+
+def range_join_bucketed(
+    facts: DataFrame,
+    bands: DataFrame,
+    value: Column,
+    lo_col: str,
+    hi_col: str,
+    *,
+    bucket_width: float,
+) -> DataFrame:
+    """Interval-bucketed range join — the SHUFFLE-SCALABLE form of
+    ``range_join`` for when the band table is too big to broadcast.
+
+    Every interval [lo, hi) is exploded into the fixed-width buckets it
+    overlaps; every fact row computes its single bucket; the join
+    becomes an EQUI-join on bucket (hash-shuffleable, AQE-skew-splittable)
+    plus a residual range predicate. Cost ∝ facts + Σ interval_width /
+    bucket_width — never facts × bands. The same trick handles temporal
+    interval joins (IP-range lookup, time-validity joins); pick
+    ``bucket_width`` ≈ median interval width so most intervals explode
+    into O(1) buckets.
+    """
+    bucket = F.floor(value / bucket_width).cast("long")
+    lo, hi = F.col(lo_col), F.col(hi_col)
+    band_buckets = bands.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(lo / bucket_width).cast("long"),
+                # hi is exclusive: a hi exactly on a bucket edge does not
+                # reach into that bucket
+                F.floor(
+                    (hi - F.lit(1e-9)) / bucket_width
+                ).cast("long"),
+            )
+        ),
+    )
+    return (
+        facts.withColumn("_bucket", bucket)
+        .join(band_buckets, "_bucket")
+        .filter((value >= lo) & (value < hi))
+        .drop("_bucket")
+    )

@@ -950,3 +950,42 @@ def correlated_subquery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_ABOVE_AVG_SQL)
+
+
+@register(
+    "range_join_bucketed_bands",
+    oracle="""
+    SELECT b.band, count(*) AS n_parts,
+           CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) / 100.0
+                AS DOUBLE) AS total_price
+    FROM part p
+    JOIN (VALUES ('budget', 0.0, 930.0),
+                 ('mid', 930.0, 970.0),
+                 ('premium', 970.0, 2500.0)) AS b(band, lo, hi)
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band
+    """,
+    doc="Interval-BUCKETED range join: bands explode into the 100-wide "
+    "buckets they overlap, facts hash to their bucket, and the range "
+    "join becomes an equi-join on bucket + residual predicate — the "
+    "form that scales when the interval table can't broadcast (cost ∝ "
+    "facts + interval coverage, never facts × bands). Same result as "
+    "the broadcast form on the same bands.",
+    tags=("join", "aggregation", "skew"),
+)
+def range_join_bucketed_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import range_join_bucketed
+
+    p = load(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 930.0), ("mid", 930.0, 970.0),
+         ("premium", 970.0, 2500.0)],
+        "band string, lo double, hi double",
+    )
+    joined = range_join_bucketed(
+        p, bands, F.col("p_retailprice"), "lo", "hi", bucket_width=100.0
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        _cents_sum(F.col("p_retailprice"), "total_price"),
+    )

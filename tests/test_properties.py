@@ -140,3 +140,51 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_ts, right):
     got_vals = [None if pd.isna(v) else int(v) for v in got["val_asof"]]
     exp_vals = [None if pd.isna(v) else int(v) for v in expected["val"]]
     assert got_vals == exp_vals
+
+
+@given(
+    values=st.lists(
+        st.integers(min_value=0, max_value=1000), min_size=1, max_size=40
+    ),
+    bands=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=900),
+            st.integers(min_value=1, max_value=300),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    width=st.sampled_from([10.0, 50.0, 128.0]),
+)
+@settings(**_SETTINGS)
+def test_bucketed_range_join_equals_broadcast_form(spark, values, bands, width):
+    """The interval-bucketed (equi-join) range join must return exactly
+    the broadcast nested-loop result for ANY intervals, values, and
+    bucket width — including intervals ending on bucket edges."""
+    from forex_data_pipeline_spark.operators.joins import (
+        range_join,
+        range_join_bucketed,
+    )
+
+    facts = spark.createDataFrame(
+        pd.DataFrame({"rid": range(len(values)), "v": [float(x) for x in values]})
+    )
+    bpdf = pd.DataFrame(
+        [(f"b{i}", float(lo), float(lo + w)) for i, (lo, w) in enumerate(bands)],
+        columns=["band", "lo", "hi"],
+    )
+    bdf = spark.createDataFrame(bpdf)
+
+    broadcast_rows = {
+        (r.rid, r.band)
+        for r in range_join(
+            facts, bdf, F.col("v"), F.col("lo"), F.col("hi")
+        ).collect()
+    }
+    bucketed_rows = {
+        (r.rid, r.band)
+        for r in range_join_bucketed(
+            facts, bdf, F.col("v"), "lo", "hi", bucket_width=width
+        ).collect()
+    }
+    assert bucketed_rows == broadcast_rows
