@@ -33,12 +33,15 @@ HEADLINE: tuple[str, ...] = (
     # relational hot paths
     "pricing_summary",
     "join_revenue_by_nation",
+    "star_join_revenue",
     "topk_orders_per_customer",
     "asof_join_purchases",
     # LLM-pipeline operators
     "minhash_lsh_pairs",
+    "simhash_hamming_pairs",
     "embedding_cosine_topk",
     "text_stats",
+    "sequence_chunking",
 )
 
 
