@@ -452,3 +452,117 @@ def grouped_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         _minmax_norm_pdf,
         "event_id bigint, event_type string, value_norm double",
     )
+
+
+@register(
+    "bollinger_bands",
+    oracle=f"""
+    WITH candles AS (
+        SELECT {_bucket_sql('ts', 3600, 0)} AS candle_start, event_type,
+               arg_max(value, ts) AS close_value
+        FROM events GROUP BY 1, 2
+    ),
+    iv AS (
+        SELECT *, CAST(floor(close_value * 1000000.0) AS BIGINT) AS v
+        FROM candles
+    ),
+    sums AS (
+        SELECT event_type, candle_start, close_value,
+               sum(v) OVER w AS s1, sum(v * v) OVER w AS s2,
+               count(*) OVER w AS n
+        FROM iv
+        WINDOW w AS (PARTITION BY event_type ORDER BY candle_start
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, candle_start, close_value,
+           round(CAST(s1 AS DOUBLE) / (1000000.0 * n), 6) AS bb_mid,
+           round(CAST(s1 AS DOUBLE) / (1000000.0 * n)
+                 + 2 * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+                   / (1000000.0 * n), 6) AS bb_upper,
+           round(CAST(s1 AS DOUBLE) / (1000000.0 * n)
+                 - 2 * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+                   / (1000000.0 * n), 6) AS bb_lower
+    FROM sums
+    """,
+    doc="Bollinger bands (SMA-20 ± 2σ): the windowed variance comes "
+    "from EXACT integer sums (Σv, Σv² in micro-units — population "
+    "form n·Σv²−(Σv)² stays within int64), so mid/σ are "
+    "order-independent and bit-identical at any parallelism — a "
+    "naive stddev() over doubles would be summation-order-dependent "
+    "and unreproducible on a cluster. One shuffle for both moments.",
+    tags=("timeseries", "window"),
+)
+def bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    candles = ohlc_window(
+        ev, "ts", "value", ["event_type"], duration="1 hour"
+    ).select("event_type", "candle_start", "close_value")
+    v = F.floor(F.col("close_value") * 1000000.0).cast("long")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("candle_start")
+        .rowsBetween(-19, 0)
+    )
+    with_sums = candles.select(
+        "event_type", "candle_start", "close_value",
+        F.sum(v).over(w).alias("s1"),
+        F.sum(v * v).over(w).alias("s2"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    mid = F.col("s1").cast("double") / (1000000.0 * F.col("n"))
+    sigma = F.sqrt(
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+    ) / (1000000.0 * F.col("n"))
+    return with_sums.select(
+        "event_type", "candle_start", "close_value",
+        F.round(mid, 6).alias("bb_mid"),
+        F.round(mid + 2 * sigma, 6).alias("bb_upper"),
+        F.round(mid - 2 * sigma, 6).alias("bb_lower"),
+    )
+
+
+@register(
+    "vwap_daily",
+    oracle=f"""
+    WITH candles AS (
+        SELECT {_bucket_sql('ts', 3600, 0)} AS candle_start, event_type,
+               arg_max(value, ts) AS close_value, count(*) AS n_ticks
+        FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(date_trunc('day', candle_start) AS TIMESTAMP) AS day,
+           event_type,
+           CAST(sum(CAST(floor(close_value * 1000000.0) AS BIGINT)
+                    * n_ticks) AS DOUBLE)
+               / (1000000.0 * sum(n_ticks)) AS vwap,
+           CAST(sum(n_ticks) AS BIGINT) AS total_ticks
+    FROM candles
+    GROUP BY 1, 2
+    """,
+    doc="Daily VWAP (tick-count-weighted close) per series: weighted "
+    "sums in exact integer micro-units — Σ(v·w) and Σw are bigint, "
+    "one final division — order-independent, reaggregable (daily "
+    "VWAPs roll up to weekly exactly). Two cascading aggs, both with "
+    "map-side partials.",
+    tags=("timeseries", "aggregation"),
+)
+def vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    candles = ohlc_window(
+        ev, "ts", "value", ["event_type"], duration="1 hour"
+    ).select("event_type", "candle_start", "close_value", "n_ticks")
+    v = F.floor(F.col("close_value") * 1000000.0).cast("long")
+    return (
+        candles.groupBy(
+            F.date_trunc("day", "candle_start").cast("timestamp_ntz").alias("day"),
+            "event_type",
+        )
+        .agg(
+            (
+                F.sum(v * F.col("n_ticks")).cast("double")
+                / (1000000.0 * F.sum("n_ticks"))
+            ).alias("vwap"),
+            F.sum("n_ticks").alias("total_ticks"),
+        )
+    )
