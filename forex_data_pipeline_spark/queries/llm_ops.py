@@ -1079,3 +1079,150 @@ def sequence_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(piece).cast("bigint").alias("n_tokens"),
         F.md5(F.concat_ws(" ", piece)).alias("chunk_hash"),
     )
+
+
+# --------------------------------------------- LSH-bucketed ANN (scale path)
+
+_LSH_BITS = 16         # 16 sign-projection bits per vector
+_LSH_BANDS = 4         # 4 bands x 4 bits: candidates share >=1 band
+_LSH_BAND_BITS = 4
+
+
+def _lsh_weight_sql(i_expr: str, k: int) -> str:
+    """+-1 hyperplane weight from pure integer hashing of (dim, plane) —
+    identical arithmetic in DuckDB and Spark, no RNG state to ship."""
+    return (
+        f"(CASE WHEN (({i_expr}) * 2654435761 + {(k + 1) * 40503}) "
+        f"% 1000003 % 2 = 0 THEN 1 ELSE -1 END)"
+    )
+
+
+def _lsh_sig_sql() -> str:
+    """Signature = 16 sign bits of exact-integer projections.
+
+    Components are round(x*1e6) bigints, weights are +-1, so each
+    projection sum is exact integer arithmetic — the sign (hence the
+    signature, hence the buckets) is order-independent and identical
+    across engines, where a float dot product could flip sign in the
+    last ulp depending on summation order.
+    """
+    vint = (
+        "list_transform(CAST(embedding AS DOUBLE[]), "
+        "x -> CAST(round(x * 1000000) AS BIGINT))"
+    )
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform({vint}, "
+        f"(v, i) -> v * {_lsh_weight_sql('i - 1', k)})) > 0 "
+        f"THEN {1 << k} ELSE 0 END)"
+        for k in range(_LSH_BITS)
+    )
+    return bits
+
+
+def _lsh_signature_col() -> "F.Column":
+    vint = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+    )
+    dims = F.sequence(F.lit(0), F.size("embedding") - 1)
+    sig = F.lit(0)
+    for k in range(_LSH_BITS):
+
+        def w(i, k=k):
+            h = (i.cast("long") * 2654435761 + (k + 1) * 40503) % 1000003
+            return F.when(h % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+
+        proj = F.aggregate(
+            F.zip_with(vint, dims, lambda v, i: v * w(i)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(proj > 0, F.lit(1 << k)).otherwise(F.lit(0))
+    return sig
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH sig AS (
+        SELECT vec_id, embedding, ({_lsh_sig_sql()}) AS sig
+        FROM embeddings
+    ),
+    bands AS (
+        SELECT vec_id, (sig >> ({_LSH_BAND_BITS} * j)) & {
+            (1 << _LSH_BAND_BITS) - 1} AS bv, j
+        FROM sig, (SELECT unnest(range({_LSH_BANDS})) AS j)
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM bands q JOIN bands c ON q.j = c.j AND q.bv = c.bv
+        WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               round({cosine_sql('qe.embedding', 'ce.embedding')}, 6)
+                   AS cos_sim
+        FROM cand
+        JOIN embeddings qe ON qe.vec_id = cand.query_id
+        JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+    doc="Random-hyperplane LSH ANN: 16 sign-projection bits per vector "
+    "(exact integer arithmetic — hyperplanes are +-1 weights derived "
+    "by hashing (dim, plane), so signatures are reproducible with no "
+    "RNG to coordinate), banded 4x4; a candidate is any vector "
+    "sharing >=1 band with the query, scored exactly, top-5. The "
+    "complement of IVF: no training/centroid pass, pure hashing — "
+    "signature+bands are one map-side pass, candidates one equi-join "
+    "on (band, value). Fully SQL-expressible, so unlike ann_ivf_topk "
+    "this approximate index is hash-checked end-to-end.",
+    tags=("llm", "similarity", "topk"),
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    sig = emb.select("vec_id", _lsh_signature_col().alias("sig"))
+    j = F.explode(F.sequence(F.lit(0), F.lit(_LSH_BANDS - 1))).alias("j")
+    bands = sig.select("vec_id", "sig", j).select(
+        "vec_id",
+        "j",
+        F.expr(
+            f"shiftright(sig, {_LSH_BAND_BITS} * j) "
+            f"& {(1 << _LSH_BAND_BITS) - 1}"
+        ).alias("bv"),
+    )
+    qbands = bands.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "j", "bv"
+    )
+    cand = (
+        bands.join(F.broadcast(qbands), ["j", "bv"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qe = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(emb.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -989,3 +989,150 @@ def range_join_bucketed_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         _cents_sum(F.col("p_retailprice"), "total_price"),
     )
+
+
+@register(
+    "full_outer_join_coverage",
+    oracle="""
+    WITH cust AS (
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_mktsegment = 'BUILDING'
+    ),
+    ord95 AS (
+        SELECT o_custkey, count(*) AS n_orders,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders
+        WHERE o_orderdate >= DATE '1995-01-01'
+          AND o_orderdate < DATE '1996-01-01'
+        GROUP BY o_custkey
+    )
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+           coalesce(c.c_mktsegment, '(none)') AS segment,
+           CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders_1995,
+           CAST(coalesce(o.cents, 0) / 100.0 AS DOUBLE) AS total_price,
+           CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+                WHEN o.o_custkey IS NULL THEN 'customer_only'
+                ELSE 'both' END AS side
+    FROM cust c FULL OUTER JOIN ord95 o ON c.c_custkey = o.o_custkey
+    """,
+    doc="FULL OUTER join with null-extension on both sides (BUILDING "
+    "customers vs 1995 order rollups — each side has rows the other "
+    "lacks): the join-family completion beyond inner/semi/anti/as-of/"
+    "range. Aggregate-before-join keeps the outer join 1:1 (no fact "
+    "fan-out), and nulls are coalesced in-plan so downstream operators "
+    "never branch on missingness. Sort-merge on the key at scale; "
+    "money exact in cents.",
+    tags=("join",),
+)
+def full_outer_join_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_mktsegment")
+    )
+    ord95 = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+        )
+    )
+    j = cust.join(ord95, cust.c_custkey == ord95.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.coalesce("c_mktsegment", F.lit("(none)")).alias("segment"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders_1995"),
+        (F.coalesce("cents", F.lit(0)) / 100.0)
+        .cast("double")
+        .alias("total_price"),
+        F.when(F.col("c_custkey").isNull(), "order_only")
+        .when(F.col("o_custkey").isNull(), "customer_only")
+        .otherwise("both")
+        .alias("side"),
+    )
+
+
+@register(
+    "grouping_sets_sales",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                AS BIGINT) AS gid,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    doc="Non-hierarchical GROUPING SETS ((returnflag), (linestatus)) — "
+    "two independent marginals in ONE scan + one expand/shuffle, the "
+    "case rollup/cube cannot express. grouping_id disambiguates which "
+    "set produced each row (a null key vs a key that is null). At "
+    "scale this halves the scans vs two grouped queries unioned.",
+    tags=("aggregation",),
+)
+def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"]],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+@register(
+    "window_value_functions",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey) OVER w AS latest_so_far,
+           nth_value(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="Navigation value functions first/last/nth_value over a running "
+    "frame (per-customer order history): completes the window family "
+    "beyond ranking (rank/lead) and frames (SMA). Keys are integers — "
+    "no float plumbing — and the frame is UNBOUNDED-PRECEDING..CURRENT "
+    "so last_value is the running latest, not the whole-partition "
+    "constant (the classic default-frame trap).",
+    tags=("window",),
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("latest_so_far"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )

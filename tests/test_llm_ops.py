@@ -38,3 +38,18 @@ def test_minhash_agrees_with_exact_jaccard(spark, sf_dir):
     recall = len(exact & lsh) / len(exact)
     assert recall >= 0.8, f"LSH recall {recall:.2f}"
     assert len(lsh - exact) <= max(5, len(exact)), "LSH overreach"
+
+
+def test_lsh_ann_recall_vs_brute_force(spark, sf_dir):
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in catalog.REGISTRY["embedding_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.query_id, r.neighbor_id)
+        for r in catalog.REGISTRY["ann_lsh_topk"].fn(spark, sf_dir).collect()
+    }
+    recall = len(brute & lsh) / len(brute)
+    # 4 OR-ed 4-bit bands on uniform random vectors pass ~1/4 of the
+    # corpus as candidates — recall of the true top-5 must clear this.
+    assert recall >= 0.3, f"LSH ANN recall {recall:.2f} vs brute force"
