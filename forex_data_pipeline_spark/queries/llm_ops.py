@@ -1226,3 +1226,99 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# ------------------------------------------------------- TF-IDF / positions
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS term FROM ({_TOK_CTE}))
+        WHERE term != ''
+        GROUP BY doc_id, term
+    ),
+    idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           tfidf, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT tf.doc_id, tf.term, tf.tf, idf.df,
+                 round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / idf.df), 6)
+                     AS tfidf,
+                 row_number() OVER (
+                     PARTITION BY tf.doc_id
+                     ORDER BY round(tf.tf * ln(CAST(n.n_docs AS DOUBLE)
+                                               / idf.df), 6) DESC, tf.term
+                 ) AS rn
+          FROM tf, idf, n WHERE tf.term = idf.term)
+    WHERE rn <= 3
+    """,
+    doc="TF-IDF: term frequency per (doc, term), document frequency per "
+    "term, idf = ln(N/df), top-3 terms per doc. Two aggregations, one "
+    "join — and the document-frequency side is a VOCABULARY-sized "
+    "table, so it is broadcast: the big tf table never reshuffles on "
+    "the skewed term key (stopwords hit every doc — a term-keyed "
+    "shuffle would put 'the' on one reducer). Ranking is on the "
+    "ROUNDED score with a term tie-break, so the order is identical "
+    "across engines even if ln() differs in the last ulp.",
+    tags=("llm", "text", "topk"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()  # tiny scalar, same pattern as high_watermark
+    tok = (
+        docs.repartition(32, "doc_id")
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(idf), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+@register(
+    "token_positions",
+    oracle=f"""
+    SELECT doc_id, s.term AS term,
+           CAST(min(s.pos) AS BIGINT) AS first_pos,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM (SELECT doc_id,
+                 unnest(list_transform(toks,
+                     (t, i) -> struct_pack(term := t, pos := i))) AS s
+          FROM ({_TOK_CTE}) WHERE doc_id < 50)
+    WHERE s.term != ''
+    GROUP BY doc_id, s.term
+    """,
+    doc="Ordinal explode (posexplode / UNNEST WITH ORDINALITY): token → "
+    "(position, term) pairs, then first-occurrence position and count "
+    "per (doc, term) — the span-indexing primitive for training-data "
+    "extraction (where in the doc a term first appears). posexplode "
+    "is map-side (no shuffle until the group-by on doc-local keys); "
+    "positions are 1-based to match SQL ordinality.",
+    tags=("llm", "text"),
+)
+def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.col("text"))).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+    return tok.groupBy("doc_id", "term").agg(
+        F.min(F.col("pos") + 1).cast("bigint").alias("first_pos"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )

@@ -1136,3 +1136,91 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(w).alias("latest_so_far"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
     )
+
+
+@register(
+    "unpivot_order_metrics",
+    oracle=f"""
+    WITH wide AS (
+        SELECT o_orderpriority,
+               CAST(count(*) AS DOUBLE) AS n_orders,
+               {_cents_sum_sql('o_totalprice', 'total_price')},
+               CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                    AS DOUBLE) AS max_price
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value
+    FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'total_price', total_price FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'max_price', max_price FROM wide
+    """,
+    doc="UNPIVOT (wide→long, the inverse of PIVOT): per-priority order "
+    "metrics melted to (priority, metric, value) rows. Spark's "
+    "unpivot is a map-side Expand — one pass over the wide table, no "
+    "shuffle, no N-way self-union scan (which is how the oracle has "
+    "to spell it). Money is exact integer cents before the melt.",
+    tags=("setops",),
+)
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        _cents_sum(F.col("o_totalprice"), "total_price"),
+        (F.max(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0)
+        .cast("double")
+        .alias("max_price"),
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["n_orders", "total_price", "max_price"],
+        "metric",
+        "value",
+    )
+
+
+@register(
+    "conditional_aggregates",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(count(*) FILTER (WHERE o_totalprice > 150000)
+                AS BIGINT) AS n_big,
+           CAST(sum(CASE WHEN o_totalprice > 150000
+                    THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                    ELSE 0 END) / 100.0 AS DOUBLE) AS big_total,
+           bool_or(o_orderpriority = '1-URGENT') AS has_urgent,
+           bool_and(o_totalprice > 0) AS all_positive,
+           CAST(count(DISTINCT CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN o_custkey END) AS BIGINT) AS n_urgent_custs
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Conditional aggregation family: count_if / FILTER, guarded "
+    "conditional sum (exact cents), bool_or / bool_and, and a "
+    "conditional DISTINCT count — the idiom that replaces N filtered "
+    "self-scans with ONE scan and one shuffle. The CASE inside the "
+    "aggregate is evaluated map-side; partial aggregation still "
+    "applies to every column.",
+    tags=("aggregation",),
+)
+def conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    big = F.col("o_totalprice") > 150000
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(big).alias("n_big"),
+        (
+            F.sum(
+                F.when(big, F.round(F.col("o_totalprice") * 100).cast("long"))
+                .otherwise(F.lit(0))
+            )
+            / 100.0
+        )
+        .cast("double")
+        .alias("big_total"),
+        F.bool_or(urgent).alias("has_urgent"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.count_distinct(F.when(urgent, F.col("o_custkey"))).alias(
+            "n_urgent_custs"
+        ),
+    )
