@@ -1322,3 +1322,174 @@ def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("pos") + 1).cast("bigint").alias("first_pos"),
         F.count(F.lit(1)).alias("n_occurrences"),
     )
+
+
+# -------------------------------------------------- repetition / n-gram LM
+
+@register(
+    "repetition_stats",
+    oracle=f"""
+    WITH tc AS (
+        SELECT doc_id, term, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS term FROM ({_TOK_CTE}))
+        WHERE term != ''
+        GROUP BY doc_id, term
+    ),
+    uni AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(max(c) AS DOUBLE) / sum(c) AS top_token_frac,
+               CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+                   / sum(c) AS dup_token_frac,
+               CAST(count(*) AS DOUBLE) / sum(c) AS distinct_ratio
+        FROM tc GROUP BY doc_id
+    ),
+    bc AS (
+        SELECT doc_id, bg, count(*) AS c
+        FROM (SELECT doc_id, unnest({shingles_sql('toks', 2)}) AS bg
+              FROM ({_TOK_CTE}))
+        GROUP BY doc_id, bg
+    ),
+    bi AS (
+        SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_frac
+        FROM bc GROUP BY doc_id
+    )
+    SELECT uni.doc_id, n_tokens, top_token_frac, dup_token_frac,
+           distinct_ratio, coalesce(bi.top_bigram_frac, 0.0)
+               AS top_bigram_frac
+    FROM uni LEFT JOIN bi ON uni.doc_id = bi.doc_id
+    """,
+    doc="Gopher/C4-style repetition quality signals per document: "
+    "most-frequent-token fraction, duplicated-token fraction (mass of "
+    "terms occurring ≥2×), distinct-token ratio, and top-bigram "
+    "fraction — the filters that drop boilerplate/spam from training "
+    "corpora. Every fraction is an integer/integer division (exact "
+    "long counts → one double divide), so the floats are bit-identical "
+    "across engines. Both aggregations are keyed by doc_id, so the "
+    "unigram→bigram join is co-partitioned — one shuffle key end to "
+    "end, no corpus-sized wide rows.",
+    tags=("llm", "text", "quality"),
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").repartition(32, "doc_id")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    tc = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    uni = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        (F.max("c").cast("double") / F.sum("c")).alias("top_token_frac"),
+        (
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0)))
+            .cast("double") / F.sum("c")
+        ).alias("dup_token_frac"),
+        (F.count(F.lit(1)).cast("double") / F.sum("c")).alias(
+            "distinct_ratio"
+        ),
+    )
+    bc = (
+        toks.select("doc_id", F.explode(shingles(F.col("toks"), 2)).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = bc.groupBy("doc_id").agg(
+        (F.max("c").cast("double") / F.sum("c")).alias("top_bigram_frac")
+    )
+    return uni.join(bi, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "top_token_frac",
+        "dup_token_frac",
+        "distinct_ratio",
+        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+    )
+
+
+@register(
+    "ngram_lm_top20",
+    oracle=f"""
+    SELECT gram, n_docs, n_occurrences
+    FROM (
+        SELECT gram, count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_occurrences,
+               row_number() OVER (ORDER BY count(*) DESC, gram) AS rn
+        FROM (SELECT doc_id, unnest({shingles_sql('toks', 3)}) AS gram
+              FROM ({_TOK_CTE}))
+        GROUP BY gram)
+    WHERE rn <= 20
+    """,
+    doc="Corpus trigram language-model counts, top-20 — the n-gram "
+    "table behind contamination checks and perplexity-ish scoring. "
+    "Shingling is map-side (transform over the token array, no "
+    "shuffle); partial aggregation collapses repeats before the "
+    "gram-keyed shuffle, so shuffle bytes ∝ distinct trigrams. The "
+    "final rank is a top-k over the aggregated (small) table with a "
+    "total tie-break (count DESC, gram) — deterministic across "
+    "engines and partitionings.",
+    tags=("llm", "text", "topk"),
+)
+def ngram_lm_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").repartition(32, "doc_id")
+    grams = docs.select(
+        "doc_id",
+        F.explode(shingles(tokens(F.col("text")), 3)).alias("gram"),
+    )
+    agg = grams.groupBy("gram").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), "gram")
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("gram", "n_docs", "n_occurrences")
+    )
+
+
+@register(
+    "array_higher_order_stats",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           CAST(len(list_filter(embedding, e -> e > 0)) AS BIGINT)
+               AS n_positive,
+           CAST(list_aggregate(list_transform(embedding,
+               e -> abs(CAST(round(e * 1000) AS BIGINT))), 'sum') AS BIGINT)
+               AS l1_milli,
+           list_aggregate(list_transform(embedding,
+               e -> CAST(round(e * 1000) AS BIGINT)), 'max') AS max_milli,
+           len(list_filter(embedding, e -> abs(e) > 0.15)) > 0
+               AS has_large_component
+    FROM embeddings
+    """,
+    doc="Higher-order array-function family over the embedding column — "
+    "transform / filter / aggregate(fold) / exists — the per-vector "
+    "feature path that needs NO explode: one row in, one row out, all "
+    "inside whole-stage codegen (no shuffle, no Python). Magnitudes "
+    "are integer milli-units (round(e·1000)) so the fold is an exact "
+    "long sum, deterministic in any engine; the float lambda "
+    "comparisons are per-element IEEE ops on identical inputs.",
+    tags=("llm", "vector", "scalar"),
+)
+def array_higher_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load(spark, sf_dir, "embeddings")
+    milli = F.transform(
+        F.col("embedding"), lambda e: F.round(e * 1000).cast("bigint")
+    )
+    return em.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.size(F.filter(F.col("embedding"), lambda e: e > 0))
+        .cast("bigint")
+        .alias("n_positive"),
+        F.aggregate(
+            milli, F.lit(0).cast("bigint"), lambda acc, x: acc + F.abs(x)
+        ).alias("l1_milli"),
+        F.array_max(milli).alias("max_milli"),
+        F.exists(F.col("embedding"), lambda e: F.abs(e) > 0.15).alias(
+            "has_large_component"
+        ),
+    )

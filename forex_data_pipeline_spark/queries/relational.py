@@ -1224,3 +1224,270 @@ def conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_urgent_custs"
         ),
     )
+
+
+@register(
+    "global_topk_orders",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+           {_cents_sum_sql('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM customer, orders, lineitem
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1997-01-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape — global ORDER BY + LIMIT over a 3-table join "
+    "and aggregation. Spark compiles the sort+limit to "
+    "TakeOrderedAndProject: each partition keeps its local top-10 and "
+    "only 10 rows per partition reach the driver — no global sort "
+    "shuffle, the operator that makes global top-k viable at 100 TB. "
+    "The tie-break (revenue DESC, l_orderkey) makes the top-10 SET "
+    "deterministic across engines; revenue is exact integer cents.",
+    tags=("join", "aggregation", "topk"),
+)
+def global_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1997-01-01"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            _cents_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            )
+        )
+        .select(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias(
+                "order_date"
+            ),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+_SQL_EXISTS = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "exists_subquery_priority",
+    oracle=_SQL_EXISTS,
+    doc="TPC-H Q4 shape — correlated EXISTS subquery, run as the "
+    "IDENTICAL ANSI text through spark.sql() and the oracle. Catalyst "
+    "decorrelates EXISTS into a left-semi hash join on l_orderkey "
+    "(no per-row subquery execution), so the cost is one keyed "
+    "shuffle regardless of orders cardinality.",
+    tags=("sql", "join", "subquery"),
+)
+def exists_subquery_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_EXISTS)
+
+
+@register(
+    "stat_moments_corr",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(l_quantity AS BIGINT)) AS sx,
+               sum(CAST(round(l_discount * 100) AS BIGINT)) AS sy,
+               sum(CAST(l_quantity AS BIGINT)
+                   * CAST(l_quantity AS BIGINT)) AS sxx,
+               sum(CAST(round(l_discount * 100) AS BIGINT)
+                   * CAST(round(l_discount * 100) AS BIGINT)) AS syy,
+               sum(CAST(l_quantity AS BIGINT)
+                   * CAST(round(l_discount * 100) AS BIGINT)) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST(sx AS DOUBLE) / n AS mean_qty,
+           sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / (n * (n - 1)))
+               AS stddev_qty,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+               AS corr_qty_disc
+    FROM s
+    """,
+    doc="Statistical moments from EXACT integer sums: sample stddev and "
+    "Pearson correlation assembled from (n, Σx, Σy, Σx², Σy², Σxy) "
+    "long-integer aggregates — order-independent under any shuffle "
+    "partitioning (the naive float stddev/corr is not), then one "
+    "deterministic double expression per group. This is also the "
+    "single-pass/re-aggregable form: the six sums merge across "
+    "partitions, days, or incremental batches without re-reading "
+    "history. Discount is held as integer percent (its native grid).",
+    tags=("aggregation", "stats"),
+)
+def stat_moments_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("bigint")
+    dsc = F.round(F.col("l_discount") * 100).cast("bigint")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qty).alias("sx"),
+        F.sum(dsc).alias("sy"),
+        F.sum(qty * qty).alias("sxx"),
+        F.sum(dsc * dsc).alias("syy"),
+        F.sum(qty * dsc).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        "n",
+        (sx.cast("double") / n).alias("mean_qty"),
+        F.sqrt(
+            (n * sxx - sx * sx).cast("double") / (n * (n - 1))
+        ).alias("stddev_qty"),
+        (
+            (n * sxy - sx * sy).cast("double")
+            / (
+                F.sqrt((n * sxx - sx * sx).cast("double"))
+                * F.sqrt((n * syy - sy * sy).cast("double"))
+            )
+        ).alias("corr_qty_disc"),
+    )
+
+
+@register(
+    "string_agg_nations",
+    oracle="""
+    SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM region JOIN nation ON r_regionkey = n_regionkey
+    GROUP BY r_name
+    """,
+    doc="Ordered string aggregation (LISTAGG / string_agg): nations per "
+    "region as one comma-joined, alphabetically-ordered string. Spark "
+    "has no ordered string_agg aggregate; the deterministic spelling "
+    "is collect_list → array_sort → array_join, which imposes the "
+    "total order AFTER the unordered distributed collect — the only "
+    "shuffle-order-independent way to build the string. Region side "
+    "is broadcast.",
+    tags=("aggregation", "join"),
+)
+def string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    na = load(spark, sf_dir, "nation")
+    return (
+        na.join(F.broadcast(r), na.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.array_join(
+                F.array_sort(F.collect_list("n_name")), ","
+            ).alias("nations"),
+        )
+    )
+
+
+@register(
+    "from_json_typed",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_total,
+           CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_min,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_max
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Typed JSON parse (from_json with a declared schema, not string "
+    "get_json_object): events.props → struct<k:bigint>, then exact "
+    "integer aggregates per event type. The declared schema keeps the "
+    "parse inside codegen and projects ONLY the requested field — at "
+    "100 TB the difference between schema-on-read JSON and a "
+    "per-row string scan of the whole payload.",
+    tags=("scalar", "json", "aggregation"),
+)
+def from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = load(spark, sf_dir, "events")
+    schema = StructType([StructField("k", LongType())])
+    k = F.from_json(F.col("props"), schema).getField("k")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("k_total"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+    )
+
+
+@register(
+    "having_large_orders",
+    oracle="""
+    SELECT c_name, o.o_orderkey,
+           CAST(CAST(round(o_totalprice * 100) AS BIGINT) / 100.0
+                AS DOUBLE) AS total_price,
+           big.total_qty
+    FROM orders o
+    JOIN (SELECT l_orderkey,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                     AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(CAST(l_quantity AS BIGINT)) > 200) big
+      ON o.o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+    doc="TPC-H Q18 shape — HAVING over an aggregate (post-aggregation "
+    "filter) feeding an IN-style semi restriction on orders, then a "
+    "customer enrichment join. The HAVING filter runs on the "
+    "AGGREGATED (order-cardinality) relation, so the selective "
+    "predicate cuts the join input by ~90% before any wide join; "
+    "quantities sum as exact longs. Both joins are orderkey/custkey "
+    "equi-joins — sort-merge at scale, AQE free to broadcast the "
+    "filtered side when it fits.",
+    tags=("join", "aggregation", "subquery"),
+)
+def having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    cu = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+        .filter(F.col("total_qty") > 200)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            (
+                F.round(F.col("o_totalprice") * 100).cast("long") / 100.0
+            ).cast("double").alias("total_price"),
+            "total_qty",
+        )
+    )

@@ -155,3 +155,65 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="fx_slide_ckpt_")
     run_available_now_to_table(agg, table, ckpt)
     return spark.table(table)
+
+
+@register(
+    "streaming_stream_join",
+    oracle="""
+    SELECT v.user_id, v.ts AS view_ts, p.ts AS purchase_ts
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+    doc="STREAM-STREAM inner join (view→purchase attribution within 30 "
+    "minutes): two watermarked streams joined on user_id + a time-range "
+    "predicate, drained with AvailableNow and hash-checked against the "
+    "batch join oracle. The time bound + watermarks let Spark expire "
+    "buffered state (state ∝ users active in the last 30 min + "
+    "watermark delay, NOT history) — the property that makes "
+    "stream-stream joins runnable forever; an unbounded-condition "
+    "join would accumulate state without limit.",
+    tags=("streaming", "join"),
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = tempfile.mkdtemp(prefix="fx_ssj_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ts_is_long = raw_schema["ts"].dataType.typeName() == "long"
+
+    def side(event_type: str, ts_alias: str) -> DataFrame:
+        return (
+            read_tick_stream(
+                spark, src, raw_schema, ts_is_nanos_long=ts_is_long
+            )
+            .filter(F.col("event_type") == event_type)
+            .withWatermark("ts", "10 minutes")
+            .select(
+                F.col("user_id").alias(f"{ts_alias[0]}_user_id"),
+                F.col("ts").alias(ts_alias),
+            )
+        )
+
+    views, purchases = side("view", "view_ts"), side("purchase", "purchase_ts")
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user_id = p_user_id AND purchase_ts > view_ts "
+            "AND purchase_ts <= view_ts + INTERVAL 30 MINUTES"
+        ),
+    ).select(F.col("v_user_id").alias("user_id"), "view_ts", "purchase_ts")
+
+    table = f"stream_join_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="fx_ssj_ckpt_")
+    (
+        joined.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(table)

@@ -566,3 +566,97 @@ def vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_ticks").alias("total_ticks"),
         )
     )
+
+
+# ------------------------------------------------------ product analytics
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+           CAST(datediff('day', cohort_day, CAST(e.ts AS DATE)) AS BIGINT)
+               AS day_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY cohort_day, day_offset
+    """,
+    doc="Cohort retention: users grouped by first-seen day, activity "
+    "counted per (cohort, day-offset) — the training-data freshness / "
+    "engagement matrix. The firsts table is user-cardinality (tiny "
+    "next to the event log), so it BROADCASTS and the 100-TB event "
+    "scan never reshuffles on user_id for the join; the one wide "
+    "shuffle is the final distinct-count keyed by (cohort, offset).",
+    tags=("timeseries", "join", "aggregation"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    return (
+        ev.join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day"))
+            .cast("bigint")
+            .alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(*) FILTER (WHERE t_view IS NOT NULL) AS BIGINT)
+               AS n_view,
+           CAST(count(*) FILTER (WHERE t_view IS NOT NULL
+                                   AND t_click > t_view) AS BIGINT)
+               AS n_view_then_click,
+           CAST(count(*) FILTER (WHERE t_view IS NOT NULL
+                                   AND t_click > t_view
+                                   AND t_purchase > t_click) AS BIGINT)
+               AS n_full_funnel
+    FROM u
+    """,
+    doc="Ordered funnel (view → click → purchase): per-user first-touch "
+    "timestamps via conditional MIN — ONE pass over the event log, "
+    "one user-keyed shuffle — then ordered-stage predicates and a "
+    "single-row conversion summary. The classic alternative "
+    "(N self-joins of the event log) is N scans and N shuffles; "
+    "conditional aggregation makes funnel depth free.",
+    tags=("timeseries", "aggregation"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(
+            F.when(F.col("event_type") == t, F.col("ts"))
+        ).alias(f"t_{t}")
+
+    u = ev.groupBy("user_id").agg(
+        first_ts("view"), first_ts("click"), first_ts("purchase")
+    )
+    t_v, t_c, t_p = F.col("t_view"), F.col("t_click"), F.col("t_purchase")
+    return u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count_if(t_v.isNotNull()).alias("n_view"),
+        F.count_if(t_v.isNotNull() & (t_c > t_v)).alias("n_view_then_click"),
+        F.count_if(
+            t_v.isNotNull() & (t_c > t_v) & (t_p > t_c)
+        ).alias("n_full_funnel"),
+    )

@@ -69,6 +69,12 @@ def assert_df_matches_oracle(spark_df, oracle_con, oracle: str, rtol=1e-9):
     assert len(got) == len(exp), f"row count {len(got)} vs {len(exp)}"
     for c in got.columns:
         g, e = got[c], exp[c]
+        # the driver hash-compares repr() values, so an int64 column on
+        # one side and float64 on the other ("99111" vs "99111.0") fails
+        # there even when numerically equal — catch it here too
+        assert pd.api.types.is_float_dtype(g) == pd.api.types.is_float_dtype(
+            e
+        ), f"col {c}: dtype kind mismatch {g.dtype} vs {e.dtype}"
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(e):
             ga = pd.to_numeric(g, errors="coerce")
             ea = pd.to_numeric(e, errors="coerce")
