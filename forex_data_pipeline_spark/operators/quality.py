@@ -43,3 +43,32 @@ def run_checks(checks: dict[str, DataFrame]) -> dict[str, int]:
     """Evaluate violation DataFrames → {check_name: violation_count}.
     All-zero means the contract holds."""
     return {name: df.count() for name, df in checks.items()}
+
+
+def observed_quality(
+    df: DataFrame,
+    not_null_cols: Sequence[str] = (),
+    accepted: dict[str, Sequence[str]] | None = None,
+):
+    """Attach Q1-Q3-style metrics to ``df`` via ``Dataset.observe`` —
+    computed DURING whatever action next runs the plan, with no second
+    scan (the violation-DataFrame helpers above each re-read the table;
+    at 100 TB this free-rider form is how a pipeline self-audits every
+    batch). Returns ``(df, observation)``; read ``observation.get``
+    after an action.
+    """
+    from pyspark.sql import Observation
+
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for c in not_null_cols:
+        metrics.append(
+            F.count_if(F.col(c).isNull()).alias(f"nulls_{c}")
+        )
+    for c, values in (accepted or {}).items():
+        metrics.append(
+            F.count_if(
+                ~F.col(c).isin(list(values)) | F.col(c).isNull()
+            ).alias(f"rejected_{c}")
+        )
+    obs = Observation()
+    return df.observe(obs, *metrics), obs

@@ -974,33 +974,44 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", simhash_from_sums(_SH_PAIR_BITS).alias("simhash"))
         .localCheckpoint(eager=True)
     )
-    cands = None
-    for k in range(_SH_BANDS):
-        band = (F.col("simhash") / (_SH_BAND_MOD ** k)).cast(
-            "long"
-        ) % _SH_BAND_MOD
-        a = fp.select(
-            F.col("doc_id").alias("a_id"),
-            F.col("simhash").alias("ha"),
-            band.alias("bv"),
+
+    def band(col, k: int):
+        return (col / (_SH_BAND_MOD ** k)).cast("long") % _SH_BAND_MOD
+
+    # ONE join on the posexploded (band_idx, band_value) key instead of
+    # one join per band + union + distinct: each side shuffles once, and
+    # the first-shared-band predicate below emits every qualifying pair
+    # from exactly one band, so no distinct over the (candidate-pair ×
+    # bands) blow-up is needed — the wide dedup shuffle disappears.
+    bands = F.array(
+        *[band(F.col("simhash"), k) for k in range(_SH_BANDS)]
+    )
+    e = fp.select(
+        "doc_id", "simhash", F.posexplode(bands).alias("bk", "bv")
+    )
+    a = e.select(
+        F.col("doc_id").alias("a_id"), F.col("simhash").alias("ha"),
+        "bk", "bv",
+    )
+    b = e.select(
+        F.col("doc_id").alias("b_id"), F.col("simhash").alias("hb"),
+        "bk", "bv",
+    )
+    # keep a collision in band bk only if no earlier band also collides
+    # (that occurrence is the canonical one) — map-side integer checks
+    first_band = F.lit(True)
+    for j in range(_SH_BANDS - 1):
+        earlier_hit = (F.col("bk") > j) & (
+            band(F.col("ha"), j) == band(F.col("hb"), j)
         )
-        b = fp.select(
-            F.col("doc_id").alias("b_id"),
-            F.col("simhash").alias("hb"),
-            band.alias("bv"),
-        )
-        hamming = F.bit_count(F.expr("ha ^ hb")).cast("bigint")
-        # filter INSIDE each band branch: the Hamming predicate kills
-        # ~99% of candidates, so the dedup-distinct sees survivors only
-        # (orders of magnitude fewer rows than distinct-then-filter)
-        c = (
-            a.join(b, "bv")
-            .filter(F.col("a_id") < F.col("b_id"))
-            .select("a_id", "b_id", hamming.alias("hamming"))
-            .filter(F.col("hamming") <= _HAMMING_MAX)
-        )
-        cands = c if cands is None else cands.unionByName(c)
-    return cands.distinct()
+        first_band = first_band & ~earlier_hit
+    hamming = F.bit_count(F.expr("ha ^ hb")).cast("bigint")
+    return (
+        a.join(b, ["bk", "bv"])
+        .filter((F.col("a_id") < F.col("b_id")) & first_band)
+        .select("a_id", "b_id", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+    )
 
 
 @register(

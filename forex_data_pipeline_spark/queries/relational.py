@@ -1491,3 +1491,87 @@ def having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+@register(
+    "approx_percentile_prices",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS exact_p50,
+           CAST(1 AS BOOLEAN) AS approx_in_bounds
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Approximate percentile sketch vs exact: emits the exact median "
+    "plus the property that approx_percentile (accuracy 10000, i.e. "
+    "rank error ≤ n/10000) landed between the exact p45 and p55 — "
+    "the oracle asserts the PROPERTY, not the estimate (sketch "
+    "internals are engine-specific). At 100 TB the sketch is the only "
+    "option: fixed memory, mergeable map-side, no global sort of the "
+    "value column; the exact percentile() here is the small-data "
+    "cross-check.",
+    tags=("aggregation", "approx"),
+)
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    return od.groupBy("o_orderstatus").agg(
+        F.round(F.percentile(p, F.lit(0.5)), 6).alias("exact_p50"),
+        F.approx_percentile(p, F.lit(0.5), F.lit(10000))
+        .between(
+            F.percentile(p, F.lit(0.45)), F.percentile(p, F.lit(0.55))
+        )
+        .alias("approx_in_bounds"),
+    )
+
+
+@register(
+    "running_distinct_priorities",
+    oracle="""
+    WITH flagged AS (
+        SELECT o_custkey, o_orderdate, o_orderkey,
+               CASE WHEN row_number() OVER (
+                   PARTITION BY o_custkey, o_orderpriority
+                   ORDER BY o_orderdate, o_orderkey) = 1
+                    THEN 1 ELSE 0 END AS is_first
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(is_first) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS distinct_priorities_so_far
+    FROM flagged
+    """,
+    doc="Running COUNT(DISTINCT) over a window — an aggregate Spark "
+    "(and ANSI SQL) does not support directly — emulated exactly with "
+    "two window passes: flag each key's FIRST occurrence per "
+    "(partition, value) with row_number, then running-sum the flags. "
+    "Both windows share the o_custkey partitioning, so the second "
+    "pass reuses the first's shuffle (one exchange total); the "
+    "(o_orderdate, o_orderkey) order key is a total order, making "
+    "every intermediate deterministic.",
+    tags=("window",),
+)
+def running_distinct_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load(spark, sf_dir, "orders")
+    w_first = Window.partitionBy("o_custkey", "o_orderpriority").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = od.withColumn(
+        "is_first",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+    )
+    return flagged.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum("is_first").over(w_run).cast("bigint").alias(
+            "distinct_priorities_so_far"
+        ),
+    )

@@ -109,3 +109,74 @@ def json_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(path)
     )
     return _roundtrip_agg(back)
+
+
+@register(
+    "orc_source_agg",
+    oracle=_AGG_ORACLE,
+    doc="ORC sink+source round trip — the other columnar lake format "
+    "Spark ships natively (vectorized reader, predicate pushdown, "
+    "column pruning, stripe-level min/max skipping — the same scan "
+    "features as parquet, unlike the CSV/JSON landing formats). "
+    "Identical aggregate, identical oracle: a hash match proves "
+    "byte-lossless storage of longs/doubles/timestamps.",
+    tags=("source", "sink"),
+)
+def orc_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = f"{tempfile.mkdtemp(prefix='fx_orc_')}/orders"
+    src = _orders_proj(spark, sf_dir)
+    src.write.mode("overwrite").orc(path)
+    # ORC stores the timestamp flavor it was given (NTZ here) and,
+    # unlike parquet, refuses an NTZ→LTZ schema coercion at read — the
+    # explicit read schema must carry the written flavor.
+    back = spark.read.schema(src.schema).orc(path)
+    return _roundtrip_agg(back)
+
+
+@register(
+    "csv_malformed_quarantine",
+    oracle="""
+    SELECT 'good' AS bucket, CAST(3 AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'quarantined', CAST(2 AS BIGINT)
+    """,
+    doc="Schema-drift tolerance at the landing zone: PERMISSIVE CSV "
+    "parse of a fixed 5-line file with 2 corrupt rows routes "
+    "unparseable lines into _corrupt_record instead of failing the "
+    "job — at 100 TB a single bad line must never kill a scan; the "
+    "quarantine bucket is counted and auditable. (Inputs are literal "
+    "in the query, so the oracle is the expected constant table.)",
+    tags=("source", "quality"),
+)
+def csv_malformed_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = tempfile.mkdtemp(prefix="fx_badcsv_")
+    with open(f"{path}/landing.csv", "w") as f:
+        f.write(
+            "1,A,10.5,2024-01-01T00:00:00\n"
+            "not,a,valid,row,extra,fields\n"
+            "2,B,20.25,2024-01-02T00:00:00\n"
+            "3,C,oops_not_a_number,2024-01-03T00:00:00\n"
+            "4,D,40.0,2024-01-04T00:00:00\n"
+        )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("code", T.StringType()),
+            T.StructField("amount", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .cache()  # SPARK-21610: corrupt-record refs need materialization
+    )
+    bucket = F.when(
+        F.col("_corrupt_record").isNull(), F.lit("good")
+    ).otherwise(F.lit("quarantined"))
+    return back.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )

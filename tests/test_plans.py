@@ -165,3 +165,33 @@ def test_correlated_subquery_is_decorrelated(spark, sf_dir):
     plan = plan_of(run("correlated_subquery_orders", spark, sf_dir))
     assert "HashAggregate" in plan or "SortAggregate" in plan
     assert "Join" in plan
+
+
+def test_dynamic_partition_pruning_on_fact_join(spark, sf_dir, tmp_path):
+    """Joining a date-partitioned fact to a filtered dim must prune fact
+    partitions at RUNTIME via the dim's join keys (DPP): the fact scan
+    carries a dynamicpruning subquery in its partition filters, so at
+    100 TB only the partitions matching the dim filter are read — the
+    static-pruning test above covers literal predicates; this covers
+    predicates only known after the dim scan."""
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts").cast("string")
+    )
+    fact_path = str(tmp_path / "fact_by_day")
+    ev.write.partitionBy("day").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = (
+        fact.select("day").distinct().limit(2)
+        .withColumn("tag", F.lit("keep"))
+    )
+    dim_path = str(tmp_path / "dim_days")
+    dim.write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path)
+
+    joined = fact.join(dim.filter(F.col("tag") == "keep"), "day").groupBy(
+        "day"
+    ).count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
