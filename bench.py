@@ -35,12 +35,17 @@ HEADLINE: tuple[str, ...] = (
     "join_revenue_by_nation",
     "star_join_revenue",
     "topk_orders_per_customer",
+    "global_topk_orders",
     "asof_join_purchases",
+    # product analytics
+    "cohort_retention",
     # LLM-pipeline operators
     "minhash_lsh_pairs",
     "simhash_hamming_pairs",
     "embedding_cosine_topk",
     "text_stats",
+    "repetition_stats",
+    "tfidf_top_terms",
     "sequence_chunking",
 )
 

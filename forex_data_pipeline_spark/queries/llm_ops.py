@@ -327,45 +327,47 @@ _LSH_PAIRS_ORACLE = f"""
     tags=("llm", "dedup", "join"),
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The signature table feeds three plan branches (bands, sa, sb);
-    # localCheckpoint materializes it once instead of recomputing the
-    # shingle pipeline three times. It is tiny: docs × K hashes.
+    # One materialization of the signature table (docs × K longs); the
+    # signature columns RIDE THROUGH the band join, so there is exactly
+    # ONE join in the whole plan — no per-band join + union + distinct,
+    # and no joining signatures back onto candidate pairs afterwards.
     sig = _sig_wide(spark, sf_dir).localCheckpoint(eager=True)
-    bands = sig.select(
+    band_hashes = F.array(
+        *[F.md5(F.concat_ws("|", *ms)) for _, ms in _band_hash_cols()]
+    )
+    e = sig.select(
         "doc_id",
-        *[
-            F.md5(F.concat_ws("|", *ms)).alias(bh)
-            for bh, ms in _band_hash_cols()
-        ],
+        *[f"m{i}" for i in range(MINHASH_K)],
+        band_hashes.alias("bhs"),
+        F.posexplode(band_hashes).alias("bk", "h"),
     )
-    # candidate pairs: equi-join per band, then union — each branch is a
-    # hash join on a 32-byte key (NOT a nested-loop OR-join)
-    cands = None
-    for bh, _ in _band_hash_cols():
-        a = bands.select(F.col("doc_id").alias("a_id"), F.col(bh).alias("h"))
-        b = bands.select(F.col("doc_id").alias("b_id"), F.col(bh).alias("h"))
-        c = a.join(b, "h").filter(F.col("a_id") < F.col("b_id")).select(
-            "a_id", "b_id"
-        )
-        cands = c if cands is None else cands.unionByName(c)
-    cand = cands.distinct()
 
-    sa = sig.select(
-        F.col("doc_id").alias("a_id"),
-        *[F.col(f"m{i}").alias(f"a_m{i}") for i in range(MINHASH_K)],
-    )
-    sb = sig.select(
-        F.col("doc_id").alias("b_id"),
-        *[F.col(f"m{i}").alias(f"b_m{i}") for i in range(MINHASH_K)],
-    )
+    def side(p: str) -> DataFrame:
+        return e.select(
+            F.col("doc_id").alias(f"{p}_id"),
+            *[F.col(f"m{i}").alias(f"{p}_m{i}") for i in range(MINHASH_K)],
+            F.col("bhs").alias(f"{p}_bhs"),
+            "bk",
+            "h",
+        )
+
+    # a pair colliding in several bands is emitted only from its FIRST
+    # shared band (map-side array compare) — exactly-once without a
+    # distinct over the candidate×bands blow-up
+    first_band = F.lit(True)
+    for j in range(LSH_BANDS - 1):
+        earlier_hit = (F.col("bk") > j) & (
+            F.col("a_bhs")[j] == F.col("b_bhs")[j]
+        )
+        first_band = first_band & ~earlier_hit
     agreement = sum(
         F.when(F.col(f"a_m{i}") == F.col(f"b_m{i}"), 1).otherwise(0)
         for i in range(MINHASH_K)
     )
     est = agreement.cast("double") / MINHASH_K
     return (
-        cand.join(sa, "a_id")
-        .join(sb, "b_id")
+        side("a").join(side("b"), ["bk", "h"])
+        .filter((F.col("a_id") < F.col("b_id")) & first_band)
         .select("a_id", "b_id", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= 0.5)
     )

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import register
 from ..operators import dedup
@@ -659,4 +660,95 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(
             t_v.isNotNull() & (t_c > t_v) & (t_p > t_c)
         ).alias("n_full_funnel"),
+    )
+
+
+@register(
+    "ts_similarity_pairs",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+               extract(hour FROM ts) AS hr,
+               sum(CAST(round(value * 1000000) AS BIGINT)) AS v_micro
+        FROM events
+        GROUP BY 1, 2, 3
+    ),
+    dist AS (
+        SELECT a.event_type AS a_type, a.day AS a_day,
+               b.event_type AS b_type, b.day AS b_day,
+               sum((a.v_micro - b.v_micro) * (a.v_micro - b.v_micro))
+                   AS dist2_micro,
+               count(*) AS n_hours
+        FROM hourly a JOIN hourly b
+          ON a.hr = b.hr
+         AND (a.event_type < b.event_type
+              OR (a.event_type = b.event_type AND a.day < b.day))
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT a_type, a_day, b_type, b_day,
+           CAST(dist2_micro AS BIGINT) AS dist2_micro,
+           CAST(n_hours AS BIGINT) AS n_hours
+    FROM (SELECT *, row_number() OVER (
+              ORDER BY dist2_micro, a_type, a_day, b_type, b_day) AS rn
+          FROM dist WHERE n_hours = 24)
+    WHERE rn <= 5
+    """,
+    doc="Time-series similarity search (EDBT'19/SIGMOD'20 family): each "
+    "(series, day) becomes a 24-point hourly profile; pairwise "
+    "Euclidean distance is an hour-keyed equi-join + grouped sum of "
+    "squared diffs in EXACT integer micro-units (longs — "
+    "order-independent, no float summation drift); top-5 closest "
+    "pairs with a total tie-break. Profiles are day-aggregated first "
+    "(the event scan collapses ~3 orders of magnitude before any "
+    "pairing), and complete profiles only (n_hours=24) compare. At "
+    "large series counts the all-pairs stage swaps for the LSH/IVF "
+    "blocking of ann_lsh_topk/ann_ivf_topk — same distance kernel.",
+    tags=("timeseries", "similarity", "join", "topk"),
+)
+def ts_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.col("ts").cast("date").cast("string").alias("day"),
+        F.hour("ts").alias("hr"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 1000000).cast("bigint")).alias(
+            "v_micro"
+        )
+    )
+    a = hourly.select(
+        F.col("event_type").alias("a_type"), F.col("day").alias("a_day"),
+        "hr", F.col("v_micro").alias("a_v"),
+    )
+    b = hourly.select(
+        F.col("event_type").alias("b_type"), F.col("day").alias("b_day"),
+        "hr", F.col("v_micro").alias("b_v"),
+    )
+    d = F.col("a_v") - F.col("b_v")
+    dist = (
+        a.join(b, "hr")
+        .filter(
+            (F.col("a_type") < F.col("b_type"))
+            | (
+                (F.col("a_type") == F.col("b_type"))
+                & (F.col("a_day") < F.col("b_day"))
+            )
+        )
+        .groupBy("a_type", "a_day", "b_type", "b_day")
+        .agg(
+            F.sum(d * d).alias("dist2_micro"),
+            F.count(F.lit(1)).alias("n_hours"),
+        )
+        .filter(F.col("n_hours") == 24)
+    )
+    w = Window.orderBy(
+        "dist2_micro", "a_type", "a_day", "b_type", "b_day"
+    )
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "a_type", "a_day", "b_type", "b_day", "dist2_micro", "n_hours"
+        )
     )

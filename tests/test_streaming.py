@@ -4,6 +4,7 @@ in test_correctness via the registered streaming_candles_5m query)."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from forex_data_pipeline_spark.streaming.candles_stream import (
@@ -139,3 +140,93 @@ def test_stream_merge_foreachbatch_idempotent(spark, tmp_path):
     )
     assert got.k.tolist() == [1, 2, 3, 4]
     assert got.v.tolist() == [10, 20, 33, 44]  # k=3 upserted by batch 2
+
+
+def _protobuf_available() -> bool:
+    # the transformWithStateInPandas driver worker speaks protobuf to
+    # the JVM; without a working google.protobuf it crashes on init
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs google.protobuf, "
+    "not installed in this environment",
+)
+def test_transform_with_state_running_stats(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4.x stateful API): per-key
+    (count, sum) state must fold across two micro-batches to the same
+    totals as a single batch aggregation over all input."""
+    from forex_data_pipeline_spark.streaming.stateful_v2 import (
+        running_stats,
+    )
+
+    src = tmp_path / "tws_src"
+    src.mkdir()
+    full = pd.DataFrame(
+        {
+            "event_id": range(40),
+            "ts": pd.date_range("2024-01-01", periods=40, freq="1min"),
+            "event_type": ["click", "view"] * 20,
+            "value": [float(10 + (i * 7 % 13)) for i in range(40)],
+        }
+    )
+    sdf = spark.createDataFrame(full).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    sdf.filter("event_id < 20").coalesce(1).write.parquet(str(src / "f1"))
+    sdf.filter("event_id >= 20").coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(sdf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    # transformWithStateInPandas requires the RocksDB state store
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            running_stats(stream)
+            .writeStream.format("memory")
+            .queryName("tws_t")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+    out = spark.table("tws_t").toPandas()
+    # update mode emits one row per key per micro-batch; the final state
+    # per key is the row with the highest n_events
+    final = (
+        out.sort_values("n_events").groupby("event_type").tail(1)
+        .set_index("event_type")
+    )
+    expect = full.groupby("event_type")["value"].agg(["count", "sum"])
+    for k in ("click", "view"):
+        assert final.loc[k, "n_events"] == expect.loc[k, "count"]
+        assert abs(final.loc[k, "total_value"] - expect.loc[k, "sum"]) < 1e-9
+        assert (
+            abs(
+                final.loc[k, "mean_value"]
+                - expect.loc[k, "sum"] / expect.loc[k, "count"]
+            )
+            < 1e-9
+        )
