@@ -1575,3 +1575,56 @@ def running_distinct_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_priorities_so_far"
         ),
     )
+
+
+@register(
+    "map_functions_priority",
+    oracle="""
+    WITH wide AS (
+        SELECT o_orderstatus,
+               map_from_entries(list(struct_pack(
+                   key := o_orderpriority, value := n))) AS m
+        FROM (SELECT o_orderstatus, o_orderpriority,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM orders GROUP BY 1, 2
+              ORDER BY o_orderstatus, o_orderpriority)
+        GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus,
+           CAST(cardinality(m) AS BIGINT) AS n_priorities,
+           CAST(m['1-URGENT'][1] AS BIGINT) AS n_urgent,
+           u.key AS priority, CAST(u.value AS BIGINT) AS n_orders
+    FROM wide, unnest(map_entries(m)) AS t(u)
+    """,
+    doc="MAP-type round trip: per-status (priority → count) maps built "
+    "with map_from_entries, probed with element_at / map size, then "
+    "exploded back to rows (map columns never reach the output — "
+    "pandas map reprs differ across engines, entries hash "
+    "identically). Maps stay inside codegen; the only shuffle is the "
+    "initial (status, priority) aggregation.",
+    tags=("scalar", "aggregation"),
+)
+def map_functions_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wide = counts.groupBy("o_orderstatus").agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(F.struct("o_orderpriority", "n"))
+            )
+        ).alias("m")
+    )
+    return wide.select(
+        "o_orderstatus",
+        F.size("m").cast("bigint").alias("n_priorities"),
+        F.element_at("m", "1-URGENT").alias("n_urgent"),
+        F.explode(F.map_entries("m")).alias("e"),
+    ).select(
+        "o_orderstatus",
+        "n_priorities",
+        "n_urgent",
+        F.col("e.key").alias("priority"),
+        F.col("e.value").alias("n_orders"),
+    )
