@@ -30,6 +30,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 _INTERVAL_SECONDS = {
@@ -109,9 +110,50 @@ class ForexRestReader(DataSourceReader):
             )
 
 
+class ForexRestStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream over the same feed: the OFFSET is a day, and
+    each trigger drains every not-yet-processed day up to ``end`` — the
+    reference's daily cron (daily_run.yml:4-6) + high-watermark progress
+    tracking (stg_eurusd.sql:18-21) expressed as a first-class streaming
+    source whose exactly-once progress lives in the checkpoint instead
+    of a hand-rolled MAX() subquery."""
+
+    def __init__(self, options: dict):
+        self._reader = ForexRestReader(options)
+
+    def initialOffset(self) -> dict:
+        return {"day": self._reader.start}
+
+    def read(self, start: dict):
+        d = datetime.strptime(start["day"], "%Y-%m-%d").date()
+        end = datetime.strptime(self._reader.end, "%Y-%m-%d").date()
+        if d > end:  # caught up: no rows, offset unchanged
+            return iter([]), start
+        # drain every not-yet-processed day (a cron catching up on
+        # backlog): one catch-up batch per trigger, offset = next day
+        # after the drained range
+        rows: list[tuple] = []
+        while d <= end:
+            for symbol in self._reader.symbols:
+                rows.extend(
+                    self._reader.read(
+                        _FetchDayPartition(symbol, d.isoformat())
+                    )
+                )
+            d += timedelta(days=1)
+        return iter(rows), {"day": d.isoformat()}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # deterministic generator ⇒ replay for recovery is a re-read
+        rows, _ = self.read(start)
+        return rows
+
+
 class ForexRestDataSource(DataSource):
     """``spark.read.format("forex_rest").option("symbols", "EUR/USD")
-    .option("start", "2024-01-01").option("end", "2024-01-31").load()``"""
+    .option("start", "2024-01-01").option("end", "2024-01-31").load()``
+    — or ``spark.readStream`` with the same options for day-at-a-time
+    micro-batches."""
 
     @classmethod
     def name(cls) -> str:
@@ -122,6 +164,9 @@ class ForexRestDataSource(DataSource):
 
     def reader(self, schema) -> ForexRestReader:
         return ForexRestReader(self.options)
+
+    def simpleStreamReader(self, schema) -> ForexRestStreamReader:
+        return ForexRestStreamReader(self.options)
 
 
 def register(spark) -> None:

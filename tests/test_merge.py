@@ -110,3 +110,31 @@ def test_sort_within_clusters_rows_for_rowgroup_skipping(spark, tmp_path):
     for f in glob.glob(f"{path}/*.parquet"):
         col = pd.read_parquet(f, columns=["event_type"])["event_type"]
         assert col.is_monotonic_increasing, f
+
+
+def test_parquet_schema_evolution_merge_schema(spark, tmp_path):
+    """Schema drift across landed batches (a column added mid-stream)
+    must be readable as one table via mergeSchema: old rows surface
+    NULL for the new column, new rows carry it — the Bronze-layer
+    contract when an upstream extractor gains a field."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "evolving")
+    spark.range(3).select(
+        F.col("id"), (F.col("id") * 1.0).alias("v")
+    ).write.parquet(f"{base}/b1")
+    spark.range(3, 6).select(
+        F.col("id"),
+        (F.col("id") * 1.0).alias("v"),
+        F.lit("eur_usd").alias("source_symbol"),
+    ).write.parquet(f"{base}/b2")
+
+    merged = spark.read.option("mergeSchema", True).parquet(
+        f"{base}/b1", f"{base}/b2"
+    )
+    assert "source_symbol" in merged.columns
+    assert merged.count() == 6
+    assert merged.filter(F.col("source_symbol").isNull()).count() == 3
+    assert (
+        merged.filter(F.col("source_symbol") == "eur_usd").count() == 3
+    )

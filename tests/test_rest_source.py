@@ -169,3 +169,43 @@ def test_python_datasource_parallel_backfill(spark):
         "sum(hash(symbol, ts, open, high, low, close)) AS h"
     ).first()["h"]
     assert h(df) == h(reader.load())
+
+
+def test_python_datasource_streaming_day_offsets(spark, tmp_path):
+    """forex_rest as a STREAMING source: the offset is a day; an
+    availableNow drain of a 3-day range must ingest 3 × 288 bars
+    exactly once, checkpointed through the streaming offset log."""
+    from forex_data_pipeline_spark.sources import rest_datasource
+
+    rest_datasource.register(spark)
+    stream = (
+        spark.readStream.format("forex_rest")
+        .option("symbols", "EUR/USD")
+        .option("start", "2024-02-01")
+        .option("end", "2024-02-03")
+        .option("interval", "5min")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rest_stream_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "rest_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("rest_stream_t")
+    assert got.count() == 3 * 288
+
+    from pyspark.sql import functions as F
+
+    days = sorted(
+        r["d"]
+        for r in got.select(
+            F.to_date("ts").alias("d")
+        ).distinct().collect()
+    )
+    assert [str(d) for d in days] == [
+        "2024-02-01", "2024-02-02", "2024-02-03",
+    ]
