@@ -82,6 +82,7 @@ def _ensure_loaded() -> None:
         sources_q,
         streaming_q,
         timeseries,
+        udtf_q,
     )
 
     _loaded = True

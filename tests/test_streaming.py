@@ -230,3 +230,54 @@ def test_transform_with_state_running_stats(spark, tmp_path):
             )
             < 1e-9
         )
+
+
+def test_stream_merge_restart_recovers_from_checkpoint(spark, tmp_path):
+    """Effectively-once across RESTARTS: a second streaming query on
+    the same checkpoint may REPLAY the last un-committed batch (that is
+    the foreachBatch contract — offsets are checkpointed, batch commits
+    are the sink's job), and the MERGE sink must absorb the replay
+    idempotently: the final table equals a single continuous run, no
+    duplicates, no lost updates."""
+    from forex_data_pipeline_spark.streaming.candles_stream import (
+        run_stream_merge,
+    )
+
+    src = tmp_path / "restart_src"
+    src.mkdir()
+    out = str(tmp_path / "restart_merged")
+    ckpt = str(tmp_path / "restart_ckpt")
+
+    b1 = pd.DataFrame(
+        {"k": [1, 2], "ts": pd.to_datetime(["2024-01-01"] * 2),
+         "v": [10, 20]}
+    )
+    sdf1 = spark.createDataFrame(b1).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    sdf1.coalesce(1).write.parquet(str(src / "f1"))
+
+    stream = spark.readStream.schema(sdf1.schema).parquet(str(src / "*"))
+    q1 = run_stream_merge(stream, out, ["k"], ckpt)
+    q1.awaitTermination()
+
+    # land a second file (k=2 updated, k=3 new), then RESTART on the
+    # same checkpoint
+    b2 = pd.DataFrame(
+        {"k": [2, 3], "ts": pd.to_datetime(["2024-01-02"] * 2),
+         "v": [22, 30]}
+    )
+    spark.createDataFrame(b2).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream2 = spark.readStream.schema(sdf1.schema).parquet(str(src / "*"))
+    q2 = run_stream_merge(stream2, out, ["k"], ckpt)
+    q2.awaitTermination()
+
+    got = (
+        spark.read.parquet(out).orderBy("k").select("k", "v").toPandas()
+    )
+    # k=1 from batch 1 survives any replay un-duplicated; k=2 upserted
+    assert got.k.tolist() == [1, 2, 3]
+    assert got.v.tolist() == [10, 22, 30]
