@@ -107,6 +107,7 @@ def multi_timeframe_ohlc(
     *,
     min_candle_start=None,
     keep_spec: bool = False,
+    strategy: str = "auto",
 ) -> DataFrame:
     """All timeframes in ONE scan via explode (vs the reference's 7-way
     UNION ALL, fct:40-57). Output grain: (series..., timeframe,
@@ -122,7 +123,35 @@ def multi_timeframe_ohlc(
 
     ``keep_spec``: also emit ``dur_s``/``shift_s`` so callers can do
     boundary arithmetic downstream without re-joining the spec.
+
+    Execution strategy — HIERARCHICAL ROLLUP when the frame set allows
+    it (the reference set does): aggregate the ticks ONCE at the finest
+    frame, then re-bucket the resulting candle table (|buckets| rows,
+    ~2-3 orders smaller than the tick stream) into every coarser frame
+    — candle opens/closes/highs/lows/counts compose exactly
+    (min_by(open, base_start) / max_by(close, base_start) / max / min /
+    sum). The tick-side shuffle shrinks ×|timeframes| vs the exploded
+    single-pass form. Validity condition per frame: the finest frame's
+    duration divides the frame's duration AND the shift difference —
+    i.e. every coarse boundary lies on a base boundary; otherwise the
+    exploded one-scan form runs instead (both proven equal to the
+    reference's 7-way UNION oracle, and to each other in
+    tests/test_edge_cases.py). ``strategy``: "auto" (rollup when
+    aligned), "rollup" (error if misaligned), or "explode" — the
+    single-stage form, marginally lower latency on tiny inputs where
+    the extra rollup stage outweighs the multi-fold shuffle-byte
+    saving.
     """
+    base = min(timeframes, key=lambda t: t.seconds)
+    aligned = all(
+        t.seconds % base.seconds == 0
+        and (t.shift_seconds - base.shift_seconds) % base.seconds == 0
+        for t in timeframes
+    )
+    if strategy == "rollup" and not aligned:
+        raise ValueError("rollup strategy requires base-aligned frames")
+    if strategy == "explode":
+        aligned = False
     tf_array = F.array(
         *[
             F.struct(
@@ -133,19 +162,53 @@ def multi_timeframe_ohlc(
             for tf in timeframes
         ]
     )
-    exploded = df.withColumn("_tf", F.explode(tf_array))
     dur, shift = F.col("_tf.dur"), F.col("_tf.shift")
-    be = bucket_epoch(F.col(ts_col), dur, shift)
-    if min_candle_start is not None:
-        edge = bucket_epoch(F.lit(min_candle_start), dur, shift)
-        exploded = exploded.filter(be >= edge)
-    grouped = exploded.groupBy(
+
+    def _grouped(exploded: DataFrame, be: Column, aggs: list[Column]):
+        if min_candle_start is not None:
+            edge = bucket_epoch(F.lit(min_candle_start), dur, shift)
+            exploded = exploded.filter(be >= edge)
+        return exploded.groupBy(
+            *series_cols,
+            F.col("_tf.timeframe").alias("timeframe"),
+            *(
+                [dur.alias("dur_s"), shift.alias("shift_s")]
+                if keep_spec
+                else []
+            ),
+            F.timestamp_seconds(be).cast("timestamp_ntz").alias(
+                "candle_start"
+            ),
+        ).agg(*aggs)
+
+    if not aligned:
+        exploded = df.withColumn("_tf", F.explode(tf_array))
+        return _grouped(
+            exploded,
+            bucket_epoch(F.col(ts_col), dur, shift),
+            _ohlc_aggs(ts_col, value_col),
+        )
+
+    base_candles = df.groupBy(
         *series_cols,
-        F.col("_tf.timeframe").alias("timeframe"),
-        *( [dur.alias("dur_s"), shift.alias("shift_s")] if keep_spec else [] ),
-        F.timestamp_seconds(be).cast("timestamp_ntz").alias("candle_start"),
+        bucket_epoch(
+            F.col(ts_col), base.seconds, base.shift_seconds
+        ).alias("_bs"),
     ).agg(*_ohlc_aggs(ts_col, value_col))
-    return grouped
+    bs = F.col("_bs")
+    exploded = base_candles.withColumn("_tf", F.explode(tf_array))
+    rollup_aggs = [
+        F.min_by(F.col("open_value"), bs).alias("open_value"),
+        F.max("high_value").alias("high_value"),
+        F.min("low_value").alias("low_value"),
+        F.max_by(F.col("close_value"), bs).alias("close_value"),
+        F.sum("n_ticks").alias("n_ticks"),
+    ]
+    return _grouped(
+        exploded,
+        (F.floor((bs + shift) / dur) * dur - shift).cast("long"),
+        rollup_aggs,
+    )
 
 
 def ohlc_window(

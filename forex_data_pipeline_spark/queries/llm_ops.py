@@ -1506,3 +1506,69 @@ def array_higher_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "has_large_component"
         ),
     )
+
+
+@register(
+    "cross_corpus_contamination",
+    oracle=f"""
+    WITH sh AS ({_SH_CTE}),
+    side AS (SELECT doc_id, strlen(source) = 4 AS is_train
+             FROM documents),
+    tagged AS (SELECT sh.doc_id, sh.sh, side.is_train
+               FROM sh JOIN side ON sh.doc_id = side.doc_id),
+    train_sh AS (SELECT DISTINCT sh FROM tagged WHERE is_train),
+    eval_sh AS (SELECT doc_id, sh FROM tagged WHERE NOT is_train),
+    tot AS (SELECT doc_id, count(*) AS n_shingles
+            FROM eval_sh GROUP BY doc_id),
+    hit AS (SELECT e.doc_id, count(*) AS n_hits
+            FROM eval_sh e JOIN train_sh t ON e.sh = t.sh
+            GROUP BY e.doc_id)
+    SELECT tot.doc_id,
+           CAST(tot.n_shingles AS BIGINT) AS n_shingles,
+           CAST(coalesce(hit.n_hits, 0) AS BIGINT) AS n_contaminated,
+           CAST(coalesce(hit.n_hits, 0) AS DOUBLE) / tot.n_shingles
+               AS contamination_rate,
+           coalesce(hit.n_hits, 0) * 20 >= tot.n_shingles
+               AS flagged_5pct
+    FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+    """,
+    doc="Train/eval decontamination (the GPT-3/PaLM n-gram overlap "
+    "check): corpus split by source, eval docs scored by the fraction "
+    "of their distinct 5-gram shingles that appear ANYWHERE in the "
+    "train split. The shingle is the blocking key — one shuffle "
+    "equi-join of eval shingles against the deduplicated train "
+    "shingle set (train side is corpus-sized, so it is NOT broadcast "
+    "— the join shuffles both sides by shingle hash, which scales to "
+    "any corpus). train_sh's DISTINCT guarantees join multiplicity 1, "
+    "so the hit count is exact; the rate is an integer/integer "
+    "divide and the 5% flag an integer compare — no float drift.",
+    tags=("llm", "text", "dedup", "join"),
+)
+def cross_corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    side = load(spark, sf_dir, "documents").select(
+        "doc_id", (F.length("source") == 4).alias("is_train")
+    )
+    tagged = sh.join(side, "doc_id")
+    train_sh = (
+        tagged.filter(F.col("is_train")).select("sh").distinct()
+    )
+    eval_sh = tagged.filter(~F.col("is_train")).select("doc_id", "sh")
+    tot = eval_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    hit = (
+        eval_sh.join(train_sh, "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
+    return tot.join(hit, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        n_hits.cast("bigint").alias("n_contaminated"),
+        (n_hits.cast("double") / F.col("n_shingles")).alias(
+            "contamination_rate"
+        ),
+        (n_hits * 20 >= F.col("n_shingles")).alias("flagged_5pct"),
+    )
