@@ -1628,3 +1628,57 @@ def map_functions_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.key").alias("priority"),
         F.col("e.value").alias("n_orders"),
     )
+
+
+@register(
+    "null_semantics",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey, o_orderstatus,
+               nullif(o_orderpriority, '1-URGENT') AS p
+        FROM orders
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY o_orderstatus
+            ORDER BY p NULLS FIRST, o_orderkey) AS rn
+        FROM t
+    )
+    SELECT t.o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(p) AS BIGINT) AS n_nonnull,
+           CAST(count(*) FILTER (WHERE p IS NULL) AS BIGINT) AS n_nulled,
+           coalesce(min(p), 'ALL-NULL') AS min_p,
+           CAST(min(CASE WHEN rn = 1 THEN o_orderkey END) AS BIGINT)
+               AS first_key_nulls_first
+    FROM ranked t GROUP BY t.o_orderstatus
+    """,
+    doc="NULL-semantics family: nullif-manufactured NULLs, "
+    "null-skipping COUNT(col) vs COUNT(*), null-skipping MIN + "
+    "coalesce fallback, and NULLS FIRST window ordering (Spark "
+    "default for ASC is nulls-first, but it is pinned explicitly — "
+    "engines differ, which is exactly why the ordering must be "
+    "spelled). Every branch is the same three-valued logic Catalyst "
+    "and ANSI SQL share, verified cell-exact.",
+    tags=("scalar", "aggregation", "window"),
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("p"),
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("p").asc_nulls_first(), "o_orderkey"
+    )
+    ranked = t.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("p").alias("n_nonnull"),
+        F.count_if(F.col("p").isNull()).alias("n_nulled"),
+        F.coalesce(F.min("p"), F.lit("ALL-NULL")).alias("min_p"),
+        F.min(F.when(F.col("rn") == 1, F.col("o_orderkey")))
+        .cast("bigint")
+        .alias("first_key_nulls_first"),
+    )
