@@ -35,16 +35,27 @@ def asof_join(
     *,
     suffix: str = "_asof",
     strict: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the latest right ``value_cols`` with
     ``right_ts <= left_ts`` (or ``<`` when ``strict``), matching on
-    ``on`` keys. Right value columns come back as ``<col><suffix>``,
-    NULL when no prior right row exists.
+    ``on`` keys — or, with ``direction="forward"``, the EARLIEST right
+    row with ``right_ts >= left_ts`` (``>`` when strict): the
+    next-event lookup (e.g. view → next purchase). Right value columns
+    come back as ``<col><suffix>``, NULL when no prior (resp. later)
+    right row exists. Either direction is the same single union +
+    key-partitioned window — one shuffle, no row explosion.
     """
     on = list(on)
-    # Tag order decides ties at equal timestamps: right first (0) makes
-    # the join inclusive (<=); left first makes it strict (<).
-    right_tag, left_tag = (1, 0) if strict else (0, 1)
+    forward = direction == "forward"
+    # Tag order decides ties at equal timestamps. Backward: right first
+    # (0) makes the join inclusive (<=). Forward (frame looks ahead):
+    # right AFTER left (1) keeps equal-ts rows visible, so inclusive
+    # and strict swap relative to backward.
+    if forward:
+        right_tag, left_tag = (0, 1) if strict else (1, 0)
+    else:
+        right_tag, left_tag = (1, 0) if strict else (0, 1)
 
     lcols = [c for c in left.columns]
     l = left.select(
@@ -64,18 +75,31 @@ def asof_join(
         *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
     )
     unioned = l.unionByName(r)
-    w = (
-        Window.partitionBy(*on)
-        .orderBy("_ts", "_src")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    filled = unioned.select(
-        *unioned.columns,
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"_f_{c}")
+    if forward:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy("_ts", "_src")
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        fill = [
+            F.first(f"{c}{suffix}", ignorenulls=True).over(w).alias(
+                f"_f_{c}"
+            )
             for c in value_cols
-        ],
-    )
+        ]
+    else:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy("_ts", "_src")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        fill = [
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(
+                f"_f_{c}"
+            )
+            for c in value_cols
+        ]
+    filled = unioned.select(*unioned.columns, *fill)
     out = filled.filter(F.col("_src") == left_tag)
     for c in value_cols:
         out = out.drop(f"{c}{suffix}").withColumnRenamed(f"_f_{c}", f"{c}{suffix}")

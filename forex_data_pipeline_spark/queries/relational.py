@@ -1682,3 +1682,37 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("first_key_nulls_first"),
     )
+
+
+@register(
+    "asof_forward_next_purchase",
+    oracle="""
+    SELECT v.event_id, v.user_id, v.ts,
+           (SELECT arg_min(p.value, p.ts) FROM events p
+            WHERE p.event_type = 'purchase'
+              AND p.user_id = v.user_id
+              AND p.ts >= v.ts) AS value_next_purchase
+    FROM events v
+    WHERE v.event_type = 'view'
+    """,
+    doc="FORWARD as-of join: each view gets the value of the user's "
+    "NEXT purchase at-or-after it — the attribution/label-lookup "
+    "direction (what outcome followed this event), mirror of the "
+    "backward form. Same union + key-partitioned window plan, frame "
+    "flipped to [current, unbounded following]; one shuffle, no "
+    "inequality-join row explosion.",
+    tags=("join", "timeseries", "window"),
+)
+def asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        views, purchases, ["user_id"], "ts", "ts", ["value"],
+        suffix="_next_purchase", direction="forward",
+    )
+    return out.select("event_id", "user_id", "ts", "value_next_purchase")
