@@ -1716,3 +1716,42 @@ def asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         suffix="_next_purchase", direction="forward",
     )
     return out.select("event_id", "user_id", "ts", "value_next_purchase")
+
+
+@register(
+    "price_histogram",
+    oracle="""
+    SELECT CAST(CASE WHEN b < 0 THEN 0 WHEN b > 11 THEN 11 ELSE b END
+                AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                AS DOUBLE) AS min_price,
+           CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                AS DOUBLE) AS max_price
+    FROM (SELECT o_totalprice,
+                 CAST(floor(o_totalprice / 50000) AS BIGINT) AS b
+          FROM orders)
+    GROUP BY 1
+    """,
+    doc="Equi-width histogram (width_bucket semantics: 50k-wide price "
+    "buckets, clamped under/overflow bins) — the profiling primitive "
+    "behind data exploration and skew diagnosis. Bucket assignment is "
+    "a map-side integer floor (one expression, no join against a "
+    "bucket table); one hash-agg shuffle keyed by ≤12 buckets, "
+    "partial-aggregated to a handful of rows per task regardless of "
+    "input size. Bucket edges are exact integer math; min/max are "
+    "presented as exact cents.",
+    tags=("aggregation", "stats"),
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    b = F.floor(F.col("o_totalprice") / 50000).cast("bigint")
+    bucket = (
+        F.when(b < 0, F.lit(0)).when(b > 11, F.lit(11)).otherwise(b)
+    ).cast("bigint")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.min(cents) / 100.0).cast("double").alias("min_price"),
+        (F.max(cents) / 100.0).cast("double").alias("max_price"),
+    )
