@@ -1572,3 +1572,48 @@ def cross_corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (n_hits * 20 >= F.col("n_shingles")).alias("flagged_5pct"),
     )
+
+
+@register(
+    "vocab_top5_per_lang",
+    oracle=f"""
+    SELECT lang, token, n_occurrences
+    FROM (
+        SELECT d.lang, t.token, CAST(count(*) AS BIGINT) AS n_occurrences,
+               row_number() OVER (
+                   PARTITION BY d.lang
+                   ORDER BY count(*) DESC, t.token) AS rn
+        FROM (SELECT doc_id, unnest(toks) AS token FROM ({_TOK_CTE})) t
+        JOIN documents d ON d.doc_id = t.doc_id
+        WHERE t.token != ''
+        GROUP BY d.lang, t.token)
+    WHERE rn <= 5
+    """,
+    doc="Per-language vocabulary top-k: token counts keyed by "
+    "(lang, token) — partial aggregation collapses the exploded "
+    "stream map-side, the per-lang ranking is a windowed group-limit "
+    "(pushed down, each language keeps only its running top-5) with a "
+    "total tie-break. The per-stratum profile that drives "
+    "language-balanced corpus sampling; one shuffle keyed by "
+    "(lang, token), one by lang.",
+    tags=("llm", "text", "topk"),
+)
+def vocab_top5_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").repartition(32, "doc_id")
+    tok = (
+        docs.select(
+            "lang", F.explode(tokens(F.col("text"))).alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
+    agg = tok.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_occurrences").desc(), "token"
+    )
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "token", "n_occurrences")
+    )
