@@ -1755,3 +1755,91 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.min(cents) / 100.0).cast("double").alias("min_price"),
         (F.max(cents) / 100.0).cast("double").alias("max_price"),
     )
+
+
+@register(
+    "heavy_hitter_keys",
+    oracle="""
+    WITH per_key AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM orders)
+    SELECT o_custkey, n,
+           CAST(n AS DOUBLE) / n_total AS share,
+           CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY n DESC, o_custkey) AS rn
+          FROM per_key), tot
+    WHERE rn <= 10
+    """,
+    doc="Heavy-hitter diagnosis: the top-10 hottest join/agg keys and "
+    "their share of the table — the profiling query you run BEFORE "
+    "choosing a skew strategy (salting via operators/skew.py, AQE "
+    "skew-join, or broadcast). One key-partial-aggregated shuffle "
+    "(bytes ∝ distinct keys), a tiny scalar total joined as a "
+    "single-row broadcast, integer/integer share.",
+    tags=("aggregation", "stats", "topk"),
+)
+def heavy_hitter_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    per_key = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    tot = o.agg(F.count(F.lit(1)).alias("n_total"))
+    w = Window.orderBy(F.col("n").desc(), "o_custkey")
+    return (
+        per_key.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o_custkey",
+            "n",
+            (F.col("n").cast("double") / F.col("n_total")).alias("share"),
+            "rank",
+        )
+    )
+
+
+@register(
+    "array_set_operations",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               list_sort(list_distinct(list(o_orderpriority)))
+                   AS prios
+        FROM orders WHERE o_custkey < 100 GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           CAST(len(prios) AS BIGINT) AS n_distinct_prios,
+           coalesce(array_to_string(list_sort(list_intersect(prios,
+               ['1-URGENT', '2-HIGH'])), ','), '') AS urgent_overlap,
+           coalesce(array_to_string(list_sort(list_filter(prios,
+               p -> NOT list_contains(['1-URGENT', '2-HIGH'], p))), ','), '')
+               AS non_urgent,
+           list_has_any(prios, ['1-URGENT']) AS has_urgent
+    FROM per_cust
+    """,
+    doc="Array set-operation family (intersect / except / overlap-test "
+    "/ distinct) on collected per-customer priority sets — all "
+    "map-side codegen expressions after one collect_set shuffle. "
+    "Arrays are sorted before string presentation so the distributed "
+    "collect order never leaks into results.",
+    tags=("scalar", "aggregation"),
+)
+def array_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    urgent = F.array(F.lit("1-URGENT"), F.lit("2-HIGH"))
+    per_cust = o.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_set("o_orderpriority")).alias("prios")
+    )
+    return per_cust.select(
+        "o_custkey",
+        F.size("prios").cast("bigint").alias("n_distinct_prios"),
+        F.array_join(
+            F.array_sort(F.array_intersect("prios", urgent)), ","
+        ).alias("urgent_overlap"),
+        F.array_join(
+            F.array_sort(F.array_except("prios", urgent)), ","
+        ).alias("non_urgent"),
+        F.arrays_overlap(
+            "prios", F.array(F.lit("1-URGENT"))
+        ).alias("has_urgent"),
+    )
