@@ -1843,3 +1843,87 @@ def array_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prios", F.array(F.lit("1-URGENT"))
         ).alias("has_urgent"),
     )
+
+
+@register(
+    "rfm_segments",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               max(CAST(o_orderdate AS DATE)) AS last_order,
+               CAST(count(*) AS BIGINT) AS frequency,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey, frequency,
+               CAST(cents / 100.0 AS DOUBLE) AS monetary,
+               ntile(4) OVER (ORDER BY last_order, o_custkey) AS r,
+               ntile(4) OVER (ORDER BY frequency, o_custkey) AS f,
+               ntile(4) OVER (ORDER BY cents, o_custkey) AS m
+        FROM per_cust
+    )
+    SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+           CAST(m AS BIGINT) AS m,
+           CASE WHEN r = 4 AND f = 4 AND m = 4 THEN 'champion'
+                WHEN r >= 3 AND f >= 3 THEN 'loyal'
+                WHEN r <= 1 THEN 'lapsed'
+                ELSE 'regular' END AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(round(monetary * 100) AS BIGINT)) / 100.0
+                AS DOUBLE) AS segment_value
+    FROM scored GROUP BY r, f, m
+    """,
+    doc="RFM segmentation (recency/frequency/monetary quartiles via "
+    "ntile + rule-based segment labels): the classic customer-value "
+    "rollup. Every ntile ordering carries the customer key as a total "
+    "tie-break — without it quartile boundaries are "
+    "partitioning-dependent and the result non-deterministic (the "
+    "bug this query exists to demonstrate avoiding). Money stays "
+    "exact integer cents through both aggregations.",
+    tags=("window", "aggregation", "analytics"),
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        "frequency",
+        (F.col("cents") / 100.0).cast("double").alias("monetary"),
+        F.ntile(4)
+        .over(Window.orderBy("last_order", "o_custkey"))
+        .cast("bigint")
+        .alias("r"),
+        F.ntile(4)
+        .over(Window.orderBy("frequency", "o_custkey"))
+        .cast("bigint")
+        .alias("f"),
+        F.ntile(4)
+        .over(Window.orderBy("cents", "o_custkey"))
+        .cast("bigint")
+        .alias("m"),
+    )
+    seg = (
+        F.when(
+            (F.col("r") == 4) & (F.col("f") == 4) & (F.col("m") == 4),
+            "champion",
+        )
+        .when((F.col("r") >= 3) & (F.col("f") >= 3), "loyal")
+        .when(F.col("r") <= 1, "lapsed")
+        .otherwise("regular")
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.first(seg).alias("segment"),
+        F.count(F.lit(1)).alias("n_customers"),
+        (
+            F.sum(F.round(F.col("monetary") * 100).cast("long")) / 100.0
+        )
+        .cast("double")
+        .alias("segment_value"),
+    ).select("r", "f", "m", "segment", "n_customers", "segment_value")

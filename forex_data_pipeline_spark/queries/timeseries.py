@@ -752,3 +752,65 @@ def ts_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a_type", "a_day", "b_type", "b_day", "dist2_micro", "n_hours"
         )
     )
+
+
+@register(
+    "zscore_anomaly_days",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+               sum(CAST(round(value * 1000) AS BIGINT)) AS v_milli
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(v_milli) AS s,
+               sum(v_milli * v_milli) AS ss
+        FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.day,
+           CAST(d.v_milli AS BIGINT) AS v_milli,
+           (d.v_milli - CAST(s AS DOUBLE) / n)
+               / sqrt(CAST(n * ss - s * s AS DOUBLE) / (n * n)) AS z
+    FROM daily d JOIN stats USING (event_type)
+    WHERE abs((d.v_milli - CAST(s AS DOUBLE) / n)
+              / sqrt(CAST(n * ss - s * s AS DOUBLE) / (n * n))) > 1.5
+    """,
+    doc="Z-score anomaly detection on daily per-series volume: "
+    "population mean/stddev assembled from EXACT long sums (milli "
+    "units; n, Σx, Σx² — the re-aggregable moment triple), then one "
+    "deterministic double expression per day, flagging |z| > 1.5. "
+    "The per-series stats table is series-cardinality → broadcast "
+    "back onto the daily table; one event-scan shuffle total. The "
+    "monitoring primitive for feed outages and volume spikes "
+    "(the reference has no alerting at all — daily_run.yml only "
+    "fails the workflow).",
+    tags=("timeseries", "stats", "aggregation"),
+)
+def zscore_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.col("ts").cast("date").cast("string").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 1000).cast("bigint")).alias(
+            "v_milli"
+        )
+    )
+    v = F.col("v_milli")
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("ss"),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    z = (v - s.cast("double") / n) / F.sqrt(
+        (n * ss - s * s).cast("double") / (n * n)
+    )
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select("event_type", "day", "v_milli", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 1.5)
+    )
