@@ -1927,3 +1927,99 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("segment_value"),
     ).select("r", "f", "m", "segment", "n_customers", "segment_value")
+
+
+@register(
+    "null_safe_join",
+    oracle="""
+    WITH a AS (
+        SELECT nullif(o_orderpriority, '1-URGENT') AS p,
+               CAST(count(*) AS BIGINT) AS n_a
+        FROM orders WHERE o_orderstatus = 'O' GROUP BY 1
+    ),
+    b AS (
+        SELECT nullif(o_orderpriority, '1-URGENT') AS p,
+               CAST(count(*) AS BIGINT) AS n_b
+        FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+    )
+    SELECT coalesce(a.p, '<null>') AS priority, n_a, n_b
+    FROM a JOIN b ON a.p IS NOT DISTINCT FROM b.p
+    """,
+    doc="NULL-safe equality join (<=> / IS NOT DISTINCT FROM): the two "
+    "NULL groups MATCH each other — a plain equi-join would silently "
+    "drop them (NULL = NULL is NULL), the classic silent-data-loss "
+    "bug when joining on nullable keys. Catalyst plans <=> as an "
+    "ordinary hash join key, so the fix costs nothing.",
+    tags=("join", "scalar"),
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    p = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("p")
+
+    def side(status: str, out: str) -> DataFrame:
+        return (
+            o.filter(F.col("o_orderstatus") == status)
+            .groupBy(p)
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    a, b = side("O", "n_a"), side("F", "n_b")
+    return a.join(b, a["p"].eqNullSafe(b["p"])).select(
+        F.coalesce(a["p"], F.lit("<null>")).alias("priority"),
+        "n_a",
+        "n_b",
+    )
+
+
+@register(
+    "weekly_revenue_change",
+    oracle="""
+    WITH weekly AS (
+        SELECT o_orderstatus,
+               CAST(date_trunc('week', CAST(o_orderdate AS DATE))
+                    AS VARCHAR) AS week_start,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderstatus, week_start,
+           CAST(cents / 100.0 AS DOUBLE) AS revenue,
+           CAST((cents - lag(cents) OVER w) / 100.0 AS DOUBLE)
+               AS wow_change,
+           CAST(cents - first_value(cents) OVER w AS BIGINT)
+               AS cents_vs_first_week
+    FROM weekly
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY week_start)
+    """,
+    doc="Week-over-week change: ISO-week truncation, exact-cents "
+    "weekly rollup, then lag/first_value deltas per status — the "
+    "reporting idiom layered on the engine's date + window + exact "
+    "money primitives. The week key is presented as a string so both "
+    "engines hash the same calendar fact, not their date reprs.",
+    tags=("window", "aggregation", "analytics"),
+)
+def weekly_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    weekly = o.groupBy(
+        "o_orderstatus",
+        F.date_trunc("week", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .cast("string")
+        .alias("week_start"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy("week_start")
+    c = F.col("cents")
+    return weekly.select(
+        "o_orderstatus",
+        "week_start",
+        (c / 100.0).cast("double").alias("revenue"),
+        ((c - F.lag(c).over(w)) / 100.0).cast("double").alias(
+            "wow_change"
+        ),
+        (c - F.first(c).over(w)).cast("bigint").alias(
+            "cents_vs_first_week"
+        ),
+    )
