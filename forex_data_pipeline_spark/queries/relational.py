@@ -2023,3 +2023,52 @@ def weekly_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents_vs_first_week"
         ),
     )
+
+
+@register(
+    "parts_supplied_by_nation",
+    oracle="""
+    SELECT n_name, p_brand,
+           CAST(count(DISTINCT l.l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                / 100.0 AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN part ON p_partkey = l.l_partkey
+    JOIN supplier ON s_suppkey = l.l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_size >= 30
+    GROUP BY n_name, p_brand
+    """,
+    doc="TPC-H Q2/Q9-flavored catalog rollup over the two least-hot "
+    "dimensions (part, supplier): lineitem enriched through part → "
+    "supplier → nation, filtered on part size, rolled up to "
+    "(nation, brand) with a distinct-part count and exact-cents "
+    "revenue. part and supplier broadcast below the threshold; the "
+    "only wide shuffle is the final group-by — and the p_size filter "
+    "prunes the broadcast build side before the join.",
+    tags=("join", "aggregation"),
+)
+def parts_supplied_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pa = load(spark, sf_dir, "part").filter(F.col("p_size") >= 30)
+    su = load(spark, sf_dir, "supplier")
+    na = load(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .groupBy("n_name", "p_brand")
+        .agg(
+            F.count_distinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                )
+                / 100.0
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
