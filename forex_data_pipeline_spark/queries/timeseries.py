@@ -814,3 +814,48 @@ def zscore_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day", "v_milli", z.alias("z"))
         .filter(F.abs(F.col("z")) > 1.5)
     )
+
+
+@register(
+    "interval_completeness_audit",
+    oracle="""
+    WITH per_day AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+               CAST(count(DISTINCT CAST(floor(epoch(ts) / 300) AS BIGINT))
+                    AS BIGINT) AS n_buckets_with_data
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, n_buckets_with_data,
+           CAST(288 - n_buckets_with_data AS BIGINT) AS n_missing,
+           CAST(n_buckets_with_data AS DOUBLE) / 288 AS coverage
+    FROM per_day
+    WHERE n_buckets_with_data < 288
+    """,
+    doc="Feed-completeness audit: per (series, day), how many of the "
+    "288 five-minute buckets actually contain ticks — the "
+    "data-SLA check a market-data pipeline runs before trusting a "
+    "day's candles (the reference can only fail the whole workflow; "
+    "this localizes WHICH series-days are short). Bucket identity is "
+    "integer epoch floor; the distinct-count is keyed by (series, "
+    "day) so partial aggregation collapses ticks map-side. Companion "
+    "to candles_gap_fill, which repairs what this detects.",
+    tags=("timeseries", "quality", "aggregation"),
+)
+def interval_completeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bucket_id = F.floor(
+        F.unix_timestamp(F.col("ts").cast("timestamp")) / 300
+    ).cast("bigint")
+    per_day = ev.groupBy(
+        "event_type",
+        F.col("ts").cast("date").cast("string").alias("day"),
+    ).agg(F.count_distinct(bucket_id).alias("n_buckets_with_data"))
+    n = F.col("n_buckets_with_data")
+    return per_day.select(
+        "event_type",
+        "day",
+        "n_buckets_with_data",
+        (F.lit(288) - n).cast("bigint").alias("n_missing"),
+        (n.cast("double") / 288).alias("coverage"),
+    ).filter(n < 288)

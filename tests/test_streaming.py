@@ -281,3 +281,55 @@ def test_stream_merge_restart_recovers_from_checkpoint(spark, tmp_path):
     # k=1 from batch 1 survives any replay un-duplicated; k=2 upserted
     assert got.k.tolist() == [1, 2, 3]
     assert got.v.tolist() == [10, 22, 30]
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark (Spark 3.5+): duplicate keys
+    arriving within the watermark delay are dropped, and the dedup
+    state is EXPIRABLE (bounded by the watermark) — unlike plain
+    streaming dropDuplicates whose state grows forever."""
+    src = tmp_path / "ddw_src"
+    src.mkdir()
+    ticks = pd.DataFrame(
+        {
+            "k": [1, 1, 2, 2, 3],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:00",
+                    "2024-01-01 00:00:30",  # dup of k=1, 30s later
+                    "2024-01-01 00:01:00",
+                    "2024-01-01 00:01:20",  # dup of k=2
+                    "2024-01-01 00:02:00",
+                ]
+            ),
+            "v": [10, 11, 20, 21, 30],
+        }
+    )
+    sdf = spark.createDataFrame(ticks).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    sdf.coalesce(1).write.parquet(str(src / "f1"))
+
+    stream = (
+        spark.readStream.schema(sdf.schema)
+        .parquet(str(src / "*"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["k"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ddw_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ddw_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.table("ddw_t").toPandas().sort_values("k").reset_index(
+            drop=True
+        )
+    )
+    assert got.k.tolist() == [1, 2, 3]
+    # first arrival per key wins (v=10, 20, 30)
+    assert got.v.tolist() == [10, 20, 30]
