@@ -1617,3 +1617,66 @@ def vocab_top5_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("lang", "token", "n_occurrences")
     )
+
+
+@register(
+    "lsh_precision_recall",
+    oracle=f"""
+    WITH est AS ({{est}}),
+    tru AS ({{tru}})
+    SELECT CAST((SELECT count(*) FROM est) AS BIGINT) AS n_estimated,
+           CAST((SELECT count(*) FROM tru) AS BIGINT) AS n_true,
+           CAST((SELECT count(*) FROM est JOIN tru
+                 ON est.a_id = tru.a_id AND est.b_id = tru.b_id)
+                AS BIGINT) AS n_both,
+           CAST((SELECT count(*) FROM est JOIN tru
+                 ON est.a_id = tru.a_id AND est.b_id = tru.b_id)
+                AS DOUBLE)
+               / (SELECT count(*) FROM est) AS precision,
+           CAST((SELECT count(*) FROM est JOIN tru
+                 ON est.a_id = tru.a_id AND est.b_id = tru.b_id)
+                AS DOUBLE)
+               / (SELECT count(*) FROM tru) AS recall
+    """,
+    doc="Self-evaluation of the approximate dedup stack: the "
+    "MinHash-LSH candidate pairs (estimated Jaccard ≥ 0.5) scored "
+    "against the exact n-gram Jaccard pairs (true J ≥ 0.5) — "
+    "precision and recall as integer-ratio doubles. This is the "
+    "query a pipeline owner runs on a sample BEFORE trusting LSH on "
+    "the full 100 TB corpus; both operand pipelines are the already-"
+    "verified registered queries, composed unchanged (engine "
+    "queries compose like relations — the point of a relational "
+    "API).",
+    tags=("llm", "dedup", "stats"),
+)
+def lsh_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    est = minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
+    tru = ngram_jaccard_pairs(spark, sf_dir).select("a_id", "b_id")
+    both = est.join(tru, ["a_id", "b_id"])
+    n_est = est.agg(F.count(F.lit(1)).alias("n_estimated"))
+    n_tru = tru.agg(F.count(F.lit(1)).alias("n_true"))
+    n_both = both.agg(F.count(F.lit(1)).alias("n_both"))
+    return (
+        n_est.crossJoin(n_tru)
+        .crossJoin(n_both)
+        .select(
+            "n_estimated",
+            "n_true",
+            "n_both",
+            (F.col("n_both").cast("double") / F.col("n_estimated")).alias(
+                "precision"
+            ),
+            (F.col("n_both").cast("double") / F.col("n_true")).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+# splice the operand oracles in (they are registered above in this module)
+from ..catalog import REGISTRY as _REG  # noqa: E402
+
+_REG["lsh_precision_recall"].oracle = _REG["lsh_precision_recall"].oracle.format(
+    est=f"SELECT a_id, b_id FROM ({_LSH_PAIRS_ORACLE})",
+    tru=f"SELECT a_id, b_id FROM ({_REG['ngram_jaccard_pairs'].oracle})",
+)

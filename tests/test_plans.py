@@ -195,3 +195,19 @@ def test_dynamic_partition_pruning_on_fact_join(spark, sf_dir, tmp_path):
     ).count()
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """Join-strategy hints must reach the planner: SHUFFLE_HASH forces
+    ShuffledHashJoin and MERGE forces SortMergeJoin even where the
+    default would broadcast — the manual override used when a
+    'small' side is known to blow past the broadcast threshold at
+    production scale."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+
+    shj = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+    assert "ShuffledHashJoin" in shj._jdf.queryExecution().executedPlan().toString()
+
+    smj = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+    assert "SortMergeJoin" in smj._jdf.queryExecution().executedPlan().toString()
