@@ -2072,3 +2072,54 @@ def parts_supplied_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@register(
+    "part_affinity_pairs",
+    oracle="""
+    SELECT a_part, b_part, n_orders_together
+    FROM (
+        SELECT a.l_partkey AS a_part, b.l_partkey AS b_part,
+               CAST(count(*) AS BIGINT) AS n_orders_together,
+               row_number() OVER (
+                   ORDER BY count(*) DESC, a.l_partkey, b.l_partkey)
+                   AS rn
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey)
+    WHERE rn <= 20
+    """,
+    doc="Market-basket affinity: part pairs co-occurring in the same "
+    "order, top-20. The self-join is keyed on l_orderkey, so the "
+    "pair blow-up is per-order LOCAL — bounded by (items/order "
+    "choose 2), ~21 pairs for TPC-H's ≤7 items — i.e. linear in "
+    "orders, never corpus². Distinct-first collapses repeated parts "
+    "per order before pairing; the co-occurrence count partial-"
+    "aggregates before its shuffle. The same shape mines token "
+    "co-occurrence and item2vec training pairs.",
+    tags=("join", "aggregation", "topk", "analytics"),
+)
+def part_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a_part")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("b_part")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("a_part") < F.col("b_part"))
+        .groupBy("a_part", "b_part")
+        .agg(F.count(F.lit(1)).alias("n_orders_together"))
+    )
+    w = Window.orderBy(
+        F.col("n_orders_together").desc(), "a_part", "b_part"
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("a_part", "b_part", "n_orders_together")
+    )

@@ -859,3 +859,52 @@ def interval_completeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(288) - n).cast("bigint").alias("n_missing"),
         (n.cast("double") / 288).alias("coverage"),
     ).filter(n < 288)
+
+
+@register(
+    "dow_hour_seasonality",
+    oracle="""
+    WITH cell AS (
+        SELECT event_type,
+               CAST(isodow(ts) AS BIGINT) AS dow,
+               CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_total
+            FROM events GROUP BY 1)
+    SELECT cell.event_type, dow, hr, n_events,
+           CAST(n_events AS DOUBLE) / n_total AS share
+    FROM cell JOIN tot ON cell.event_type = tot.event_type
+    """,
+    doc="Day-of-week × hour seasonality heatmap per series (ISO day "
+    "numbering, shares as exact integer ratios): the traffic-shape "
+    "profile behind capacity planning and anomaly baselines. Two "
+    "aggregations over one scan; the per-series totals are "
+    "series-cardinality and broadcast back onto the cells.",
+    tags=("timeseries", "aggregation", "analytics"),
+)
+def dow_hour_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        "event_type",
+        F.dayofweek("ts").alias("_dow_sun1"),
+        F.hour("ts").cast("bigint").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    # Spark dayofweek is 1=Sunday; ISO wants 1=Monday..7=Sunday
+    cell = cell.select(
+        "event_type",
+        ((F.col("_dow_sun1") + 5) % 7 + 1).cast("bigint").alias("dow"),
+        "hr",
+        "n_events",
+    )
+    tot = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_total"))
+    return cell.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "dow",
+        "hr",
+        "n_events",
+        (F.col("n_events").cast("double") / F.col("n_total")).alias(
+            "share"
+        ),
+    )
