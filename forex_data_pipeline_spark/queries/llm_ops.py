@@ -1680,3 +1680,50 @@ _REG["lsh_precision_recall"].oracle = _REG["lsh_precision_recall"].oracle.format
     est=f"SELECT a_id, b_id FROM ({_LSH_PAIRS_ORACLE})",
     tru=f"SELECT a_id, b_id FROM ({_REG['ngram_jaccard_pairs'].oracle})",
 )
+
+
+@register(
+    "dedup_survivorship",
+    oracle="""
+    __SPLICED_AT_IMPORT__
+    """,
+    doc="Survivorship after clustering: within each near-dup cluster "
+    "keep the HIGHEST-QUALITY member (longest text, doc_id "
+    "tie-break) rather than the arbitrary min-id canonical — the "
+    "keep-best policy real corpus dedup ships. Composes the verified "
+    "dedup_clusters labels with the documents table: one "
+    "doc-cardinality join + per-cluster window; survivors are "
+    "rank 1.",
+    tags=("llm", "dedup", "window"),
+)
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    return (
+        labels.join(docs, "doc_id")
+        .withColumn("rank_in_cluster", F.row_number().over(w).cast("bigint"))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "n_chars",
+            "rank_in_cluster",
+            (F.col("rank_in_cluster") == 1).alias("is_survivor"),
+        )
+    )
+
+
+_REG["dedup_survivorship"].oracle = f"""
+    WITH labeled AS ({_REG['dedup_clusters'].oracle})
+    SELECT l.doc_id, l.cluster_id, d.n_chars,
+           CAST(row_number() OVER (
+               PARTITION BY l.cluster_id
+               ORDER BY d.n_chars DESC, l.doc_id) AS BIGINT)
+               AS rank_in_cluster,
+           row_number() OVER (
+               PARTITION BY l.cluster_id
+               ORDER BY d.n_chars DESC, l.doc_id) = 1 AS is_survivor
+    FROM labeled l JOIN documents d ON l.doc_id = d.doc_id
+    """

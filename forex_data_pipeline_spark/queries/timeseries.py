@@ -908,3 +908,62 @@ def dow_hour_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share"
         ),
     )
+
+
+@register(
+    "growth_accounting_daily",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    seq AS (
+        SELECT user_id, day,
+               lag(day) OVER (PARTITION BY user_id ORDER BY day)
+                   AS prev_day,
+               row_number() OVER (PARTITION BY user_id ORDER BY day)
+                   AS rn
+        FROM ud
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_new,
+           CAST(count(*) FILTER (
+               WHERE rn > 1 AND prev_day = day - INTERVAL 1 DAY)
+               AS BIGINT) AS n_retained,
+           CAST(count(*) FILTER (
+               WHERE rn > 1 AND prev_day < day - INTERVAL 1 DAY)
+               AS BIGINT) AS n_resurrected
+    FROM seq GROUP BY day
+    """,
+    doc="Growth accounting: every active (user, day) classified as "
+    "new / retained / resurrected from each user's OWN previous "
+    "active day (one lag window keyed by user — no day×day self-join "
+    "of the activity matrix, which is the quadratic way). Daily "
+    "rollup is a second, smaller aggregation; counts are exact "
+    "longs. n_active = new + retained + resurrected by construction "
+    "— the identity auditors check.",
+    tags=("timeseries", "window", "analytics"),
+)
+def growth_accounting_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    seq = ud.select(
+        "user_id",
+        "day",
+        F.lag("day").over(w).alias("prev_day"),
+        F.row_number().over(w).alias("rn"),
+    )
+    prev, day, rn = F.col("prev_day"), F.col("day"), F.col("rn")
+    return seq.groupBy(day.cast("string").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.count_if(rn == 1).alias("n_new"),
+        F.count_if((rn > 1) & (prev == F.date_sub(day, 1))).alias(
+            "n_retained"
+        ),
+        F.count_if((rn > 1) & (prev < F.date_sub(day, 1))).alias(
+            "n_resurrected"
+        ),
+    )
