@@ -2123,3 +2123,53 @@ def part_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("a_part", "b_part", "n_orders_together")
     )
+
+
+@register(
+    "shipping_delay_stats",
+    oracle="""
+    WITH d AS (
+        SELECT o_orderpriority,
+               CAST(datediff('day', CAST(o_orderdate AS DATE),
+                             CAST(l_shipdate AS DATE)) AS BIGINT)
+                   AS delay_days
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           CAST(sum(delay_days) AS BIGINT) AS total_delay_days,
+           CAST(sum(delay_days) AS DOUBLE) / count(*) AS avg_delay,
+           round(quantile_cont(delay_days, 0.5), 6) AS p50_delay,
+           round(quantile_cont(delay_days, 0.9), 6) AS p90_delay,
+           CAST(max(delay_days) AS BIGINT) AS max_delay
+    FROM d GROUP BY o_orderpriority
+    """,
+    doc="Operational SLA rollup: order→ship delay in whole days per "
+    "priority — exact integer day arithmetic, exact long sum (the "
+    "mean is one integer/integer divide), and exact interpolated "
+    "percentiles over integers. The orderkey join is the one "
+    "shuffle; the delay distribution answers 'does 1-URGENT actually "
+    "ship faster' — the question the priority column exists for.",
+    tags=("join", "aggregation", "stats"),
+)
+def shipping_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    d = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        )
+        .cast("bigint")
+        .alias("delay_days"),
+    )
+    dd = F.col("delay_days")
+    return d.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.sum(dd).alias("total_delay_days"),
+        (F.sum(dd).cast("double") / F.count(F.lit(1))).alias("avg_delay"),
+        F.round(F.percentile(dd, F.lit(0.5)), 6).alias("p50_delay"),
+        F.round(F.percentile(dd, F.lit(0.9)), 6).alias("p90_delay"),
+        F.max(dd).alias("max_delay"),
+    )

@@ -31,7 +31,7 @@ import shutil
 import uuid
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -188,3 +188,33 @@ def compact(
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
     return n
+
+
+def delete_rows(
+    spark: SparkSession,
+    path: str,
+    predicate: Column,
+    *,
+    partition_cols: Sequence[str] = (),
+) -> int:
+    """DELETE WHERE for a parquet table: rewrite ``path`` keeping only
+    rows NOT matching ``predicate``, atomically via temp-dir + swap
+    (same mechanics as :func:`compact`). Returns rows deleted.
+
+    The retention / right-to-erasure half of the CRUD surface the
+    MERGE writer (upsert) doesn't cover. On a partitioned table a
+    predicate on the partition column prunes the rewrite to affected
+    partitions at scan time (partition pruning makes untouched
+    partitions a metadata-only copy); with Delta/Iceberg the same call
+    maps to a native DELETE."""
+    df = spark.read.parquet(path)
+    keep = df.filter(~predicate)
+    n_total = df.count()
+    n_keep = keep.count()
+    tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
+    write_partitioned(keep, tmp, partition_cols)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return n_total - n_keep

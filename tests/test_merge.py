@@ -138,3 +138,32 @@ def test_parquet_schema_evolution_merge_schema(spark, tmp_path):
     assert (
         merged.filter(F.col("source_symbol") == "eur_usd").count() == 3
     )
+
+
+def test_delete_rows_retention_and_erasure(spark, tmp_path):
+    """delete_rows: retention/erasure rewrite must drop exactly the
+    matching rows, keep everything else byte-identical, and stay
+    atomic (table readable before and after)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from forex_data_pipeline_spark.sources.writers import delete_rows
+
+    path = str(tmp_path / "users")
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"user_id": [1, 2, 3, 4], "day": ["a", "a", "b", "b"],
+             "v": [10.0, 20.0, 30.0, 40.0]}
+        )
+    )
+    df.write.parquet(path)
+
+    n = delete_rows(spark, path, F.col("user_id") == 2)
+    assert n == 1
+    got = spark.read.parquet(path).orderBy("user_id").toPandas()
+    assert got.user_id.tolist() == [1, 3, 4]
+    assert got.v.tolist() == [10.0, 30.0, 40.0]
+
+    # deleting nothing is a no-op rewrite
+    assert delete_rows(spark, path, F.col("user_id") == 99) == 0
+    assert spark.read.parquet(path).count() == 3
