@@ -2173,3 +2173,56 @@ def shipping_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile(dd, F.lit(0.9)), 6).alias("p90_delay"),
         F.max(dd).alias("max_delay"),
     )
+
+
+@register(
+    "revenue_share_of_total",
+    oracle="""
+    WITH rev AS (
+        SELECT n_name,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    )
+    SELECT n_name,
+           CAST(cents / 100.0 AS DOUBLE) AS revenue,
+           CAST(cents AS DOUBLE) / sum(cents) OVER () AS share_of_total,
+           CAST(rank() OVER (ORDER BY cents DESC, n_name) AS BIGINT)
+               AS revenue_rank
+    FROM rev
+    """,
+    doc="Percent-of-total: per-nation revenue share via an "
+    "unbounded-window sum OVER () — computed on the AGGREGATED "
+    "(nation-cardinality) relation, so the single-partition window "
+    "that would be a bottleneck on raw data touches 25 rows. Exact "
+    "integer cents end to end; one integer/integer divide per share; "
+    "rank carries a name tie-break.",
+    tags=("window", "aggregation", "join", "analytics"),
+)
+def revenue_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    cu = load(spark, sf_dir, "customer")
+    na = load(spark, sf_dir, "nation")
+    rev = (
+        o.join(cu, o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    w_all = Window.partitionBy()
+    c = F.col("cents")
+    return rev.select(
+        "n_name",
+        (c / 100.0).cast("double").alias("revenue"),
+        (c.cast("double") / F.sum(c).over(w_all)).alias("share_of_total"),
+        F.rank()
+        .over(Window.orderBy(c.desc(), "n_name"))
+        .cast("bigint")
+        .alias("revenue_rank"),
+    )

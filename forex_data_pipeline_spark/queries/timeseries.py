@@ -967,3 +967,47 @@ def growth_accounting_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_resurrected"
         ),
     )
+
+
+@register(
+    "scd2_user_versions",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        FROM events WHERE user_id < 30
+    )
+    SELECT user_id,
+           CAST(day AS VARCHAR) AS valid_from,
+           CAST(lead(day) OVER (
+               PARTITION BY user_id ORDER BY day) AS VARCHAR)
+               AS valid_to,
+           lead(day) OVER (PARTITION BY user_id ORDER BY day) IS NULL
+               AS is_current,
+           CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY day) AS BIGINT)
+               AS version
+    FROM ud
+    """,
+    doc="SCD Type-2 dimension build: each user's activity days become "
+    "versioned validity intervals — valid_from = the day, valid_to = "
+    "the NEXT version's start (lead; NULL ⇒ open/current), plus a "
+    "version ordinal. One user-keyed window pass builds the whole "
+    "history table — the warehouse pattern for point-in-time joins "
+    "(which the as-of join then serves). valid_to strings are NULL "
+    "for current rows on both engines.",
+    tags=("timeseries", "window", "analytics"),
+)
+def scd2_user_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    nxt = F.lead("day").over(w)
+    return ud.select(
+        "user_id",
+        F.col("day").cast("string").alias("valid_from"),
+        nxt.cast("string").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+    )
