@@ -1011,3 +1011,58 @@ def scd2_user_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.isNull().alias("is_current"),
         F.row_number().over(w).cast("bigint").alias("version"),
     )
+
+
+@register(
+    "activity_streaks",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    g AS (
+        SELECT user_id, day,
+               day - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+        FROM ud
+    ),
+    streaks AS (
+        SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+               min(day) AS start_day
+        FROM g GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(min(start_day) AS VARCHAR) AS first_active_day
+    FROM streaks GROUP BY user_id
+    """,
+    doc="Gaps-and-islands: consecutive-day activity streaks per user "
+    "via the classic day − row_number() group key (consecutive days "
+    "share a constant difference), then two rollups — streak lengths, "
+    "then per-user summary. No self-join, no recursive CTE: one "
+    "user-keyed window plus co-partitioned aggregations, the "
+    "linear-cost form of the pattern. Longest streak + streak count "
+    "are the engagement metrics; the same shape finds sensor-uptime "
+    "islands and contiguous gap runs.",
+    tags=("timeseries", "window", "analytics"),
+)
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = ud.select(
+        "user_id",
+        "day",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("grp"),
+    )
+    streaks = g.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("day").alias("start_day"),
+    )
+    return streaks.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+        F.min("start_day").cast("string").alias("first_active_day"),
+    )
