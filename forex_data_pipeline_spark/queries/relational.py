@@ -2226,3 +2226,48 @@ def revenue_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("revenue_rank"),
     )
+
+
+@register(
+    "mad_robust_stats",
+    oracle="""
+    WITH med AS (
+        SELECT l_returnflag,
+               round(quantile_cont(CAST(l_quantity AS BIGINT), 0.5), 6)
+                   AS med_qty
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           m.med_qty,
+           round(quantile_cont(
+               abs(CAST(l.l_quantity AS BIGINT) - m.med_qty), 0.5), 6)
+               AS mad_qty
+    FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+    GROUP BY l.l_returnflag, m.med_qty
+    """,
+    doc="Robust statistics: median absolute deviation per group — the "
+    "outlier-resistant spread measure (stddev is hijacked by one bad "
+    "tick; MAD is not). Two-pass by necessity (the deviation needs "
+    "the median first): pass one aggregates per-group medians "
+    "(group-cardinality, broadcast back), pass two takes the median "
+    "of absolute deviations. Quantities are exact integers; the "
+    "interpolated median is the same deterministic expression both "
+    "engines compute.",
+    tags=("aggregation", "stats"),
+)
+def mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile(q, F.lit(0.5)), 6).alias("med_qty")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag", "med_qty")
+        .agg(
+            F.round(
+                F.percentile(F.abs(q - F.col("med_qty")), F.lit(0.5)), 6
+            ).alias("mad_qty")
+        )
+        .select("l_returnflag", "med_qty", "mad_qty")
+    )

@@ -1066,3 +1066,67 @@ def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").alias("longest_streak"),
         F.min("start_day").cast("string").alias("first_active_day"),
     )
+
+
+@register(
+    "point_in_time_join",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        FROM events WHERE user_id < 30
+    ),
+    dim AS (
+        SELECT user_id, day AS valid_from,
+               lead(day) OVER (PARTITION BY user_id ORDER BY day)
+                   AS valid_to,
+               CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY day) AS BIGINT)
+                   AS version
+        FROM ud
+    )
+    SELECT e.event_id, e.user_id, CAST(e.ts AS DATE) AS event_day,
+           d.version AS dim_version_at_event
+    FROM events e
+    JOIN dim d
+      ON e.user_id = d.user_id
+     AND CAST(e.ts AS DATE) >= d.valid_from
+     AND (d.valid_to IS NULL OR CAST(e.ts AS DATE) < d.valid_to)
+    WHERE e.user_id < 30
+    """,
+    doc="Point-in-time (temporal) join: each event matched to the SCD2 "
+    "dimension version VALID AT ITS TIMESTAMP — [valid_from, "
+    "valid_to) interval containment with an open current row. The "
+    "warehouse consumer of scd2_user_versions: training-data "
+    "pipelines use exactly this to avoid feature leakage (features "
+    "as-of the label time, never later). The join is user-keyed "
+    "first, so interval probing is per-user local; at scale the "
+    "as-of-join union+window form computes it with one shuffle.",
+    tags=("timeseries", "join", "analytics"),
+)
+def point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    dim = ud.select(
+        F.col("user_id").alias("d_user"),
+        F.col("day").alias("valid_from"),
+        F.lead("day").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+    )
+    eday = F.col("ts").cast("date")
+    return (
+        ev.join(
+            F.broadcast(dim),
+            (F.col("user_id") == F.col("d_user"))
+            & (eday >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (eday < F.col("valid_to"))),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            eday.alias("event_day"),
+            F.col("version").alias("dim_version_at_event"),
+        )
+    )
