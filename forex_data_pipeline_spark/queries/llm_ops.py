@@ -1727,3 +1727,59 @@ _REG["dedup_survivorship"].oracle = f"""
                ORDER BY d.n_chars DESC, l.doc_id) = 1 AS is_survivor
     FROM labeled l JOIN documents d ON l.doc_id = d.doc_id
     """
+
+
+@register(
+    "token_entropy",
+    oracle=f"""
+    WITH tc AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest(toks) AS term FROM ({_TOK_CTE}))
+        WHERE term != ''
+        GROUP BY doc_id, term
+    ),
+    tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM tc
+            GROUP BY doc_id)
+    SELECT tc.doc_id, tot.n AS n_tokens,
+           round(-sum((CAST(c AS DOUBLE) / n)
+                      * ln(CAST(c AS DOUBLE) / n)), 6) AS entropy_nats,
+           round(-sum((CAST(c AS DOUBLE) / n)
+                      * ln(CAST(c AS DOUBLE) / n))
+                 / ln(CAST(n AS DOUBLE)), 6) AS normalized_entropy
+    FROM tc JOIN tot ON tc.doc_id = tot.doc_id
+    GROUP BY tc.doc_id, tot.n
+    HAVING tot.n > 1
+    """,
+    doc="Shannon entropy of each document's token distribution (nats, "
+    "plus the max-entropy-normalized form) — the information-density "
+    "quality signal: near-zero entropy flags degenerate/repetitive "
+    "docs that repetition_stats' discrete fractions can miss. "
+    "Probabilities are exact integer ratios; the −Σ p·ln p sum runs "
+    "over per-(doc,term) rows keyed by doc_id (co-partitioned with "
+    "the count aggregation) and is rounded to 6 dp on both engines "
+    "to absorb last-ulp ln() differences.",
+    tags=("llm", "text", "stats"),
+)
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").repartition(32, "doc_id")
+    tc = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = tc.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    ent = -F.sum(p * F.log(p))
+    return (
+        tc.join(tot, "doc_id")
+        .groupBy("doc_id", F.col("n").alias("n_tokens"))
+        .agg(
+            F.round(ent, 6).alias("entropy_nats"),
+            F.round(ent / F.log(F.col("n_tokens").cast("double")), 6).alias(
+                "normalized_entropy"
+            ),
+        )
+        .filter(F.col("n_tokens") > 1)
+        .select("doc_id", "n_tokens", "entropy_nats", "normalized_entropy")
+    )

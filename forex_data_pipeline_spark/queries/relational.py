@@ -2271,3 +2271,43 @@ def mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "med_qty", "mad_qty")
     )
+
+
+@register(
+    "topk_with_ties",
+    oracle="""
+    SELECT o_orderstatus, o_orderkey,
+           CAST(CAST(round(o_totalprice * 100) AS BIGINT) / 100.0
+                AS DOUBLE) AS total_price,
+           CAST(rnk AS BIGINT) AS price_rank
+    FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+                 rank() OVER (
+                     PARTITION BY o_orderstatus
+                     ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
+                         DESC) AS rnk
+          FROM orders)
+    WHERE rnk <= 3
+    """,
+    doc="Top-k WITH TIES (rank ≤ k, not row_number ≤ k): every order "
+    "tied at a qualifying price survives, so the result is a "
+    "deterministic SET even though price ties exist — the correct "
+    "semantics when 'top 3 prices' means prices, not rows. Ranking "
+    "on exact integer cents removes float-comparison ambiguity; "
+    "Spark's window group-limit pushdown applies to rank() exactly "
+    "as to row_number().",
+    tags=("window", "topk"),
+)
+def topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_orderstatus").orderBy(cents.desc())
+    return (
+        o.withColumn("price_rank", F.rank().over(w).cast("bigint"))
+        .filter(F.col("price_rank") <= 3)
+        .select(
+            "o_orderstatus",
+            "o_orderkey",
+            (cents / 100.0).cast("double").alias("total_price"),
+            "price_rank",
+        )
+    )
