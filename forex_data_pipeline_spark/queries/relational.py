@@ -2311,3 +2311,49 @@ def topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_rank",
         )
     )
+
+
+@register(
+    "try_cast_safe_parsing",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT))
+                AS BIGINT) AS n_parsed,
+           CAST(count(*) FILTER (
+               WHERE TRY_CAST(o_orderpriority AS BIGINT) IS NULL)
+               AS BIGINT) AS n_unparseable_full,
+           CAST(sum(TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT))
+                AS BIGINT) AS priority_digit_sum,
+           CAST(max(CASE WHEN o_totalprice <> 0
+                    THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+                / 100.0 AS DOUBLE) AS max_nonzero_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Error-safe parsing family (TRY_CAST semantics): the priority "
+    "prefix digit parses, the full '1-URGENT' string does NOT — and "
+    "returns NULL instead of failing the query, which is the "
+    "difference between one malformed record and a dead 100 TB job. "
+    "NULL-skipping aggregates then count/sum only the parseable "
+    "values; the guarded division-free max shows the CASE-guard "
+    "twin. Pure map-side expressions, byte-identical across engines.",
+    tags=("scalar", "aggregation", "quality"),
+)
+def try_cast_safe_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    digit = F.expr(
+        "try_cast(substring(o_orderpriority, 1, 1) AS BIGINT)"
+    )
+    full = F.expr("try_cast(o_orderpriority AS BIGINT)")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(digit).alias("n_parsed"),
+        F.count_if(full.isNull()).alias("n_unparseable_full"),
+        F.sum(digit).alias("priority_digit_sum"),
+        (
+            F.max(F.when(F.col("o_totalprice") != 0, cents)) / 100.0
+        )
+        .cast("double")
+        .alias("max_nonzero_price"),
+    )
