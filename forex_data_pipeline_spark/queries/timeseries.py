@@ -1130,3 +1130,118 @@ def point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("version").alias("dim_version_at_event"),
         )
     )
+
+
+@register(
+    "cross_rate_series",
+    oracle=f"""
+    WITH candles AS (
+        SELECT {_bucket_sql('ts', 3600, 0)} AS candle_start, event_type,
+               arg_max(value, ts) AS close_value
+        FROM events WHERE event_type IN ('click', 'view')
+        GROUP BY 1, 2
+    )
+    SELECT a.candle_start,
+           a.close_value AS close_a,
+           b.close_value AS close_b,
+           round(a.close_value / b.close_value, 6) AS cross_rate
+    FROM candles a JOIN candles b
+      ON a.candle_start = b.candle_start
+    WHERE a.event_type = 'click' AND b.event_type = 'view'
+    """,
+    doc="Cross-rate triangulation — the forex operation the reference's "
+    "single-pair pipeline cannot do: two per-series hourly close "
+    "series aligned on candle_start (self-join of the aggregated "
+    "candle table, candle-cardinality — NOT the tick stream) and "
+    "divided into a synthetic cross rate (EUR/USD ÷ GBP/USD = "
+    "EUR/GBP). Closes are exact arg_max picks; the per-row division "
+    "is one deterministic IEEE op, rounded on both engines.",
+    tags=("timeseries", "join", "analytics"),
+)
+def cross_rate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.candles import bucket
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    candles = ev.groupBy(
+        bucket(F.col("ts"), 3600).alias("candle_start"),
+        "event_type",
+    ).agg(F.max_by("value", "ts").alias("close_value"))
+    a = candles.filter(F.col("event_type") == "click").select(
+        "candle_start", F.col("close_value").alias("close_a")
+    )
+    b = candles.filter(F.col("event_type") == "view").select(
+        "candle_start", F.col("close_value").alias("close_b")
+    )
+    return a.join(b, "candle_start").select(
+        "candle_start",
+        "close_a",
+        "close_b",
+        F.round(F.col("close_a") / F.col("close_b"), 6).alias(
+            "cross_rate"
+        ),
+    )
+
+
+@register(
+    "garman_klass_volatility",
+    oracle=f"""
+    WITH candles AS (
+        SELECT {_bucket_sql('ts', 3600, 0)} AS candle_start, event_type,
+               {_OHLC_AGG_SQL}
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(CAST(candle_start AS DATE) AS VARCHAR) AS day,
+           CAST(count(*) AS BIGINT) AS n_candles,
+           round(sum(0.5 * ln(high_value / low_value)
+                         * ln(high_value / low_value)
+                     - (2 * ln(2) - 1)
+                         * ln(close_value / open_value)
+                         * ln(close_value / open_value)), 6)
+               AS gk_variance
+    FROM candles
+    WHERE low_value > 0 AND open_value > 0
+    GROUP BY 1, 2
+    """,
+    doc="Garman-Klass daily volatility from hourly OHLC — the "
+    "range-based estimator (uses high/low information plain "
+    "close-to-close variance throws away), the indicator family the "
+    "reference's SMA mart would grow into. Per-candle terms are "
+    "deterministic double expressions on exact arg_min/arg_max "
+    "picks; the daily sum is rounded to 6 dp on both engines to "
+    "absorb last-ulp ln() and summation-order differences (the "
+    "magnitudes here are far from rounding boundaries).",
+    tags=("timeseries", "stats", "analytics"),
+)
+def garman_klass_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.candles import bucket
+
+    ev = load(spark, sf_dir, "events")
+    candles = ev.groupBy(
+        bucket(F.col("ts"), 3600).alias("candle_start"),
+        "event_type",
+    ).agg(
+        F.min_by("value", "ts").alias("open_value"),
+        F.max("value").alias("high_value"),
+        F.min("value").alias("low_value"),
+        F.max_by("value", "ts").alias("close_value"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+    hl = F.log(F.col("high_value") / F.col("low_value"))
+    co = F.log(F.col("close_value") / F.col("open_value"))
+    term = 0.5 * hl * hl - (2 * float(__import__("math").log(2)) - 1) * co * co
+    return (
+        candles.filter(
+            (F.col("low_value") > 0) & (F.col("open_value") > 0)
+        )
+        .groupBy(
+            "event_type",
+            F.col("candle_start").cast("date").cast("string").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_candles"),
+            F.round(F.sum(term), 6).alias("gk_variance"),
+        )
+    )
