@@ -1245,3 +1245,122 @@ def garman_klass_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(term), 6).alias("gk_variance"),
         )
     )
+
+
+@register(
+    "max_drawdown",
+    oracle=f"""
+    WITH candles AS (
+        SELECT {_bucket_sql('ts', 3600, 0)} AS candle_start, event_type,
+               arg_max(value, ts) AS close_value
+        FROM events GROUP BY 1, 2
+    ),
+    dd AS (
+        SELECT event_type, candle_start, close_value,
+               max(close_value) OVER (
+                   PARTITION BY event_type ORDER BY candle_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS running_peak
+        FROM candles
+    )
+    SELECT event_type,
+           min(close_value / running_peak - 1) AS max_drawdown,
+           max(running_peak) AS all_time_peak,
+           CAST(count(*) AS BIGINT) AS n_candles
+    FROM dd GROUP BY event_type
+    """,
+    doc="Maximum drawdown per series: running peak (unbounded-preceding "
+    "MAX window) then the worst peak-to-trough ratio — the risk "
+    "metric every trading pipeline reports. Every step is "
+    "order-independent or totally ordered: max/min are associative "
+    "over doubles, the running window is keyed and time-ordered, and "
+    "the per-row division is one IEEE op — so the result is exact "
+    "with NO rounding, at any partitioning.",
+    tags=("timeseries", "window", "stats", "analytics"),
+)
+def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.candles import bucket
+
+    ev = load(spark, sf_dir, "events")
+    candles = ev.groupBy(
+        bucket(F.col("ts"), 3600).alias("candle_start"),
+        "event_type",
+    ).agg(F.max_by("value", "ts").alias("close_value"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("candle_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = candles.withColumn(
+        "running_peak", F.max("close_value").over(w)
+    )
+    return dd.groupBy("event_type").agg(
+        F.min(
+            F.col("close_value") / F.col("running_peak") - 1
+        ).alias("max_drawdown"),
+        F.max("running_peak").alias("all_time_peak"),
+        F.count(F.lit(1)).alias("n_candles"),
+    )
+
+
+@register(
+    "log_returns_distribution",
+    oracle=f"""
+    WITH candles AS (
+        SELECT {_bucket_sql('ts', 3600, 0)} AS candle_start, event_type,
+               arg_max(value, ts) AS close_value
+        FROM events GROUP BY 1, 2
+    ),
+    rets AS (
+        SELECT event_type,
+               ln(close_value / lag(close_value) OVER (
+                   PARTITION BY event_type ORDER BY candle_start))
+                   AS log_ret
+        FROM candles
+    )
+    SELECT event_type,
+           CAST(CASE WHEN floor(log_ret * 10) < -5 THEN -5
+                     WHEN floor(log_ret * 10) > 4 THEN 4
+                     ELSE floor(log_ret * 10) END AS BIGINT) AS ret_bin,
+           CAST(count(*) AS BIGINT) AS n
+    FROM rets WHERE log_ret IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="Hourly log-return distribution per series, binned into "
+    "0.1-wide clamped buckets — the fat-tail profile behind risk "
+    "models. lag over the candle series gives consecutive-close "
+    "ratios; the coarse bin width (0.1 in log space vs ~1e-16 ln "
+    "ulp) makes integer bucketing engine-stable without rounding "
+    "games. Candle table is series×hours — three orders smaller than "
+    "ticks before any window runs.",
+    tags=("timeseries", "window", "stats"),
+)
+def log_returns_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.candles import bucket
+
+    ev = load(spark, sf_dir, "events")
+    candles = ev.groupBy(
+        bucket(F.col("ts"), 3600).alias("candle_start"),
+        "event_type",
+    ).agg(F.max_by("value", "ts").alias("close_value"))
+    w = Window.partitionBy("event_type").orderBy("candle_start")
+    log_ret = F.log(
+        F.col("close_value") / F.lag("close_value").over(w)
+    )
+    b = F.floor(log_ret * 10)
+    ret_bin = (
+        F.when(b < -5, F.lit(-5)).when(b > 4, F.lit(4)).otherwise(b)
+    ).cast("bigint")
+    return (
+        candles.select("event_type", log_ret.alias("log_ret"))
+        .filter(F.col("log_ret").isNotNull())
+        .groupBy(
+            "event_type",
+            F.when(F.floor(F.col("log_ret") * 10) < -5, F.lit(-5))
+            .when(F.floor(F.col("log_ret") * 10) > 4, F.lit(4))
+            .otherwise(F.floor(F.col("log_ret") * 10))
+            .cast("bigint")
+            .alias("ret_bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
