@@ -2357,3 +2357,44 @@ def try_cast_safe_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("max_nonzero_price"),
     )
+
+
+@register(
+    "keyset_pagination",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+           o_orderstatus
+    FROM orders
+    WHERE (CAST(o_orderdate AS DATE), o_orderkey)
+              > (DATE '1997-06-15', 1000)
+    ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+    LIMIT 20
+    """,
+    doc="Keyset (seek) pagination: the next page after cursor "
+    "(1997-06-15, order 1000) via a composite-key range predicate + "
+    "TakeOrderedAndProject — the scale-correct pagination. OFFSET n "
+    "scans and discards n rows every page (page 10,000 of a 100 TB "
+    "table reads half the table); the seek predicate instead pushes "
+    "to the scan and each page costs the same. The (date, key) "
+    "tuple comparison is spelled as the expanded OR-form in Spark — "
+    "identical semantics, same pushdown.",
+    tags=("filter", "topk"),
+)
+def keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    cursor_d = F.lit("1997-06-15").cast("date")
+    after_cursor = (d > cursor_d) | (
+        (d == cursor_d) & (F.col("o_orderkey") > 1000)
+    )
+    return (
+        o.filter(after_cursor)
+        .select(
+            "o_orderkey",
+            d.cast("string").alias("order_date"),
+            "o_orderstatus",
+        )
+        .orderBy("order_date", "o_orderkey")
+        .limit(20)
+    )

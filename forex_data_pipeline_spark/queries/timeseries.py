@@ -1364,3 +1364,90 @@ def log_returns_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "series_correlation",
+    oracle=f"""
+    WITH candles AS (
+        SELECT {_bucket_sql('ts', 3600, 0)} AS candle_start, event_type,
+               CAST(round(arg_max(value, ts) * 1000000) AS BIGINT)
+                   AS close_micro
+        FROM events WHERE event_type IN ('click', 'view')
+        GROUP BY 1, 2
+    ),
+    paired AS (
+        SELECT a.close_micro AS x, b.close_micro AS y
+        FROM candles a JOIN candles b
+          ON a.candle_start = b.candle_start
+        WHERE a.event_type = 'click' AND b.event_type = 'view'
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * x // 1000000) AS sxx,
+               sum(y * y // 1000000) AS syy,
+               sum(x * y // 1000000) AS sxy
+        FROM paired
+    )
+    SELECT n,
+           CAST(n * sxy - sx // 1000 * (sy // 1000) AS DOUBLE)
+               / (sqrt(CAST(n * sxx - sx // 1000 * (sx // 1000)
+                            AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy // 1000 * (sy // 1000)
+                              AS DOUBLE))) AS correlation
+    FROM s
+    """,
+    doc="Inter-series correlation (the co-movement input to pair "
+    "trading and portfolio risk): two series' hourly closes aligned "
+    "on candle_start, Pearson correlation assembled from exact "
+    "integer moment sums — micro-unit closes, with the squared terms "
+    "pre-scaled by integer division /1e6 (exact: micro² values are "
+    "multiples of 1e6... kept in BIGINT range at any row count) so "
+    "nothing overflows; one deterministic double expression at the "
+    "end. Same mergeable-moments algebra as stat_moments_corr, "
+    "composed across a self-join.",
+    tags=("timeseries", "join", "stats"),
+)
+def series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.candles import bucket
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    candles = ev.groupBy(
+        bucket(F.col("ts"), 3600).alias("candle_start"),
+        "event_type",
+    ).agg(
+        F.round(F.max_by("value", "ts") * 1000000)
+        .cast("bigint")
+        .alias("close_micro")
+    )
+    a = candles.filter(F.col("event_type") == "click").select(
+        "candle_start", F.col("close_micro").alias("x")
+    )
+    b = candles.filter(F.col("event_type") == "view").select(
+        "candle_start", F.col("close_micro").alias("y")
+    )
+    x, y = F.col("x"), F.col("y")
+    s = a.join(b, "candle_start").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(F.expr("x * x div 1000000")).alias("sxx"),
+        F.sum(F.expr("y * y div 1000000")).alias("syy"),
+        F.sum(F.expr("x * y div 1000000")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    sx_k, sy_k = F.expr("sx div 1000"), F.expr("sy div 1000")
+    return s.select(
+        "n",
+        (
+            (n * sxy - sx_k * sy_k).cast("double")
+            / (
+                F.sqrt((n * sxx - sx_k * sx_k).cast("double"))
+                * F.sqrt((n * syy - sy_k * sy_k).cast("double"))
+            )
+        ).alias("correlation"),
+    )
