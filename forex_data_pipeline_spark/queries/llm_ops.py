@@ -1783,3 +1783,39 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_tokens") > 1)
         .select("doc_id", "n_tokens", "entropy_nats", "normalized_entropy")
     )
+
+
+@register(
+    "token_prefix_counts",
+    oracle=f"""
+    SELECT prefix, CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT token) AS BIGINT) AS n_completions
+    FROM (
+        SELECT token, substr(token, 1, 2) AS prefix
+        FROM (SELECT unnest(toks) AS token FROM ({_TOK_CTE}))
+        WHERE strlen(token) >= 2
+    )
+    GROUP BY prefix
+    """,
+    doc="Token-prefix index (2-char prefixes → occurrence + distinct-"
+    "completion counts): the aggregation behind autocomplete "
+    "candidate ranking and trie construction. Prefix extraction is "
+    "map-side; partial aggregation collapses the exploded stream so "
+    "shuffle bytes ∝ distinct prefixes (≤ alphabet², tiny) while the "
+    "distinct-completion count shuffles (prefix, token) pairs — "
+    "vocabulary-bounded, corpus-size-independent.",
+    tags=("llm", "text", "aggregation"),
+)
+def token_prefix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").repartition(32, "doc_id")
+    tok = docs.select(
+        F.explode(tokens(F.col("text"))).alias("token")
+    ).filter(F.length("token") >= 2)
+    return (
+        tok.select("token", F.substring("token", 1, 2).alias("prefix"))
+        .groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("token").alias("n_completions"),
+        )
+    )

@@ -2398,3 +2398,57 @@ def keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("order_date", "o_orderkey")
         .limit(20)
     )
+
+
+@register(
+    "benford_first_digit",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT)
+                   AS first_digit
+        FROM orders WHERE o_totalprice > 0
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM d)
+    SELECT first_digit,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) AS DOUBLE) / n_total AS observed_share,
+           round(ln(1.0 + 1.0 / first_digit) / ln(10.0), 6)
+               AS benford_expected
+    FROM d, tot
+    GROUP BY first_digit, n_total
+    """,
+    doc="Benford's-law first-digit profile — the data-forensics check "
+    "for fabricated or truncated numeric feeds (real transaction "
+    "amounts follow log(1+1/d); synthetic uniform data will NOT, "
+    "which this query makes visible). Digit extraction is exact "
+    "integer-cents string math; shares are integer ratios; the "
+    "expected curve is a rounded closed form. One scan, one "
+    "9-bucket aggregation.",
+    tags=("aggregation", "stats", "quality"),
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    d = o.select(
+        F.substring(cents.cast("string"), 1, 1).cast("bigint").alias(
+            "first_digit"
+        )
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("n_total"))
+    fd = F.col("first_digit")
+    return (
+        d.groupBy("first_digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "first_digit",
+            "n",
+            (F.col("n").cast("double") / F.col("n_total")).alias(
+                "observed_share"
+            ),
+            F.round(
+                F.log(1.0 + 1.0 / fd) / F.log(F.lit(10.0)), 6
+            ).alias("benford_expected"),
+        )
+    )
