@@ -1819,3 +1819,58 @@ def token_prefix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("token").alias("n_completions"),
         )
     )
+
+
+@register(
+    "containment_pairs",
+    oracle=f"""
+    WITH sh AS ({_SH_CTE}),
+    cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh
+            GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a_id, b_id, n_common,
+           CAST(n_common AS DOUBLE) / least(ca.n, cb.n) AS containment
+    FROM common
+    JOIN cnt ca ON ca.doc_id = a_id
+    JOIN cnt cb ON cb.doc_id = b_id
+    WHERE CAST(n_common AS DOUBLE) / least(ca.n, cb.n) >= 0.8
+    """,
+    doc="Containment (overlap coefficient): |A∩B| / min(|A|,|B|) over "
+    "distinct 5-gram shingles — the near-dup metric that catches "
+    "SUBSET duplication (a doc pasted inside a longer one), which "
+    "Jaccard dilutes below threshold as the container grows. Same "
+    "shared-shingle blocking join as the Jaccard query (cost ∝ "
+    "co-occurring pairs, never n²); sizes broadcast back; the score "
+    "is an integer/integer divide.",
+    tags=("llm", "dedup", "join"),
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("a_id"), "sh")
+    b = sh.select(F.col("doc_id").alias("b_id"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    containment = F.col("n_common").cast("double") / F.least(
+        F.col("na"), F.col("nb")
+    )
+    return (
+        common.join(F.broadcast(ca), "a_id")
+        .join(F.broadcast(cb), "b_id")
+        .select(
+            "a_id", "b_id", "n_common",
+            containment.alias("containment"),
+        )
+        .filter(F.col("containment") >= 0.8)
+    )

@@ -2452,3 +2452,48 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("benford_expected"),
         )
     )
+
+
+@register(
+    "suspicious_duplicate_orders",
+    oracle="""
+    SELECT o_custkey,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_day,
+           CAST(CAST(round(o_totalprice * 100) AS BIGINT) / 100.0
+                AS DOUBLE) AS total_price,
+           CAST(count(*) AS BIGINT) AS n_duplicates,
+           CAST(min(o_orderkey) AS BIGINT) AS first_orderkey
+    FROM orders
+    GROUP BY o_custkey, CAST(o_orderdate AS DATE),
+             CAST(round(o_totalprice * 100) AS BIGINT)
+    HAVING count(*) > 1
+    """,
+    doc="Double-submission detection: orders sharing (customer, day, "
+    "exact-cents amount) — the business-level duplicate the row-level "
+    "dedup operators (D1/D2) cannot see, caught by grouping on the "
+    "natural duplicate key with a HAVING filter. Exact cents in the "
+    "group key avoid float-equality grouping; one hash-agg shuffle.",
+    tags=("aggregation", "quality", "dedup"),
+)
+def suspicious_duplicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.groupBy(
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("_day"),
+            cents.alias("_cents"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_duplicates"),
+            F.min("o_orderkey").alias("first_orderkey"),
+        )
+        .filter(F.col("n_duplicates") > 1)
+        .select(
+            "o_custkey",
+            F.col("_day").cast("string").alias("order_day"),
+            (F.col("_cents") / 100.0).cast("double").alias("total_price"),
+            "n_duplicates",
+            "first_orderkey",
+        )
+    )
