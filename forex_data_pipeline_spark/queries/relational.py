@@ -2497,3 +2497,53 @@ def suspicious_duplicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_orderkey",
         )
     )
+
+
+@register(
+    "priority_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey, o_orderpriority AS to_p,
+               lag(o_orderpriority) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+                   AS from_p
+        FROM orders
+    ),
+    t AS (
+        SELECT from_p, to_p, CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE from_p IS NOT NULL GROUP BY from_p, to_p
+    ),
+    row_tot AS (SELECT from_p, CAST(sum(n) AS BIGINT) AS n_from
+                FROM t GROUP BY from_p)
+    SELECT t.from_p, t.to_p, t.n,
+           CAST(t.n AS DOUBLE) / n_from AS transition_prob
+    FROM t JOIN row_tot ON t.from_p = row_tot.from_p
+    """,
+    doc="First-order Markov transition matrix over each customer's "
+    "consecutive order priorities (lag on the (date, orderkey) total "
+    "order): the sequence-modeling rollup behind next-action "
+    "prediction and behavioral drift detection. One customer-keyed "
+    "window, one (from,to)-keyed aggregation, row-normalized with "
+    "exact integer ratios — 5×5 output regardless of input size.",
+    tags=("window", "aggregation", "analytics"),
+)
+def priority_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").cast("date"), "o_orderkey"
+    )
+    seq = o.select(
+        F.col("o_orderpriority").alias("to_p"),
+        F.lag("o_orderpriority").over(w).alias("from_p"),
+    ).filter(F.col("from_p").isNotNull())
+    t = seq.groupBy("from_p", "to_p").agg(F.count(F.lit(1)).alias("n"))
+    row_tot = t.groupBy("from_p").agg(F.sum("n").alias("n_from"))
+    return t.join(F.broadcast(row_tot), "from_p").select(
+        "from_p",
+        "to_p",
+        "n",
+        (F.col("n").cast("double") / F.col("n_from")).alias(
+            "transition_prob"
+        ),
+    )
