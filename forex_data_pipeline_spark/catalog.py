@@ -76,6 +76,7 @@ def _ensure_loaded() -> None:
     if _loaded:
         return
     from .queries import (  # noqa: F401
+        indicators_q,
         llm_ops,
         pipeline_q,
         relational,

@@ -1,0 +1,444 @@
+"""Classic forex technical indicators beyond the reference's SMA/lag pair.
+
+The reference mart computes exactly two indicators — ``price_diff``
+(lag) and SMA-20/50 (frame-bounded avg), /root/reference/models/marts/
+fct_eurusd_timeframes.sql:76-78. A user of a forex pipeline expects the
+rest of the standard toolbox; each is expressed as declarative window
+arithmetic over the hourly candle relation (one shuffle for the candle
+agg, one for the per-series window sort — Catalyst reuses the sort
+across same-partitioning window frames).
+
+Determinism discipline (see catalog.py): every rolling statistic is
+computed from EXACT integer micro-unit sums inside the window frame and
+divided/rounded once at the end — order-independent, bit-identical
+across engines and at any parallelism. Indicators whose textbook form
+is an EMA recursion (Wilder RSI, MACD) use their SMA variants (Cutler
+RSI, SMA-ATR) — the recursive forms are sequential-by-construction and
+do not belong in a distributed window plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import register
+from ..operators.candles import ohlc_window
+from ..tables import load
+from .timeseries import _bucket_sql
+
+# ------------------------------------------------------------ shared base
+
+#: DuckDB mirror of the hourly-candle base relation in integer micro-units.
+_HOURLY_MICRO_SQL = f"""
+    candles AS (
+        SELECT {_bucket_sql('ts', 3600, 0)} AS candle_start,
+               event_type,
+               arg_min(value, ts) AS open_value,
+               max(value) AS high_value,
+               min(value) AS low_value,
+               arg_max(value, ts) AS close_value,
+               count(*) AS n_ticks
+        FROM events
+        GROUP BY 1, 2
+    ),
+    iv AS (
+        SELECT event_type, candle_start, n_ticks,
+               CAST(floor(open_value * 1000000.0) AS BIGINT) AS o,
+               CAST(floor(high_value * 1000000.0) AS BIGINT) AS h,
+               CAST(floor(low_value * 1000000.0) AS BIGINT) AS l,
+               CAST(floor(close_value * 1000000.0) AS BIGINT) AS c
+        FROM candles
+    )
+"""
+
+
+def _hourly_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candles per event_type with integer micro-unit columns."""
+    ev = load(spark, sf_dir, "events")
+    candles = ohlc_window(ev, "ts", "value", ["event_type"], duration="1 hour")
+    micro = lambda col: F.floor(F.col(col) * 1000000.0).cast("long")  # noqa: E731
+    return candles.select(
+        "event_type", "candle_start", "n_ticks",
+        micro("open_value").alias("o"), micro("high_value").alias("h"),
+        micro("low_value").alias("l"), micro("close_value").alias("c"),
+    )
+
+
+def _series_window() -> Window:
+    return Window.partitionBy("event_type").orderBy("candle_start")
+
+
+# ---------------------------------------------------------------- queries
+
+@register(
+    "rsi_cutler",
+    oracle=f"""
+    WITH {_HOURLY_MICRO_SQL},
+    d AS (
+        SELECT event_type, candle_start, c,
+               c - lag(c) OVER (PARTITION BY event_type ORDER BY candle_start)
+                   AS diff
+        FROM iv
+    ),
+    gl AS (
+        SELECT event_type, candle_start,
+               sum(CASE WHEN diff > 0 THEN diff ELSE 0 END) OVER w AS g,
+               sum(CASE WHEN diff < 0 THEN -diff ELSE 0 END) OVER w AS lo
+        FROM d
+        WINDOW w AS (PARTITION BY event_type ORDER BY candle_start
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, candle_start,
+           CASE WHEN g + lo > 0
+                THEN CAST((200000000 * g + (g + lo)) // (2 * (g + lo))
+                          AS DOUBLE) / 1000000.0 END AS rsi_14
+    FROM gl
+    """,
+    doc="Cutler's RSI-14 over hourly closes: up/down moves are exact "
+    "integer micro-unit diffs, the 14-row gain/loss sums are bigint, "
+    "and RSI = 100·G/(G+L) is one final division — order-independent "
+    "(Wilder's EMA recursion is deliberately avoided: it is sequential "
+    "by construction and unreproducible across partitionings).",
+    tags=("timeseries", "window", "indicator"),
+)
+def rsi_cutler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _hourly_micro(spark, sf_dir)
+    w1 = _series_window()
+    w14 = _series_window().rowsBetween(-13, 0)
+    d = base.select(
+        "event_type", "candle_start",
+        (F.col("c") - F.lag("c").over(w1)).alias("diff"),
+    )
+    gl = d.select(
+        "event_type", "candle_start",
+        F.sum(F.when(F.col("diff") > 0, F.col("diff")).otherwise(0)).over(w14).alias("g"),
+        F.sum(F.when(F.col("diff") < 0, -F.col("diff")).otherwise(0)).over(w14).alias("lo"),
+    )
+    return gl.select(
+        "event_type", "candle_start",
+        F.when(
+            F.col("g") + F.col("lo") > 0,
+            F.expr(
+                "CAST((200000000 * g + (g + lo)) div (2 * (g + lo))"
+                " AS DOUBLE) / 1000000.0"
+            ),
+        ).alias("rsi_14"),
+    )
+
+
+@register(
+    "atr_14",
+    oracle=f"""
+    WITH {_HOURLY_MICRO_SQL},
+    tr AS (
+        SELECT event_type, candle_start,
+               CASE WHEN pc IS NULL THEN h - l
+                    ELSE greatest(h - l, abs(h - pc), abs(l - pc)) END AS t
+        FROM (
+            SELECT event_type, candle_start, h, l,
+                   lag(c) OVER (PARTITION BY event_type
+                                ORDER BY candle_start) AS pc
+            FROM iv
+        )
+    )
+    SELECT event_type, candle_start,
+           CAST((2 * sum(t) OVER w + count(*) OVER w)
+                // (2 * count(*) OVER w) AS DOUBLE) / 1000000.0 AS atr_14
+    FROM tr
+    WINDOW w AS (PARTITION BY event_type ORDER BY candle_start
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Average True Range (SMA-14 of true range): TR = "
+    "max(H−L, |H−prevC|, |L−prevC|) in exact integer micro-units; the "
+    "prev-close NULL case is pinned to H−L explicitly so both engines "
+    "agree (greatest() NULL handling differs across engines).",
+    tags=("timeseries", "window", "indicator"),
+)
+def atr_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _hourly_micro(spark, sf_dir)
+    w1 = _series_window()
+    w14 = _series_window().rowsBetween(-13, 0)
+    pc = base.select(
+        "event_type", "candle_start", "h", "l",
+        F.lag("c").over(w1).alias("pc"),
+    )
+    t = F.when(F.col("pc").isNull(), F.col("h") - F.col("l")).otherwise(
+        F.greatest(
+            F.col("h") - F.col("l"),
+            F.abs(F.col("h") - F.col("pc")),
+            F.abs(F.col("l") - F.col("pc")),
+        )
+    )
+    tr = pc.select("event_type", "candle_start", t.alias("t"))
+    sums = tr.select(
+        "event_type", "candle_start",
+        F.sum("t").over(w14).alias("s"),
+        F.count(F.lit(1)).over(w14).alias("n"),
+    )
+    # exact half-up rounding to 6 dp in the integer domain: (2S+n) div 2n
+    return sums.select(
+        "event_type", "candle_start",
+        F.expr(
+            "CAST((2 * s + n) div (2 * n) AS DOUBLE) / 1000000.0"
+        ).alias("atr_14"),
+    )
+
+
+@register(
+    "stochastic_oscillator",
+    oracle=f"""
+    WITH {_HOURLY_MICRO_SQL},
+    hl AS (
+        SELECT event_type, candle_start, c,
+               max(h) OVER w AS hh, min(l) OVER w AS ll
+        FROM iv
+        WINDOW w AS (PARTITION BY event_type ORDER BY candle_start
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ),
+    k AS (
+        SELECT event_type, candle_start,
+               CASE WHEN hh > ll
+                    THEN (100000000 * (c - ll)) // (hh - ll) END AS ks
+        FROM hl
+    )
+    SELECT event_type, candle_start,
+           CAST(ks AS DOUBLE) / 1000000.0 AS pct_k,
+           CASE WHEN count(ks) OVER w3 > 0
+                THEN CAST((2 * sum(ks) OVER w3 + count(ks) OVER w3)
+                          // (2 * count(ks) OVER w3) AS DOUBLE) / 1000000.0
+                END AS pct_d
+    FROM k
+    WINDOW w3 AS (PARTITION BY event_type ORDER BY candle_start
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Stochastic oscillator %K/%D (14,3): %K is scaled to an exact "
+    "bigint via integer floor-division (numerator ≤2e16 would lose bits "
+    "as a double — stays integral end-to-end), %D is the 3-row average "
+    "of those integers. Rolling extrema + two window sums over ONE "
+    "series sort.",
+    tags=("timeseries", "window", "indicator"),
+)
+def stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _hourly_micro(spark, sf_dir)
+    w14 = _series_window().rowsBetween(-13, 0)
+    w3 = _series_window().rowsBetween(-2, 0)
+    hl = base.select(
+        "event_type", "candle_start", "c",
+        F.max("h").over(w14).alias("hh"),
+        F.min("l").over(w14).alias("ll"),
+    )
+    k = hl.select(
+        "event_type", "candle_start",
+        F.when(
+            F.col("hh") > F.col("ll"),
+            F.expr("(100000000 * (c - ll)) div (hh - ll)"),
+        ).alias("ks"),
+    )
+    sums = k.select(
+        "event_type", "candle_start", "ks",
+        F.sum("ks").over(w3).alias("s3"),
+        F.count("ks").over(w3).alias("n3"),
+    )
+    return sums.select(
+        "event_type", "candle_start",
+        F.expr("CAST(ks AS DOUBLE) / 1000000.0").alias("pct_k"),
+        F.expr(
+            "CASE WHEN n3 > 0 THEN"
+            " CAST((2 * s3 + n3) div (2 * n3) AS DOUBLE) / 1000000.0 END"
+        ).alias("pct_d"),
+    )
+
+
+@register(
+    "obv_cumulative",
+    oracle=f"""
+    WITH {_HOURLY_MICRO_SQL},
+    d AS (
+        SELECT event_type, candle_start, n_ticks,
+               c - lag(c) OVER (PARTITION BY event_type ORDER BY candle_start)
+                   AS diff
+        FROM iv
+    )
+    SELECT event_type, candle_start,
+           CAST(sum((CASE WHEN diff > 0 THEN 1
+                          WHEN diff < 0 THEN -1 ELSE 0 END) * n_ticks)
+               OVER (PARTITION BY event_type ORDER BY candle_start
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS obv
+    FROM d
+    """,
+    doc="On-balance volume (tick count as volume): signed cumulative "
+    "bigint sum — the running-total frame is UNBOUNDED PRECEDING, "
+    "integer-exact at any parallelism. Direction comes from exact "
+    "micro-unit close diffs.",
+    tags=("timeseries", "window", "indicator"),
+)
+def obv_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _hourly_micro(spark, sf_dir)
+    w1 = _series_window()
+    wrun = _series_window().rowsBetween(Window.unboundedPreceding, 0)
+    d = base.select(
+        "event_type", "candle_start", "n_ticks",
+        (F.col("c") - F.lag("c").over(w1)).alias("diff"),
+    )
+    direction = (
+        F.when(F.col("diff") > 0, 1).when(F.col("diff") < 0, -1).otherwise(0)
+    )
+    return d.select(
+        "event_type", "candle_start",
+        F.sum(direction * F.col("n_ticks")).over(wrun).alias("obv"),
+    )
+
+
+@register(
+    "donchian_channels",
+    oracle=f"""
+    WITH {_HOURLY_MICRO_SQL}
+    SELECT event_type, candle_start,
+           CAST(max(h) OVER w AS DOUBLE) / 1000000.0 AS dc_upper,
+           CAST(min(l) OVER w AS DOUBLE) / 1000000.0 AS dc_lower,
+           CAST((max(h) OVER w + min(l) OVER w + 1) // 2
+                AS DOUBLE) / 1000000.0 AS dc_mid
+    FROM iv
+    WINDOW w AS (PARTITION BY event_type ORDER BY candle_start
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Donchian channels (20-bar rolling high/low envelope + "
+    "midline): rolling extrema over integer micro-units; the midline "
+    "is an exact integer sum halved once.",
+    tags=("timeseries", "window", "indicator"),
+)
+def donchian_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _hourly_micro(spark, sf_dir)
+    w20 = _series_window().rowsBetween(-19, 0)
+    hh, ll = F.max("h").over(w20), F.min("l").over(w20)
+    return base.select(
+        "event_type", "candle_start",
+        (hh.cast("double") / 1000000.0).alias("dc_upper"),
+        (ll.cast("double") / 1000000.0).alias("dc_lower"),
+        # half-up midpoint in the integer domain: (hh+ll+1) div 2
+        (F.floor((hh + ll + 1) / 2).cast("double") / 1000000.0).alias("dc_mid"),
+    )
+
+
+@register(
+    "roc_momentum",
+    oracle=f"""
+    WITH {_HOURLY_MICRO_SQL},
+    lagged AS (
+        SELECT event_type, candle_start, c,
+               lag(c, 12) OVER (PARTITION BY event_type
+                                ORDER BY candle_start) AS c12
+        FROM iv
+    )
+    SELECT event_type, candle_start,
+           CASE WHEN c12 IS NOT NULL AND c12 > 0 THEN
+                CASE WHEN c >= c12
+                     THEN CAST((200000000 * (c - c12) + c12) // (2 * c12)
+                               AS DOUBLE) / 1000000.0
+                     ELSE -(CAST((200000000 * (c12 - c) + c12) // (2 * c12)
+                                 AS DOUBLE) / 1000000.0)
+                END END AS roc_12,
+           CAST(c - c12 AS DOUBLE) / 1000000.0 AS momentum_12
+    FROM lagged
+    """,
+    doc="Rate-of-change + momentum over a 12-bar offset: lag(12) then "
+    "exact integer differences; ROC's single double division is "
+    "performed identically on both engines.",
+    tags=("timeseries", "window", "indicator"),
+)
+def roc_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _hourly_micro(spark, sf_dir)
+    w1 = _series_window()
+    lagged = base.select(
+        "event_type", "candle_start", "c",
+        F.lag("c", 12).over(w1).alias("c12"),
+    )
+    return lagged.select(
+        "event_type", "candle_start",
+        F.expr(
+            "CASE WHEN c12 IS NOT NULL AND c12 > 0 THEN"
+            " CASE WHEN c >= c12"
+            " THEN CAST((200000000 * (c - c12) + c12) div (2 * c12)"
+            "      AS DOUBLE) / 1000000.0"
+            " ELSE -(CAST((200000000 * (c12 - c) + c12) div (2 * c12)"
+            "        AS DOUBLE) / 1000000.0)"
+            " END END"
+        ).alias("roc_12"),
+        ((F.col("c") - F.col("c12")).cast("double") / 1000000.0).alias(
+            "momentum_12"
+        ),
+    )
+
+
+@register(
+    "pivot_points_daily",
+    oracle=f"""
+    WITH candles AS (
+        SELECT {_bucket_sql('ts', 86400, 0)} AS day_start,
+               event_type,
+               max(value) AS high_value,
+               min(value) AS low_value,
+               arg_max(value, ts) AS close_value
+        FROM events
+        GROUP BY 1, 2
+    ),
+    iv AS (
+        SELECT event_type, day_start,
+               CAST(floor(high_value * 1000000.0) AS BIGINT) AS h,
+               CAST(floor(low_value * 1000000.0) AS BIGINT) AS l,
+               CAST(floor(close_value * 1000000.0) AS BIGINT) AS c
+        FROM candles
+    ),
+    prev AS (
+        SELECT event_type, day_start,
+               lag(h) OVER w AS ph, lag(l) OVER w AS pl,
+               lag(h + l + c) OVER w AS p3
+        FROM iv
+        WINDOW w AS (PARTITION BY event_type ORDER BY day_start)
+    )
+    SELECT event_type, day_start,
+           round(CAST(p3 AS DOUBLE) / 3000000.0, 6) AS pivot,
+           round(CAST(2 * p3 - 3 * pl AS DOUBLE) / 3000000.0, 6) AS r1,
+           round(CAST(2 * p3 - 3 * ph AS DOUBLE) / 3000000.0, 6) AS s1,
+           round(CAST(p3 + 3 * (ph - pl) AS DOUBLE) / 3000000.0, 6) AS r2,
+           round(CAST(p3 - 3 * (ph - pl) AS DOUBLE) / 3000000.0, 6) AS s2
+    FROM prev
+    """,
+    doc="Classic floor-trader pivot points from the PREVIOUS day's "
+    "H/L/C (P, R1/S1, R2/S2): every level is an exact integer-linear "
+    "combination of prior-day micro-units over a common denominator 3 — "
+    "one division + round per level, no accumulated float error.",
+    tags=("timeseries", "window", "indicator"),
+)
+def pivot_points_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    candles = (
+        ohlc_window(ev, "ts", "value", ["event_type"], duration="1 day")
+        .withColumnRenamed("candle_start", "day_start")
+    )
+    micro = lambda col: F.floor(F.col(col) * 1000000.0).cast("long")  # noqa: E731
+    iv = candles.select(
+        "event_type", "day_start",
+        micro("high_value").alias("h"), micro("low_value").alias("l"),
+        micro("close_value").alias("c"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day_start")
+    prev = iv.select(
+        "event_type", "day_start",
+        F.lag("h").over(w).alias("ph"),
+        F.lag("l").over(w).alias("pl"),
+        F.lag(F.col("h") + F.col("l") + F.col("c")).over(w).alias("p3"),
+    )
+    lvl = lambda num: F.round(num.cast("double") / 3000000.0, 6)  # noqa: E731
+    p3, ph, pl = F.col("p3"), F.col("ph"), F.col("pl")
+    return prev.select(
+        "event_type", "day_start",
+        lvl(p3).alias("pivot"),
+        lvl(2 * p3 - 3 * pl).alias("r1"),
+        lvl(2 * p3 - 3 * ph).alias("s1"),
+        lvl(p3 + 3 * (ph - pl)).alias("r2"),
+        lvl(p3 - 3 * (ph - pl)).alias("s2"),
+    )

@@ -53,6 +53,11 @@ def read_tick_stream(
         # Watermarks require TimestampType (not NTZ); identical wall
         # clock under the pinned UTC session.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif "ts" in df.columns and df.schema["ts"].dataType.typeName() == "timestamp_ntz":
+        # Parquet µs timestamps with isAdjustedToUTC=false arrive as
+        # TIMESTAMP_NTZ; watermarks need TIMESTAMP. Under the pinned
+        # UTC session the cast is wall-clock preserving.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
