@@ -442,3 +442,102 @@ def pivot_points_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         lvl(p3 + 3 * (ph - pl)).alias("r2"),
         lvl(p3 - 3 * (ph - pl)).alias("s2"),
     )
+
+
+@register(
+    "ewma_macd",
+    oracle=f"""
+    WITH RECURSIVE candles AS (
+        SELECT {_bucket_sql('ts', 3600, 0)} AS candle_start,
+               event_type,
+               arg_max(value, ts) AS v
+        FROM events
+        GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT event_type, candle_start, v,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY candle_start) AS rn
+        FROM candles
+    ),
+    r AS (
+        SELECT event_type, candle_start, rn, v,
+               v AS e12, v AS e26, CAST(0.0 AS DOUBLE) AS sig
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT b.event_type, b.candle_start, b.rn, b.v,
+               (2.0/13.0) * b.v + (1.0 - (2.0/13.0)) * r.e12,
+               (2.0/27.0) * b.v + (1.0 - (2.0/27.0)) * r.e26,
+               (2.0/10.0) * (((2.0/13.0) * b.v + (1.0 - (2.0/13.0)) * r.e12)
+                             - ((2.0/27.0) * b.v + (1.0 - (2.0/27.0)) * r.e26))
+                   + (1.0 - (2.0/10.0)) * r.sig
+        FROM base b JOIN r
+          ON b.event_type = r.event_type AND b.rn = r.rn + 1
+    )
+    SELECT event_type, candle_start,
+           e12 AS ema_12, e26 AS ema_26,
+           e12 - e26 AS macd, sig AS macd_signal,
+           (e12 - e26) - sig AS macd_hist
+    FROM r
+    """,
+    doc="EWMA + MACD(12,26,9): the one classic indicator family that is "
+    "NOT a frame-bounded window function — the EMA recursion s' = "
+    "alpha*x + (1-alpha)*s is inherently sequential per series. "
+    "Implemented as an Arrow-batched applyInPandas kernel (state stays "
+    "inside one partition per series; parallelism across series — the "
+    "right distribution axis at scale, since series count is the wide "
+    "dimension). The oracle is a DuckDB RECURSIVE CTE executing the "
+    "bit-identical IEEE-754 op sequence, so the strict hash matches "
+    "with NO rounding slack.",
+    tags=("timeseries", "window", "indicator", "udf"),
+)
+def ewma_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    ev = load(spark, sf_dir, "events")
+    candles = (
+        ohlc_window(ev, "ts", "value", ["event_type"], duration="1 hour")
+        .select("event_type", "candle_start", F.col("close_value").alias("v"))
+    )
+
+    schema = T.StructType([
+        T.StructField("event_type", T.StringType()),
+        T.StructField("candle_start", T.TimestampNTZType()),
+        T.StructField("ema_12", T.DoubleType()),
+        T.StructField("ema_26", T.DoubleType()),
+        T.StructField("macd", T.DoubleType()),
+        T.StructField("macd_signal", T.DoubleType()),
+        T.StructField("macd_hist", T.DoubleType()),
+    ])
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("candle_start").reset_index(drop=True)
+        a12, a26, a9 = 2.0 / 13.0, 2.0 / 27.0, 2.0 / 10.0
+        e12 = e26 = sig = 0.0
+        out_e12, out_e26, out_sig = [], [], []
+        for i, v in enumerate(pdf["v"].tolist()):
+            if i == 0:
+                e12, e26, sig = v, v, 0.0
+            else:
+                e12 = a12 * v + (1.0 - a12) * e12
+                e26 = a26 * v + (1.0 - a26) * e26
+                macd = e12 - e26
+                sig = a9 * macd + (1.0 - a9) * sig
+            out_e12.append(e12)
+            out_e26.append(e26)
+            out_sig.append(sig)
+        return pd.DataFrame({
+            "event_type": pdf["event_type"],
+            "candle_start": pdf["candle_start"],
+            "ema_12": out_e12,
+            "ema_26": out_e26,
+            "macd": [a - b for a, b in zip(out_e12, out_e26)],
+            "macd_signal": out_sig,
+            "macd_hist": [
+                (a - b) - s for a, b, s in zip(out_e12, out_e26, out_sig)
+            ],
+        })
+
+    return candles.groupBy("event_type").applyInPandas(kernel, schema)

@@ -1874,3 +1874,126 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= 0.8)
     )
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle=f"""
+    WITH per AS (
+        SELECT lang,
+               len({tokens_sql('text')}) AS nws,
+               len(regexp_extract_all(text, '{BPE_RE}')) AS nbpe,
+               strlen(text) AS nb
+        FROM documents
+    ),
+    agg AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nws) AS BIGINT) AS n_ws_tokens,
+               CAST(sum(nbpe) AS BIGINT) AS n_bpe_tokens,
+               CAST(sum(nb) AS BIGINT) AS n_bytes
+        FROM per GROUP BY lang
+    )
+    SELECT lang, n_docs, n_ws_tokens, n_bpe_tokens, n_bytes,
+           CAST(n_bpe_tokens AS DOUBLE) / n_ws_tokens AS bpe_per_word,
+           CAST(n_bytes AS DOUBLE) / n_bpe_tokens AS bytes_per_bpe
+    FROM agg
+    """,
+    doc="Tokenizer fertility per language: BPE-ish tokens per whitespace "
+    "word and bytes per BPE token — the standard multilingual tokenizer "
+    "efficiency audit (high fertility = wasted context budget). Exact "
+    "bigint sums, one correctly-rounded double division per ratio; "
+    "map-side partial agg then a 5-group shuffle.",
+    tags=("llm", "text", "aggregation"),
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        F.size(tokens(F.col("text"))).alias("nws"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).alias("nbpe"),
+        F.octet_length("text").alias("nb"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nws").alias("n_ws_tokens"),
+        F.sum("nbpe").alias("n_bpe_tokens"),
+        F.sum("nb").alias("n_bytes"),
+    )
+    return agg.select(
+        "lang", "n_docs", "n_ws_tokens", "n_bpe_tokens", "n_bytes",
+        (F.col("n_bpe_tokens").cast("double") / F.col("n_ws_tokens")).alias(
+            "bpe_per_word"
+        ),
+        (F.col("n_bytes").cast("double") / F.col("n_bpe_tokens")).alias(
+            "bytes_per_bpe"
+        ),
+    )
+
+
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9]+[.][a-z]+"
+_PHONE_RE = "[+]1-555-[0-9]{4}"
+
+
+@register(
+    "pii_redaction",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT source,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.com or +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   AS raw
+        FROM documents
+    ),
+    red AS (
+        SELECT source,
+               strlen(raw) AS len_raw,
+               len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(raw, '{_PHONE_RE}')) AS n_phones,
+               strlen(regexp_replace(regexp_replace(raw, '{_EMAIL_RE}',
+                      '[EMAIL]', 'g'), '{_PHONE_RE}', '[PHONE]', 'g'))
+                   AS len_redacted
+        FROM seeded
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_emails) AS BIGINT) AS emails_found,
+           CAST(sum(n_phones) AS BIGINT) AS phones_found,
+           CAST(sum(len_raw - len_redacted) AS BIGINT) AS chars_removed
+    FROM red GROUP BY source
+    """,
+    doc="PII detection + redaction sweep: deterministic email/phone "
+    "strings are seeded from doc_id (the corpus is synthetic word "
+    "salad), then found with regexp_extract_all and scrubbed with "
+    "global regexp_replace — the pattern set is shared between engines "
+    "(RE2- and Java-regex-compatible subset). Per-source audit counts; "
+    "one narrow shuffle after map-side partials.",
+    tags=("llm", "text"),
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    seeded = docs.select("source", raw.alias("raw"))
+    red = seeded.select(
+        "source",
+        F.octet_length("raw").alias("len_raw"),
+        F.size(F.regexp_extract_all("raw", F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("raw", F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        F.octet_length(
+            F.regexp_replace(
+                F.regexp_replace("raw", _EMAIL_RE, "[EMAIL]"),
+                _PHONE_RE, "[PHONE]",
+            )
+        ).alias("len_redacted"),
+    )
+    return red.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_emails").alias("emails_found"),
+        F.sum("n_phones").alias("phones_found"),
+        F.sum(F.col("len_raw") - F.col("len_redacted")).alias("chars_removed"),
+    )

@@ -2547,3 +2547,59 @@ def priority_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transition_prob"
         ),
     )
+
+
+def _morton16(x: str, y: str) -> str:
+    """Engine-agnostic 16-bit Morton (Z-order) interleave of two 8-bit
+    values, as pure integer arithmetic (div/mod/multiply — identical
+    semantics in Spark SQL and DuckDB; no engine-specific bit operators)."""
+    terms = []
+    for i in range(8):
+        terms.append(f"(({x} // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({y} // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+@register(
+    "zorder_clustering_key",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT l_partkey, l_suppkey,
+               {_morton16('(l_partkey % 256)', '(l_suppkey % 256)')} AS morton
+        FROM lineitem
+    )
+    SELECT CAST(morton // 256 AS BIGINT) AS ztile,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(l_partkey % 256) AS BIGINT) AS min_x,
+           CAST(max(l_partkey % 256) AS BIGINT) AS max_x,
+           CAST(min(l_suppkey % 256) AS BIGINT) AS min_y,
+           CAST(max(l_suppkey % 256) AS BIGINT) AS max_y
+    FROM keyed GROUP BY 1
+    """,
+    doc="Z-order (Morton) clustering key: interleaves the bits of two "
+    "join/filter dimensions so one sort key preserves locality in BOTH "
+    "— the layout trick behind Delta Z-ORDER / parquet row-group "
+    "skipping on multidimensional predicates. Per 256-key Z-tile the "
+    "x/y ranges stay within a 16x16 square (asserted by the oracle "
+    "min/max), i.e. sortWithinPartitions(morton) yields tight min/max "
+    "stats on both columns at 100 TB. Pure integer div/mod arithmetic "
+    "- engine-portable and codegen-friendly.",
+    tags=("scale", "layout", "aggregation"),
+)
+def zorder_clustering_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    morton_expr = _morton16("(l_partkey % 256)", "(l_suppkey % 256)").replace(
+        "//", "div"
+    )
+    keyed = li.select(
+        "l_partkey", "l_suppkey", F.expr(morton_expr).alias("morton")
+    )
+    return keyed.groupBy(
+        F.expr("morton div 256").cast("bigint").alias("ztile")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.min(F.col("l_partkey") % 256)).cast("bigint").alias("min_x"),
+        (F.max(F.col("l_partkey") % 256)).cast("bigint").alias("max_x"),
+        (F.min(F.col("l_suppkey") % 256)).cast("bigint").alias("min_y"),
+        (F.max(F.col("l_suppkey") % 256)).cast("bigint").alias("max_y"),
+    )
