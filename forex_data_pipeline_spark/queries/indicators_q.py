@@ -541,3 +541,253 @@ def ewma_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
         })
 
     return candles.groupBy("event_type").applyInPandas(kernel, schema)
+
+
+@register(
+    "heikin_ashi",
+    oracle=f"""
+    WITH RECURSIVE candles AS (
+        SELECT {_bucket_sql('ts', 3600, 0)} AS candle_start,
+               event_type,
+               arg_min(value, ts) AS o, max(value) AS h,
+               min(value) AS l, arg_max(value, ts) AS c
+        FROM events
+        GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT event_type, candle_start, o, h, l, c,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY candle_start) AS rn
+        FROM candles
+    ),
+    r AS (
+        SELECT event_type, candle_start, rn, o, h, l, c,
+               (o + c) / 2.0 AS ha_open,
+               (o + h + l + c) / 4.0 AS ha_close
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT b.event_type, b.candle_start, b.rn, b.o, b.h, b.l, b.c,
+               (r.ha_open + r.ha_close) / 2.0,
+               (b.o + b.h + b.l + b.c) / 4.0
+        FROM base b JOIN r
+          ON b.event_type = r.event_type AND b.rn = r.rn + 1
+    )
+    SELECT event_type, candle_start, ha_open, ha_close,
+           greatest(h, ha_open, ha_close) AS ha_high,
+           least(l, ha_open, ha_close) AS ha_low
+    FROM r
+    """,
+    doc="Heikin-Ashi smoothed candles: HA-open is a per-series "
+    "recursion (avg of previous HA open/close), so like ewma_macd it "
+    "runs as an applyInPandas kernel with a RECURSIVE-CTE oracle. All "
+    "arithmetic is adds plus divisions by powers of two (exact in "
+    "binary floating point) in an identical op order — strict hash "
+    "equality with no rounding.",
+    tags=("timeseries", "indicator", "udf"),
+)
+def heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    ev = load(spark, sf_dir, "events")
+    candles = ohlc_window(ev, "ts", "value", ["event_type"], duration="1 hour").select(
+        "event_type", "candle_start",
+        F.col("open_value").alias("o"), F.col("high_value").alias("h"),
+        F.col("low_value").alias("l"), F.col("close_value").alias("c"),
+    )
+
+    schema = T.StructType([
+        T.StructField("event_type", T.StringType()),
+        T.StructField("candle_start", T.TimestampNTZType()),
+        T.StructField("ha_open", T.DoubleType()),
+        T.StructField("ha_close", T.DoubleType()),
+        T.StructField("ha_high", T.DoubleType()),
+        T.StructField("ha_low", T.DoubleType()),
+    ])
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("candle_start").reset_index(drop=True)
+        ha_open_prev = ha_close_prev = 0.0
+        rows_open, rows_close, rows_high, rows_low = [], [], [], []
+        for i, (o, h, l, c) in enumerate(
+            zip(pdf["o"], pdf["h"], pdf["l"], pdf["c"])
+        ):
+            ha_close = (o + h + l + c) / 4.0
+            ha_open = (o + c) / 2.0 if i == 0 else (
+                (ha_open_prev + ha_close_prev) / 2.0
+            )
+            rows_open.append(ha_open)
+            rows_close.append(ha_close)
+            rows_high.append(max(h, ha_open, ha_close))
+            rows_low.append(min(l, ha_open, ha_close))
+            ha_open_prev, ha_close_prev = ha_open, ha_close
+        return pd.DataFrame({
+            "event_type": pdf["event_type"],
+            "candle_start": pdf["candle_start"],
+            "ha_open": rows_open,
+            "ha_close": rows_close,
+            "ha_high": rows_high,
+            "ha_low": rows_low,
+        })
+
+    return candles.groupBy("event_type").applyInPandas(kernel, schema)
+
+
+@register(
+    "twap_daily",
+    oracle=f"""
+    WITH ticks AS (
+        SELECT event_type,
+               {_bucket_sql('ts', 86400, 0)} AS day,
+               epoch_ms(ts) AS ts_ms,
+               CAST(floor(value * 1000000.0) AS BIGINT) AS v,
+               event_id
+        FROM events
+    ),
+    weighted AS (
+        SELECT event_type, day, v,
+               coalesce(lead(ts_ms) OVER (PARTITION BY event_type, day
+                                          ORDER BY ts_ms, event_id),
+                        epoch_ms(day) + 86400000) - ts_ms AS w
+        FROM ticks
+    ),
+    agg AS (
+        SELECT event_type, day,
+               CAST(sum(v * w) AS BIGINT) AS svw,
+               CAST(sum(w) AS BIGINT) AS sw
+        FROM weighted GROUP BY event_type, day
+    )
+    SELECT event_type, day,
+           CAST((2 * svw + sw) // (2 * sw) AS DOUBLE) / 1000000.0 AS twap,
+           sw AS total_ms
+    FROM agg
+    """,
+    doc="Time-weighted average price per series-day: each tick is "
+    "weighted by its holding interval in integer milliseconds (lead() "
+    "to the next tick, last tick runs to day end), prices in integer "
+    "micro-units — the irregular-interval complement of the "
+    "count-weighted VWAP. Exact bigint Σv·w / Σw with integer half-up "
+    "rounding; reaggregable across days.",
+    tags=("timeseries", "window", "aggregation", "indicator"),
+)
+def twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    day_sec = 86400
+    day = F.timestamp_micros(
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1000000 / day_sec)
+         * day_sec * 1000000).cast("long")
+    ).cast("timestamp_ntz")
+    ticks = ev.select(
+        "event_type",
+        day.alias("day"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1000).cast("long").alias("ts_ms"),
+        F.floor(F.col("value") * 1000000.0).cast("long").alias("v"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("ts_ms", "event_id")
+    day_end_ms = (
+        (F.unix_micros(F.col("day").cast("timestamp")) / 1000).cast("long")
+        + 86400000
+    )
+    weighted = ticks.select(
+        "event_type", "day", "v",
+        (F.coalesce(F.lead("ts_ms").over(w), day_end_ms) - F.col("ts_ms")).alias("w"),
+    )
+    agg = weighted.groupBy("event_type", "day").agg(
+        F.sum(F.col("v") * F.col("w")).alias("svw"),
+        F.sum("w").alias("sw"),
+    )
+    return agg.select(
+        "event_type", "day",
+        F.expr("CAST((2 * svw + sw) div (2 * sw) AS DOUBLE) / 1000000.0").alias("twap"),
+        F.col("sw").alias("total_ms"),
+    )
+
+
+@register(
+    "rolling_correlation_30",
+    oracle=f"""
+    WITH candles AS (
+        SELECT {_bucket_sql('ts', 3600, 0)} AS candle_start, event_type,
+               CAST(round(arg_max(value, ts) * 1000000) AS BIGINT) AS cm
+        FROM events WHERE event_type IN ('click', 'view')
+        GROUP BY 1, 2
+    ),
+    paired AS (
+        SELECT a.candle_start, a.cm AS x, b.cm AS y
+        FROM candles a JOIN candles b ON a.candle_start = b.candle_start
+        WHERE a.event_type = 'click' AND b.event_type = 'view'
+    ),
+    m AS (
+        SELECT candle_start,
+               count(*) OVER w AS n,
+               sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+               sum(x * x // 1000000) OVER w AS sxx,
+               sum(y * y // 1000000) OVER w AS syy,
+               sum(x * y // 1000000) OVER w AS sxy
+        FROM paired
+        WINDOW w AS (ORDER BY candle_start
+                     ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    )
+    SELECT candle_start, CAST(n AS BIGINT) AS n,
+           CASE WHEN n * sxx - sx // 1000 * (sx // 1000) > 0
+                 AND n * syy - sy // 1000 * (sy // 1000) > 0
+                THEN CAST(n * sxy - sx // 1000 * (sy // 1000) AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx // 1000 * (sx // 1000)
+                                  AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy // 1000 * (sy // 1000)
+                                    AS DOUBLE)))
+                END AS rolling_corr
+    FROM m
+    """,
+    doc="30-bar rolling Pearson correlation between two aligned series "
+    "(windowed pair-trading signal): the same exact-integer moment "
+    "algebra as series_correlation, but as frame-bounded window sums — "
+    "six bigint accumulators over ONE sort, a single deterministic "
+    "double expression per row, zero-variance guarded. The global "
+    "(unpartitioned) window is fine here because the paired relation "
+    "is one row per hour — at 100 TB the partition axis is the pair "
+    "universe, not time.",
+    tags=("timeseries", "window", "stats"),
+)
+def rolling_correlation_30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.candles import bucket
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    candles = ev.groupBy(
+        bucket(F.col("ts"), 3600).alias("candle_start"), "event_type"
+    ).agg(
+        F.round(F.max_by("value", "ts") * 1000000).cast("bigint").alias("cm")
+    )
+    a = candles.filter(F.col("event_type") == "click").select(
+        "candle_start", F.col("cm").alias("x")
+    )
+    b = candles.filter(F.col("event_type") == "view").select(
+        "candle_start", F.col("cm").alias("y")
+    )
+    paired = a.join(b, "candle_start")
+    w = Window.orderBy("candle_start").rowsBetween(-29, 0)
+    m = paired.select(
+        "candle_start",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.expr("x * x div 1000000")).over(w).alias("sxx"),
+        F.sum(F.expr("y * y div 1000000")).over(w).alias("syy"),
+        F.sum(F.expr("x * y div 1000000")).over(w).alias("sxy"),
+    )
+    return m.select(
+        "candle_start",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(
+            "CASE WHEN n * sxx - sx div 1000 * (sx div 1000) > 0"
+            " AND n * syy - sy div 1000 * (sy div 1000) > 0"
+            " THEN CAST(n * sxy - sx div 1000 * (sy div 1000) AS DOUBLE)"
+            " / (sqrt(CAST(n * sxx - sx div 1000 * (sx div 1000) AS DOUBLE))"
+            " * sqrt(CAST(n * syy - sy div 1000 * (sy div 1000) AS DOUBLE)))"
+            " END"
+        ).alias("rolling_corr"),
+    )

@@ -2603,3 +2603,161 @@ def zorder_clustering_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.min(F.col("l_suppkey") % 256)).cast("bigint").alias("min_y"),
         (F.max(F.col("l_suppkey") % 256)).cast("bigint").alias("max_y"),
     )
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+    SELECT c_count,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM (
+        SELECT c.c_custkey,
+               CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: customers-per-order-count histogram. The "
+    "LEFT join preserves zero-order customers (count(o_orderkey) "
+    "counts only matches — an inner join would silently drop the 0 "
+    "bucket), with a pushed-down non-join predicate on the orders "
+    "side. Two aggregations: per-customer count, then the "
+    "distribution; the first groupBy reuses the join's hash "
+    "partitioning on custkey, so only one wide shuffle plus the tiny "
+    "final one.",
+    tags=("join", "aggregation"),
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load(spark, sf_dir, "customer")
+    od = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per = (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@register(
+    "fk_integrity_check",
+    oracle="""
+    SELECT 'orders.o_custkey -> customer.c_custkey' AS relationship,
+           CAST(count(*) AS BIGINT) AS n_orphans
+    FROM orders o
+    WHERE o.o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem.l_orderkey -> orders.o_orderkey',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l
+    WHERE l.l_orderkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem.l_partkey -> part.p_partkey',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l
+    WHERE l.l_partkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM part p
+                      WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey -> supplier.s_suppkey',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l
+    WHERE l.l_suppkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM supplier s
+                      WHERE s.s_suppkey = l.l_suppkey)
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation.n_nationkey',
+           CAST(count(*) AS BIGINT)
+    FROM customer c
+    WHERE c.c_nationkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM nation n
+                      WHERE n.n_nationkey = c.c_nationkey)
+    """,
+    doc="Referential-integrity audit — the dbt `relationships` test, "
+    "completing the reference's declarative test family (unique / "
+    "not_null / accepted_values, marts_eurusd.yml). Each FK edge is a "
+    "LEFT ANTI join (dimension side broadcast) counting orphans; NULL "
+    "keys are excluded per dbt semantics. 0 rows violated = pass, and "
+    "the query returns the per-edge audit table a warehouse would "
+    "alert on.",
+    tags=("quality", "join"),
+)
+def fk_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    edges = [
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    parts = []
+    for child, fk, parent, pk in edges:
+        ch = load(spark, sf_dir, child).filter(F.col(fk).isNotNull())
+        pa = load(spark, sf_dir, parent).select(pk)
+        orphans = ch.join(
+            F.broadcast(pa), ch[fk] == pa[pk], "left_anti"
+        )
+        parts.append(
+            orphans.agg(F.count(F.lit(1)).alias("n_orphans")).select(
+                F.lit(f"{child}.{fk} -> {parent}.{pk}").alias("relationship"),
+                "n_orphans",
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+@register(
+    "source_freshness_audit",
+    oracle="""
+    WITH per AS (
+        SELECT event_type, max(ts) AS latest, count(*) AS n_events
+        FROM events GROUP BY event_type
+    ),
+    now_ref AS (SELECT max(latest) AS now FROM per)
+    SELECT p.event_type,
+           p.latest,
+           CAST(p.n_events AS BIGINT) AS n_events,
+           CAST(epoch_ms(n.now) - epoch_ms(p.latest) AS BIGINT)
+               AS staleness_ms,
+           CAST(epoch_ms(n.now) - epoch_ms(p.latest) > 3600000
+                AS BOOLEAN) AS is_stale
+    FROM per p CROSS JOIN now_ref n
+    """,
+    doc="Source-freshness audit — the dbt `source freshness` check: "
+    "per-series latest event time and staleness versus the feed's "
+    "global high watermark (deterministic 'now'), with a 1-hour "
+    "warn_after threshold. The global watermark is a one-row "
+    "broadcast cross join — no skew, no second scan at 100 TB "
+    "(both aggregates reuse the same shuffle).",
+    tags=("quality", "aggregation"),
+)
+def source_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.max("ts").alias("latest"), F.count(F.lit(1)).alias("n_events")
+    )
+    now_ref = per.agg(F.max("latest").alias("now"))
+    j = per.crossJoin(F.broadcast(now_ref))
+    stale_ms = F.expr(
+        "unix_micros(CAST(now AS TIMESTAMP)) div 1000"
+        " - unix_micros(CAST(latest AS TIMESTAMP)) div 1000"
+    )
+    return j.select(
+        "event_type", "latest",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        stale_ms.cast("bigint").alias("staleness_ms"),
+        (stale_ms > 3600000).alias("is_stale"),
+    )
