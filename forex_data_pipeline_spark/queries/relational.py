@@ -2761,3 +2761,110 @@ def source_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         stale_ms.cast("bigint").alias("staleness_ms"),
         (stale_ms > 3600000).alias("is_stale"),
     )
+
+
+_SQL_NOT_IN_TRAP = """
+    WITH keys AS (
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        UNION ALL
+        SELECT CAST(NULL AS BIGINT)
+    )
+    SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM keys)) AS n_not_in,
+        (SELECT CAST(count(*) AS BIGINT) FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM keys k
+                           WHERE k.o_custkey = c.c_custkey)) AS n_not_exists
+"""
+
+
+@register(
+    "not_in_null_trap",
+    oracle=_SQL_NOT_IN_TRAP,
+    doc="Three-valued-logic parity check: NOT IN against a subquery "
+    "containing a NULL returns zero rows (x <> NULL is UNKNOWN for "
+    "every x), while NOT EXISTS with an equality correlation ignores "
+    "the NULL and returns the real complement. Identical ANSI text on "
+    "both engines; the two scalar counts make the trap explicit "
+    "(n_not_in = 0, n_not_exists = the true count). Catalyst compiles "
+    "NOT IN to a null-aware anti join — a different (and more "
+    "expensive) physical operator than the left-anti of NOT EXISTS.",
+    tags=("sql", "subquery", "null-semantics"),
+)
+def not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_NOT_IN_TRAP)
+
+
+_SQL_MULTI_EXISTS = """
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1
+                  FROM lineitem l1 JOIN lineitem l2
+                    ON l1.l_orderkey = l2.l_orderkey
+                   AND l1.l_suppkey <> l2.l_suppkey
+                  WHERE l1.l_orderkey = o.o_orderkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem lr
+                      WHERE lr.l_orderkey = o.o_orderkey
+                        AND lr.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+"""
+
+
+@register(
+    "multi_exists_order_audit",
+    oracle=_SQL_MULTI_EXISTS,
+    doc="TPC-H Q21 shape: one positive EXISTS (order touched by at "
+    "least two distinct suppliers — a self-join inside the subquery) "
+    "and one NOT EXISTS (no returned line) correlated to the same "
+    "outer row. Catalyst decorrelates both into a semi + anti join "
+    "chain on l_orderkey, so each is a keyed shuffle, not a per-row "
+    "probe. Identical ANSI text on both engines.",
+    tags=("sql", "subquery", "join"),
+)
+def multi_exists_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_MULTI_EXISTS)
+
+
+_SQL_DORMANT_RICH = """
+    WITH t AS (
+        SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS total_c,
+               CAST(count(*) AS BIGINT) AS n
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS total_acctbal_cents
+    FROM customer c CROSS JOIN t
+    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * t.n > t.total_c
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+"""
+
+
+@register(
+    "dormant_rich_customers",
+    oracle=_SQL_DORMANT_RICH,
+    doc="TPC-H Q22 shape: above-average-balance customers with no "
+    "orders, per market segment. The average threshold is compared by "
+    "integer cross-multiplication (cents x n > total_cents) instead of "
+    "a float avg() — an order-dependent double average would make the "
+    "boundary rows engine-dependent; this way the predicate is exact "
+    "at any parallelism. One-row aggregate cross-joined (broadcast), "
+    "then an anti join against orders. Identical ANSI text on both "
+    "engines.",
+    tags=("sql", "subquery", "join", "aggregation"),
+)
+def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_DORMANT_RICH)
