@@ -39,6 +39,14 @@ HEADLINE: tuple[str, ...] = (
     "asof_join_purchases",
     # product analytics
     "cohort_retention",
+    # technical indicators (declarative window + sequential kernel paths)
+    "rolling_correlation_30",
+    "twap_daily",
+    "ewma_macd",
+    # data-quality audits
+    "fk_integrity_check",
+    # blocked similarity join
+    "fuzzy_name_pairs",
     # LLM-pipeline operators
     "minhash_lsh_pairs",
     "simhash_hamming_pairs",

@@ -791,3 +791,84 @@ def rolling_correlation_30(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END"
         ).alias("rolling_corr"),
     )
+
+
+@register(
+    "clamped_running_balance",
+    oracle=f"""
+    WITH RECURSIVE flows AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(floor(value * 1000000.0) AS BIGINT)
+                    ELSE -CAST(floor(value * 1000000.0) AS BIGINT) END AS d
+        FROM events
+        WHERE event_type IN ('purchase', 'error')
+    ),
+    base AS (
+        SELECT user_id, ts, event_id, d,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM flows
+    ),
+    r AS (
+        SELECT user_id, ts, event_id, rn,
+               greatest(CAST(0 AS BIGINT), d) AS bal
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT b.user_id, b.ts, b.event_id, b.rn,
+               greatest(CAST(0 AS BIGINT), r.bal + b.d)
+        FROM base b JOIN r
+          ON b.user_id = r.user_id AND b.rn = r.rn + 1
+    )
+    SELECT user_id, ts, event_id,
+           CAST(bal AS DOUBLE) / 1000000.0 AS balance
+    FROM r
+    """,
+    doc="Clamped (floor-at-zero) running balance per user — the "
+    "classic inventory/credit semantics s' = max(0, s + delta) that NO "
+    "window frame can express (the clamp makes the recurrence "
+    "non-associative). Third use of the sequential-kernel pattern: "
+    "applyInPandas with integer micro-unit state, RECURSIVE-CTE "
+    "oracle, exact bigint arithmetic end-to-end so the hash matches "
+    "with no tolerance. Partitioned by user — millions of independent "
+    "series is exactly the axis a 100 TB cluster parallelizes.",
+    tags=("timeseries", "udf", "indicator"),
+)
+def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    micro = F.floor(F.col("value") * 1000000.0).cast("long")
+    flows = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type") == "purchase", micro)
+        .otherwise(-micro)
+        .alias("d"),
+    )
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("balance", T.DoubleType()),
+    ])
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        bal = 0
+        out = []
+        for d in pdf["d"].tolist():
+            bal = max(0, bal + int(d))
+            out.append(bal / 1000000.0)
+        return pd.DataFrame({
+            "user_id": pdf["user_id"],
+            "ts": pdf["ts"],
+            "event_id": pdf["event_id"],
+            "balance": out,
+        })
+
+    return flows.groupBy("user_id").applyInPandas(kernel, schema)

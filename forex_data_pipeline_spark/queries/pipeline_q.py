@@ -127,3 +127,129 @@ def incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in batches:
         merge_upsert(spark, path, b, ["event_id"])
     return spark.read.parquet(path)
+
+
+@register(
+    "snapshot_cdc_diff",
+    oracle="""
+    WITH snap_a AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 10 <> 0
+    ),
+    snap_b AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 11 <> 0
+    ),
+    diff AS (
+        SELECT coalesce(a.o_orderkey, b.o_orderkey) AS key,
+               CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+                    WHEN b.o_orderkey IS NULL THEN 'delete'
+                    WHEN a.o_orderstatus <> b.o_orderstatus
+                      OR a.o_totalprice <> b.o_totalprice THEN 'update'
+                    ELSE 'unchanged' END AS change_type
+        FROM snap_a a FULL OUTER JOIN snap_b b
+          ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n_rows
+    FROM diff GROUP BY change_type
+    """,
+    doc="Snapshot CDC diff: two table snapshots (deterministically "
+    "perturbed projections of orders — rows dropped on each side to "
+    "create inserts/deletes, a status mutation to create updates) are "
+    "FULL OUTER joined on the key and classified "
+    "insert/delete/update/unchanged — the change-data-capture audit a "
+    "warehouse emits between loads, and the read-side dual of the "
+    "MERGE writer (S9). One keyed shuffle; the classifier is pure "
+    "column logic (no UDF).",
+    tags=("pipeline", "incremental", "join"),
+)
+def snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load(spark, sf_dir, "orders")
+    snap_a = od.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snap_b = od.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    a = snap_a.alias("a")
+    b = snap_b.alias("b")
+    diff = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    change = (
+        F.when(F.col("a.o_orderkey").isNull(), "insert")
+        .when(F.col("b.o_orderkey").isNull(), "delete")
+        .when(
+            (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+            | (F.col("a.o_totalprice") != F.col("b.o_totalprice")),
+            "update",
+        )
+        .otherwise("unchanged")
+    )
+    return diff.select(change.alias("change_type")).groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+@register(
+    "late_data_accounting",
+    oracle="""
+    WITH arrivals AS (
+        SELECT event_type, ts, event_id,
+               max(ts) OVER (PARTITION BY event_type
+                             ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS high_wm
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(CASE WHEN ts < high_wm - INTERVAL 5 MINUTE
+                           THEN 1 END) AS BIGINT) AS late_5m,
+           CAST(count(CASE WHEN ts < high_wm - INTERVAL 15 MINUTE
+                           THEN 1 END) AS BIGINT) AS late_15m,
+           CAST(count(CASE WHEN ts < high_wm - INTERVAL 1 HOUR
+                           THEN 1 END) AS BIGINT) AS late_1h
+    FROM arrivals GROUP BY event_type
+    """,
+    doc="Late-data accounting for watermark sizing (SURVEY §2.10): "
+    "replaying events in arrival order (event_id), an event is late "
+    "for delay D if its event time is more than D behind the running "
+    "high watermark at arrival. Counts per series for 5m/15m/1h "
+    "candidate delays tell you exactly how many rows each "
+    "withWatermark setting would drop — measured, not guessed. One "
+    "window sort + one aggregation.",
+    tags=("streaming", "timeseries", "quality"),
+)
+def late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    arrivals = ev.select(
+        "event_type", "ts", "event_id", F.max("ts").over(w).alias("high_wm")
+    )
+
+    def late(delay: str, alias: str):
+        return F.count(
+            F.when(
+                F.col("ts") < F.col("high_wm") - F.expr(f"INTERVAL {delay}"),
+                1,
+            )
+        ).alias(alias)
+
+    return arrivals.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        late("5 MINUTES", "late_5m"),
+        late("15 MINUTES", "late_15m"),
+        late("1 HOUR", "late_1h"),
+    )

@@ -2868,3 +2868,51 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_DORMANT_RICH)
+
+
+@register(
+    "fuzzy_name_pairs",
+    oracle="""
+    WITH blocked AS (
+        SELECT c_nationkey, c_mktsegment, c_custkey, c_name
+        FROM customer
+    )
+    SELECT a.c_nationkey, a.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_close_pairs,
+           CAST(min(levenshtein(a.c_name, b.c_name)) AS BIGINT) AS min_dist
+    FROM blocked a JOIN blocked b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_mktsegment = b.c_mktsegment
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    GROUP BY a.c_nationkey, a.c_mktsegment
+    """,
+    doc="Blocked fuzzy string-similarity join: candidate pairs are "
+    "generated only within (nation, segment) blocks — the equi-join "
+    "keys carry the quadratic work, so cost scales with block-size^2 x "
+    "blocks, never corpus^2 (the same blocking discipline as the LSH "
+    "band joins). Levenshtein <= 2 verification runs JVM-side; "
+    "per-block pair counts come back exact.",
+    tags=("join", "text", "similarity"),
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment", "c_custkey", "c_name"
+    )
+    a = cu.alias("a")
+    b = cu.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).filter(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 2)
+    return pairs.groupBy(
+        F.col("a.c_nationkey").alias("c_nationkey"),
+        F.col("a.c_mktsegment").alias("c_mktsegment"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_close_pairs"),
+        F.min(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")))
+        .cast("bigint")
+        .alias("min_dist"),
+    )
