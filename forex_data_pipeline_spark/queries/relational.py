@@ -2916,3 +2916,98 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("min_dist"),
     )
+
+
+_SQL_RECURSIVE_HIERARCHY = """
+    WITH RECURSIVE chain AS (
+        SELECT c_custkey, CAST(c_custkey AS BIGINT) AS node,
+               CAST(0 AS BIGINT) AS depth
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, CAST(floor(node / 10.0) AS BIGINT), depth + 1
+        FROM chain WHERE node >= 10
+    )
+    SELECT c_custkey, node AS root_key, depth
+    FROM chain WHERE node < 10
+"""
+
+
+@register(
+    "recursive_cte_hierarchy",
+    oracle=_SQL_RECURSIVE_HIERARCHY,
+    doc="Recursive CTE (Spark >= 4.0): every customer key walks a "
+    "synthetic parent chain (parent = key/10) to its root, returning "
+    "root and depth — the org-chart / BOM-explosion query class that "
+    "previously needed driver-side iteration (cf. dedup_clusters' "
+    "iterative min-label propagation). Identical ANSI text on both "
+    "engines; each recursion step is one self-join the engine "
+    "schedules, state bounded by the frontier.",
+    tags=("sql", "recursive", "hierarchy"),
+)
+def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_RECURSIVE_HIERARCHY)
+
+
+_SQL_LATERAL_TOPK = """
+    SELECT n.n_name, x.c_custkey, x.c_acctbal
+    FROM nation n, LATERAL (
+        SELECT c_custkey, c_acctbal FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 2
+    ) x
+"""
+
+
+@register(
+    "lateral_topk_per_nation",
+    oracle=_SQL_LATERAL_TOPK,
+    doc="Correlated LATERAL derived table (top-2 customers by balance "
+    "per nation): the SQL-standard spelling of per-group top-k. "
+    "Catalyst decorrelates the LATERAL into a ranked window + filter "
+    "instead of 25 separate scans — same plan as the "
+    "row_number formulation (q:topk_orders_per_customer), different "
+    "surface. Identical ANSI text on both engines; unique tie-break "
+    "key keeps the LIMIT deterministic.",
+    tags=("sql", "join", "subquery", "topk"),
+)
+def lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_LATERAL_TOPK)
+
+
+_SQL_TRAILING_7D = """
+    SELECT o_custkey, o_orderdate,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS rev_7d_cents,
+           CAST(count(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_orders_7d
+    FROM orders
+"""
+
+
+@register(
+    "trailing_window_interval_frame",
+    oracle=_SQL_TRAILING_7D,
+    doc="Time-based RANGE frame (RANGE BETWEEN INTERVAL 7 DAY "
+    "PRECEDING): trailing 7-day spend per customer — unlike a ROWS "
+    "frame, the window is defined by event-time distance, so gaps and "
+    "same-day peer rows are handled per the SQL standard (peers enter "
+    "together). Exact integer cents inside the frame sum. Identical "
+    "ANSI text on both engines; one sort per customer partition.",
+    tags=("sql", "window", "timeseries"),
+)
+def trailing_window_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_TRAILING_7D)
