@@ -2901,20 +2901,25 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = cu.alias("a")
     b = cu.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-        & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
-        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-    ).filter(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 2)
-    return pairs.groupBy(
-        F.col("a.c_nationkey").alias("c_nationkey"),
-        F.col("a.c_mktsegment").alias("c_mktsegment"),
-    ).agg(
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        # compute the edit distance ONCE per candidate pair; filter and
+        # the min() aggregate both reuse the column (no double eval)
+        .select(
+            F.col("a.c_nationkey").alias("c_nationkey"),
+            F.col("a.c_mktsegment").alias("c_mktsegment"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+    )
+    return pairs.groupBy("c_nationkey", "c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_close_pairs"),
-        F.min(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")))
-        .cast("bigint")
-        .alias("min_dist"),
+        F.min("dist").cast("bigint").alias("min_dist"),
     )
 
 
@@ -3011,3 +3016,30 @@ def trailing_window_interval_frame(spark: SparkSession, sf_dir: str) -> DataFram
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_TRAILING_7D)
+
+
+@register(
+    "hll_sketch_rollup",
+    oracle=None,  # HLL sketches are Spark-native (no DuckDB twin);
+    # the driver runs its rows-only check, and tests/test_properties.py
+    # asserts merge-associativity + <5% error vs the exact count.
+    doc="Mergeable HyperLogLog sketches (hll_sketch_agg / "
+    "hll_union_agg / hll_sketch_estimate): per series-day sketches of "
+    "the user population are built once, then UNIONED per series — "
+    "the pre-aggregated-rollup pattern that makes distinct-count "
+    "dashboards O(sketch) instead of O(raw rescan) at 100 TB. The "
+    "day sketches are reusable state: any date range's distinct count "
+    "is a union over stored sketches, never a raw recount.",
+    tags=("aggregation", "approx", "scale"),
+)
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.expr("hll_sketch_agg(CAST(user_id AS STRING))").alias("sk"))
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+        .cast("bigint")
+        .alias("est_distinct_users"),
+    )

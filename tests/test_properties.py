@@ -188,3 +188,39 @@ def test_bucketed_range_join_equals_broadcast_form(spark, values, bands, width):
         ).collect()
     }
     assert bucketed_rows == broadcast_rows
+
+
+def test_hll_sketch_rollup_merges_and_bounds_error(spark, sf_dir):
+    """The day-sketch union must equal the single whole-series sketch
+    (merge associativity) and sit within 5% of the exact distinct
+    count — the contract that makes stored sketches safe rollup state."""
+    from pyspark.sql import functions as F
+
+    from forex_data_pipeline_spark import catalog
+    from forex_data_pipeline_spark.tables import load
+
+    catalog._ensure_loaded()
+    rolled = {
+        r["event_type"]: r["est_distinct_users"]
+        for r in catalog.REGISTRY["hll_sketch_rollup"].fn(spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    direct = {
+        r["event_type"]: r["est"]
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr(
+                "hll_sketch_estimate(hll_sketch_agg(CAST(user_id AS STRING)))"
+            ).cast("bigint").alias("est")
+        )
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert rolled == direct  # union of partial sketches == one-shot sketch
+    for et, n in exact.items():
+        assert abs(rolled[et] - n) <= max(1, 0.05 * n)
