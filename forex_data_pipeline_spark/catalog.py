@@ -10,8 +10,17 @@ Determinism discipline (hash-matching contract):
 - Alias every computed column identically in Spark and oracle SQL.
 - Money sums are aggregated as DECIMAL (exact, order-independent) and cast
   to DOUBLE at the end → bit-identical across engines.
-- Float window/ratio outputs are rounded (typically 6 dp) on both sides.
+- Float outputs either (a) are the bit-identical IEEE expression over
+  exact integers on both sides (division/sqrt are correctly rounded —
+  emit UNROUNDED), or (b) are half-up rounded in the integer domain via
+  `(2*num + den) div (2*den)`. Never `round(x, 6)` an exact rational:
+  engine tie-breaks differ (HALF_UP vs std::round vs numpy half-even).
+  `round()` remains only on transcendental-valued outputs (log/cosine),
+  where it washes libm ulp differences and exact ties cannot occur.
 - Top-k orderings always carry a unique tie-break key.
+- Sequential recurrences (EMA, Heikin-Ashi, clamped balance) run as
+  applyInPandas kernels executing the same IEEE op sequence as a
+  DuckDB RECURSIVE CTE → strict equality without rounding.
 """
 
 from __future__ import annotations

@@ -627,8 +627,8 @@ def range_frame_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_distribution",
     oracle="""
     SELECT o_orderkey, o_orderstatus,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist() OVER w, 6) AS cume,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
            CAST(ntile(4) OVER w AS BIGINT) AS quartile
     FROM orders
     WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
@@ -645,8 +645,10 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return od.select(
         "o_orderkey",
         "o_orderstatus",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        # unrounded: both engines define these as exact rank ratios
+        # ((r-1)/(n-1), peers/n) — one correctly-rounded division each
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
         F.ntile(4).over(w).cast("bigint").alias("quartile"),
     )
 

@@ -422,8 +422,11 @@ def _minmax_norm_pdf(pdf):
     lo, hi = pdf["value"].min(), pdf["value"].max()
     span = hi - lo
     out = pdf[["event_id", "event_type"]].copy()
+    # no .round(6): numpy rounds half-even while SQL round() rounds
+    # half-away — on an exact tie they diverge. The unrounded quotient
+    # is the identical IEEE expression the oracle computes.
     out["value_norm"] = (
-        ((pdf["value"] - lo) / span).round(6) if span > 0 else 0.0
+        ((pdf["value"] - lo) / span) if span > 0 else 0.0
     )
     return out
 
@@ -432,9 +435,9 @@ def _minmax_norm_pdf(pdf):
     "grouped_minmax_norm",
     oracle="""
     SELECT event_id, event_type,
-           round((value - min(value) OVER (PARTITION BY event_type))
+           (value - min(value) OVER (PARTITION BY event_type))
                  / (max(value) OVER (PARTITION BY event_type)
-                    - min(value) OVER (PARTITION BY event_type)), 6)
+                    - min(value) OVER (PARTITION BY event_type))
                AS value_norm
     FROM events
     """,
@@ -476,13 +479,13 @@ def grouped_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
     )
     SELECT event_type, candle_start, close_value,
-           round(CAST(s1 AS DOUBLE) / (1000000.0 * n), 6) AS bb_mid,
-           round(CAST(s1 AS DOUBLE) / (1000000.0 * n)
+           CAST(s1 AS DOUBLE) / (1000000.0 * n) AS bb_mid,
+           CAST(s1 AS DOUBLE) / (1000000.0 * n)
                  + 2 * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
-                   / (1000000.0 * n), 6) AS bb_upper,
-           round(CAST(s1 AS DOUBLE) / (1000000.0 * n)
+                   / (1000000.0 * n) AS bb_upper,
+           CAST(s1 AS DOUBLE) / (1000000.0 * n)
                  - 2 * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
-                   / (1000000.0 * n), 6) AS bb_lower
+                   / (1000000.0 * n) AS bb_lower
     FROM sums
     """,
     doc="Bollinger bands (SMA-20 ± 2σ): the windowed variance comes "
@@ -516,11 +519,16 @@ def bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigma = F.sqrt(
         (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
     ) / (1000000.0 * F.col("n"))
+    # no round(): every term is an identical IEEE expression over exact
+    # integers on both engines (division and sqrt are correctly rounded
+    # per IEEE-754), so the doubles are bit-equal — whereas round()'s
+    # tie-break differs across engines (BigDecimal HALF_UP vs
+    # std::round) and WOULD diverge on exact 6-dp ties like odd/2.
     return with_sums.select(
         "event_type", "candle_start", "close_value",
-        F.round(mid, 6).alias("bb_mid"),
-        F.round(mid + 2 * sigma, 6).alias("bb_upper"),
-        F.round(mid - 2 * sigma, 6).alias("bb_lower"),
+        mid.alias("bb_mid"),
+        (mid + 2 * sigma).alias("bb_upper"),
+        (mid - 2 * sigma).alias("bb_lower"),
     )
 
 
@@ -1144,7 +1152,7 @@ def point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.candle_start,
            a.close_value AS close_a,
            b.close_value AS close_b,
-           round(a.close_value / b.close_value, 6) AS cross_rate
+           a.close_value / b.close_value AS cross_rate
     FROM candles a JOIN candles b
       ON a.candle_start = b.candle_start
     WHERE a.event_type = 'click' AND b.event_type = 'view'
@@ -1178,9 +1186,9 @@ def cross_rate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         "candle_start",
         "close_a",
         "close_b",
-        F.round(F.col("close_a") / F.col("close_b"), 6).alias(
-            "cross_rate"
-        ),
+        # unrounded: one correctly-rounded IEEE division, identical on
+        # both engines; round()'s tie-break would diverge on exact ties
+        (F.col("close_a") / F.col("close_b")).alias("cross_rate"),
     )
 
 
