@@ -217,3 +217,48 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .awaitTermination()
     )
     return spark.table(table)
+
+
+@register(
+    "streaming_dedup_counts",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    doc="Streaming keyed dedup (dropDuplicatesWithinWatermark, the "
+    "streaming form of D1/D2): the source directory stages the events "
+    "file TWICE, so every row arrives duplicated in-stream; the "
+    "watermark-bounded dedup state must collapse them back to the "
+    "exact original per-series counts. State is bounded by the "
+    "watermark delay — at 100 TB/day the dedup table never grows past "
+    "delay x arrival rate.",
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ..streaming.candles_stream import (
+        read_tick_stream,
+        run_available_now_to_table,
+        streaming_dedup,
+    )
+
+    src = tempfile.mkdtemp(prefix="fx_dedup_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src}/events_a.parquet")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src}/events_b.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ts_is_long = raw_schema["ts"].dataType.typeName() == "long"
+    ticks = read_tick_stream(spark, src, raw_schema, ts_is_nanos_long=ts_is_long)
+    # delay wider than the dataset's span: every duplicate (same
+    # event_id) must be caught regardless of arrival batch
+    deduped = streaming_dedup(ticks, ["event_id"], "ts", delay="90 days")
+    counted = deduped.groupBy("event_type").count().withColumnRenamed(
+        "count", "n_events"
+    )
+    table = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="fx_dedup_ckpt_")
+    run_available_now_to_table(counted, table, ckpt, output_mode="complete")
+    return spark.table(table).select(
+        "event_type", F.col("n_events").cast("bigint").alias("n_events")
+    )

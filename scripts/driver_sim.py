@@ -64,6 +64,10 @@ def main() -> int:
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
     qs, oracles = ent.queries(), ent.oracle_sql()
+    # optional filter: scripts/driver_sim.py [sf_dir] [name1,name2,...]
+    if len(sys.argv) > 2:
+        wanted = set(sys.argv[2].split(","))
+        qs = {n: f for n, f in qs.items() if n in wanted}
     fails = []
     for name, fn in qs.items():
         try:
