@@ -3045,3 +3045,87 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("est_distinct_users"),
     )
+
+
+@register(
+    "union_by_name_evolution",
+    oracle="""
+    WITH u AS (
+        SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, NULL AS o_totalprice, o_orderpriority
+        FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_price,
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_priority
+    FROM u
+    """,
+    doc="Schema-evolving union (unionByName(allowMissingColumns=True)): "
+    "two vintages of the orders extract — one carries price, the newer "
+    "one priority — stack by COLUMN NAME with absent columns "
+    "null-filled, the append pattern when a feed adds or drops fields "
+    "mid-history (positional UNION would silently misalign). The "
+    "oracle spells out the null-fill the operator performs.",
+    tags=("set-ops", "schema"),
+)
+def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load(spark, sf_dir, "orders")
+    old_vintage = od.select("o_orderkey", "o_totalprice")
+    new_vintage = od.select("o_orderkey", "o_orderpriority")
+    u = old_vintage.unionByName(new_vintage, allowMissingColumns=True)
+    return u.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_price"),
+        F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_priority"),
+    )
+
+
+@register(
+    "asof_join_with_tolerance",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT arg_max(c.value, c.ts) FROM events c
+            WHERE c.event_type = 'click'
+              AND c.user_id = p.user_id
+              AND c.ts <= p.ts
+              AND c.ts >= p.ts - INTERVAL 1 HOUR) AS click_value_1h
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+    doc="AS-OF join with a staleness tolerance: the latest prior click "
+    "counts only if it is at most 1 hour old — the production guard "
+    "that plain as-of joins silently lack (an unbounded lookback "
+    "happily attributes a purchase to a week-old quote). Same one-"
+    "shuffle union+window kernel; the matched timestamp rides along "
+    "and the tolerance is a post-filter, so no extra join.",
+    tags=("join", "timeseries", "window"),
+)
+def asof_join_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", "value")
+        .withColumn("click_ts", F.col("ts"))
+    )
+    out = asof_join(
+        purchases, clicks, ["user_id"], "ts", "ts",
+        ["value", "click_ts"], suffix="_m",
+    )
+    fresh = F.col("click_ts_m") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.when(fresh, F.col("value_m")).alias("click_value_1h"),
+    )
