@@ -948,3 +948,106 @@ def linear_trend_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(n AS DOUBLE) / 1000000.0"
         ).alias("intercept"),
     )
+
+
+@register(
+    "rolling_median_filter",
+    oracle=f"""
+    WITH candles AS (
+        SELECT {_bucket_sql('ts', 3600, 0)} AS candle_start, event_type,
+               CAST(round(arg_max(value, ts) * 1000000) AS BIGINT) AS cm
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, candle_start,
+           quantile_cont(cm, 0.5) OVER w / 1000000.0 AS median_15,
+           CAST(cm AS DOUBLE) / 1000000.0 AS close_value
+    FROM candles
+    WINDOW w AS (PARTITION BY event_type ORDER BY candle_start
+                 ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Rolling exact median (15-bar robust mid-price filter — the "
+    "outlier-resistant alternative to SMA for spiky feeds): Spark's "
+    "exact percentile() and DuckDB's quantile_cont agree bit-for-bit "
+    "on integer micro-unit inputs because even-count interpolation is "
+    "(a+b)/2 of integers — exact in binary — and the final /1e6 is one "
+    "correctly-rounded division. No rounding anywhere. Exact "
+    "percentile holds the frame in memory — fine for bounded frames; "
+    "unbounded/global medians use approx_percentile "
+    "(q:approx_percentile_prices) as the scale path.",
+    tags=("timeseries", "window", "indicator", "stats"),
+)
+def rolling_median_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.candles import bucket
+
+    ev = load(spark, sf_dir, "events")
+    candles = ev.groupBy(
+        bucket(F.col("ts"), 3600).alias("candle_start"), "event_type"
+    ).agg(
+        F.round(F.max_by("value", "ts") * 1000000).cast("bigint").alias("cm")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("candle_start")
+        .rowsBetween(-14, 0)
+    )
+    return candles.select(
+        "event_type", "candle_start",
+        (F.expr("percentile(cm, 0.5)").over(w) / 1000000.0).alias("median_15"),
+        (F.col("cm").cast("double") / 1000000.0).alias("close_value"),
+    )
+
+
+@register(
+    "winsorized_mean_per_series",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               CAST(round(value * 1000000) AS BIGINT) AS vm
+        FROM events
+    ),
+    q AS (
+        SELECT event_type,
+               CAST(quantile_disc(vm, 0.05) AS BIGINT) AS lo,
+               CAST(quantile_disc(vm, 0.95) AS BIGINT) AS hi
+        FROM b GROUP BY event_type
+    )
+    SELECT b.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(lo AS DOUBLE) / 1000000.0 AS lo_fence,
+           CAST(hi AS DOUBLE) / 1000000.0 AS hi_fence,
+           CAST(sum(greatest(lo, least(hi, vm))) AS DOUBLE)
+               / (1000000.0 * count(*)) AS winsorized_mean
+    FROM b JOIN q ON b.event_type = q.event_type
+    GROUP BY b.event_type, lo, hi
+    """,
+    doc="Winsorized mean per series (5%/95% fences): the robust "
+    "average that survives fat-tailed tick noise. Fences are DISCRETE "
+    "percentiles (actual data points, exact integers on both engines "
+    "via percentile_disc / quantile_disc), broadcast back onto the "
+    "ticks (5-row join), values clamped in integer micro-units, and "
+    "the mean is one unrounded correctly-rounded division of exact "
+    "bigints. Two aggregations over one scan lineage, no sort of the "
+    "full data.",
+    tags=("timeseries", "stats", "aggregation"),
+)
+def winsorized_mean_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.round(F.col("value") * 1000000).cast("bigint").alias("vm"),
+    )
+    q = b.groupBy("event_type").agg(
+        F.expr("CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY vm) AS BIGINT)").alias("lo"),
+        F.expr("CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY vm) AS BIGINT)").alias("hi"),
+    )
+    j = b.join(F.broadcast(q), "event_type")
+    clamped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("vm")))
+    return j.groupBy("event_type", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.first("lo").cast("double") / 1000000.0).alias("lo_fence"),
+        (F.first("hi").cast("double") / 1000000.0).alias("hi_fence"),
+        (
+            F.sum(clamped).cast("double")
+            / (F.lit(1000000.0) * F.count(F.lit(1)))
+        ).alias("winsorized_mean"),
+    ).select("event_type", "n", "lo_fence", "hi_fence", "winsorized_mean")
