@@ -1051,3 +1051,134 @@ def winsorized_mean_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(1000000.0) * F.count(F.lit(1)))
         ).alias("winsorized_mean"),
     ).select("event_type", "n", "lo_fence", "hi_fence", "winsorized_mean")
+
+
+@register(
+    "supertrend",
+    oracle=f"""
+    WITH RECURSIVE {_HOURLY_MICRO_SQL},
+    tr AS (
+        SELECT event_type, candle_start, h, l, c,
+               CASE WHEN pc IS NULL THEN h - l
+                    ELSE greatest(h - l, abs(h - pc), abs(l - pc)) END AS t
+        FROM (
+            SELECT event_type, candle_start, h, l, c,
+                   lag(c) OVER (PARTITION BY event_type
+                                ORDER BY candle_start) AS pc
+            FROM iv
+        )
+    ),
+    base AS (
+        SELECT event_type, candle_start, c,
+               CAST(h + l AS DOUBLE) / 2.0
+                   + 3.0 * (CAST(sum(t) OVER w AS DOUBLE)
+                            / count(*) OVER w) AS bu,
+               CAST(h + l AS DOUBLE) / 2.0
+                   - 3.0 * (CAST(sum(t) OVER w AS DOUBLE)
+                            / count(*) OVER w) AS bl,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY candle_start) AS rn
+        FROM tr
+        WINDOW w AS (PARTITION BY event_type ORDER BY candle_start
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ),
+    r AS (
+        SELECT event_type, candle_start, c, rn, bu AS fu, bl AS fl,
+               CAST(1 AS BIGINT) AS trend
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT b.event_type, b.candle_start, b.c, b.rn,
+               CASE WHEN b.bu < r.fu OR r.c > r.fu THEN b.bu ELSE r.fu END,
+               CASE WHEN b.bl > r.fl OR r.c < r.fl THEN b.bl ELSE r.fl END,
+               CASE WHEN CAST(b.c AS DOUBLE) >
+                         (CASE WHEN b.bu < r.fu OR r.c > r.fu
+                               THEN b.bu ELSE r.fu END) THEN 1
+                    WHEN CAST(b.c AS DOUBLE) <
+                         (CASE WHEN b.bl > r.fl OR r.c < r.fl
+                               THEN b.bl ELSE r.fl END) THEN -1
+                    ELSE r.trend END
+        FROM base b JOIN r
+          ON b.event_type = r.event_type AND b.rn = r.rn + 1
+    )
+    SELECT event_type, candle_start,
+           fu / 1000000.0 AS upper_band,
+           fl / 1000000.0 AS lower_band,
+           trend
+    FROM r
+    """,
+    doc="Supertrend(14, 3): the conditional band recursion — the final "
+    "upper band only ratchets down while price stays below it (and "
+    "mirror for the lower band), with the trend flag flipping on band "
+    "crosses — is state-dependent in a way no window frame expresses. "
+    "Fourth sequential-kernel use: the band inputs (midpoint ± "
+    "3·SMA-ATR) are identical IEEE expressions over exact integer "
+    "window sums on both engines, and the kernel replays the exact "
+    "comparison/assignment sequence of the RECURSIVE-CTE oracle — "
+    "strict hash equality, zero rounding.",
+    tags=("timeseries", "indicator", "udf"),
+)
+def supertrend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    base_iv = _hourly_micro(spark, sf_dir)
+    w1 = _series_window()
+    w14 = _series_window().rowsBetween(-13, 0)
+    pc = base_iv.select(
+        "event_type", "candle_start", "h", "l", "c",
+        F.lag("c").over(w1).alias("pc"),
+    )
+    t = F.when(F.col("pc").isNull(), F.col("h") - F.col("l")).otherwise(
+        F.greatest(
+            F.col("h") - F.col("l"),
+            F.abs(F.col("h") - F.col("pc")),
+            F.abs(F.col("l") - F.col("pc")),
+        )
+    )
+    tr = pc.select("event_type", "candle_start", "h", "l", "c", t.alias("t"))
+    atr = F.sum("t").over(w14).cast("double") / F.count(F.lit(1)).over(w14)
+    mid = (F.col("h") + F.col("l")).cast("double") / F.lit(2.0)
+    base = tr.select(
+        "event_type", "candle_start", "c",
+        (mid + F.lit(3.0) * atr).alias("bu"),
+        (mid - F.lit(3.0) * atr).alias("bl"),
+    )
+
+    schema = T.StructType([
+        T.StructField("event_type", T.StringType()),
+        T.StructField("candle_start", T.TimestampNTZType()),
+        T.StructField("upper_band", T.DoubleType()),
+        T.StructField("lower_band", T.DoubleType()),
+        T.StructField("trend", T.LongType()),
+    ])
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("candle_start").reset_index(drop=True)
+        fu = fl = 0.0
+        prev_c = 0
+        trend = 1
+        ub, lb, trends = [], [], []
+        for i, (c, bu, bl) in enumerate(zip(pdf["c"], pdf["bu"], pdf["bl"])):
+            if i == 0:
+                fu, fl, trend = bu, bl, 1
+            else:
+                fu = bu if (bu < fu or prev_c > fu) else fu
+                fl = bl if (bl > fl or prev_c < fl) else fl
+                if float(c) > fu:
+                    trend = 1
+                elif float(c) < fl:
+                    trend = -1
+            ub.append(fu / 1000000.0)
+            lb.append(fl / 1000000.0)
+            trends.append(trend)
+            prev_c = c
+        return pd.DataFrame({
+            "event_type": pdf["event_type"],
+            "candle_start": pdf["candle_start"],
+            "upper_band": ub,
+            "lower_band": lb,
+            "trend": trends,
+        })
+
+    return base.groupBy("event_type").applyInPandas(kernel, schema)
