@@ -1182,3 +1182,131 @@ def supertrend(spark: SparkSession, sf_dir: str) -> DataFrame:
         })
 
     return base.groupBy("event_type").applyInPandas(kernel, schema)
+
+
+@register(
+    "ichimoku_cloud",
+    oracle=f"""
+    WITH {_HOURLY_MICRO_SQL},
+    lines AS (
+        SELECT event_type, candle_start, c,
+               CAST(max(h) OVER w9 + min(l) OVER w9 AS DOUBLE)
+                   / 2000000.0 AS tenkan,
+               CAST(max(h) OVER w26 + min(l) OVER w26 AS DOUBLE)
+                   / 2000000.0 AS kijun,
+               CAST(max(h) OVER w52 + min(l) OVER w52 AS DOUBLE)
+                   / 2000000.0 AS senkou_b_raw
+        FROM iv
+        WINDOW w9 AS (PARTITION BY event_type ORDER BY candle_start
+                      ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+               w26 AS (PARTITION BY event_type ORDER BY candle_start
+                       ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+               w52 AS (PARTITION BY event_type ORDER BY candle_start
+                       ROWS BETWEEN 51 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, candle_start, tenkan, kijun,
+           lag((tenkan + kijun) / 2.0, 26) OVER w AS senkou_a,
+           lag(senkou_b_raw, 26) OVER w AS senkou_b,
+           CAST(lead(c, 26) OVER w AS DOUBLE) / 1000000.0 AS chikou
+    FROM lines
+    WINDOW w AS (PARTITION BY event_type ORDER BY candle_start)
+    """,
+    doc="Ichimoku cloud (9/26/52): conversion/base lines are rolling "
+    "high-low midpoints, the two Senkou spans are projected 26 bars "
+    "forward (lag) and the Chikou line 26 back (lead). Every value is "
+    "an integer sum halved — division by powers of two is exact in "
+    "binary — so all five lines are bit-identical with no rounding. "
+    "Five window frames over ONE per-series sort (same partitioning, "
+    "Catalyst reuses the exchange+sort).",
+    tags=("timeseries", "window", "indicator"),
+)
+def ichimoku_cloud(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _hourly_micro(spark, sf_dir)
+    w1 = _series_window()
+
+    def midline(n: int):
+        wn = _series_window().rowsBetween(-(n - 1), 0)
+        return (F.max("h").over(wn) + F.min("l").over(wn)).cast(
+            "double"
+        ) / 2000000.0
+
+    lines = base.select(
+        "event_type", "candle_start", "c",
+        midline(9).alias("tenkan"),
+        midline(26).alias("kijun"),
+        midline(52).alias("senkou_b_raw"),
+    )
+    return lines.select(
+        "event_type", "candle_start", "tenkan", "kijun",
+        F.lag((F.col("tenkan") + F.col("kijun")) / 2.0, 26).over(w1).alias("senkou_a"),
+        F.lag("senkou_b_raw", 26).over(w1).alias("senkou_b"),
+        (F.lead("c", 26).over(w1).cast("double") / 1000000.0).alias("chikou"),
+    )
+
+
+@register(
+    "aroon_indicator",
+    oracle=f"""
+    WITH {_HOURLY_MICRO_SQL},
+    rn_t AS (
+        SELECT event_type, candle_start, h, l,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY candle_start) AS rn
+        FROM iv
+    ),
+    enc AS (
+        SELECT event_type, candle_start, rn,
+               max(h * 100000 + rn) OVER w AS hi_enc,
+               max((300000000 - l) * 100000 + rn) OVER w AS lo_enc,
+               count(*) OVER w AS n
+        FROM rn_t
+        WINDOW w AS (PARTITION BY event_type ORDER BY candle_start
+                     ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, candle_start,
+           CASE WHEN n = 25
+                THEN CAST((25 - (rn - hi_enc % 100000)) * 4 AS BIGINT)
+                END AS aroon_up,
+           CASE WHEN n = 25
+                THEN CAST((25 - (rn - lo_enc % 100000)) * 4 AS BIGINT)
+                END AS aroon_down
+    FROM enc
+    """,
+    doc="Aroon(25): bars-since-rolling-extreme, the trend-age "
+    "indicator. The position of the window max/min comes from an "
+    "integer ENCODING — value*100000 + row_number packs (value, "
+    "recency) into one bigint so a plain max() recovers the latest "
+    "extreme's position (ties break to the most recent, the Aroon "
+    "convention); the low side is complement-encoded to stay "
+    "positive. (25 - age) * 4 keeps the 0-100 scale integer-exact — "
+    "no division at all. NULL during the warmup window.",
+    tags=("timeseries", "window", "indicator"),
+)
+def aroon_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _hourly_micro(spark, sf_dir)
+    w1 = _series_window()
+    w25 = _series_window().rowsBetween(-24, 0)
+    rn_t = base.select(
+        "event_type", "candle_start", "h", "l",
+        F.row_number().over(w1).alias("rn"),
+    )
+    enc = rn_t.select(
+        "event_type", "candle_start", "rn",
+        F.max(F.col("h") * 100000 + F.col("rn")).over(w25).alias("hi_enc"),
+        F.max((F.lit(300000000) - F.col("l")) * 100000 + F.col("rn"))
+        .over(w25)
+        .alias("lo_enc"),
+        F.count(F.lit(1)).over(w25).alias("n"),
+    )
+    full = F.col("n") == 25
+    return enc.select(
+        "event_type", "candle_start",
+        F.when(
+            full,
+            ((25 - (F.col("rn") - F.col("hi_enc") % 100000)) * 4).cast("bigint"),
+        ).alias("aroon_up"),
+        F.when(
+            full,
+            ((25 - (F.col("rn") - F.col("lo_enc") % 100000)) * 4).cast("bigint"),
+        ).alias("aroon_down"),
+    )
