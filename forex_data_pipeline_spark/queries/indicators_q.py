@@ -1310,3 +1310,198 @@ def aroon_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((25 - (F.col("rn") - F.col("lo_enc") % 100000)) * 4).cast("bigint"),
         ).alias("aroon_down"),
     )
+
+
+@register(
+    "candlestick_patterns",
+    oracle=f"""
+    WITH {_HOURLY_MICRO_SQL},
+    x AS (
+        SELECT event_type, candle_start, o, h, l, c,
+               lag(o) OVER w AS po, lag(c) OVER w AS pc,
+               abs(c - o) AS body,
+               h - greatest(o, c) AS wick_up,
+               least(o, c) - l AS wick_dn
+        FROM iv
+        WINDOW w AS (PARTITION BY event_type ORDER BY candle_start)
+    )
+    SELECT event_type, candle_start,
+           CAST(10 * body <= h - l AS BOOLEAN) AS is_doji,
+           CAST(wick_dn >= 2 * body AND 2 * wick_up <= body
+                AS BOOLEAN) AS is_hammer,
+           CAST(pc IS NOT NULL AND c > o AND pc < po
+                AND c >= po AND o <= pc AS BOOLEAN) AS is_bull_engulfing,
+           CAST(pc IS NOT NULL AND c < o AND pc > po
+                AND o >= pc AND c <= po AS BOOLEAN) AS is_bear_engulfing
+    FROM x
+    """,
+    doc="Candlestick pattern flags (doji / hammer / bullish+bearish "
+    "engulfing): every rule is rewritten multiplication-side "
+    "(10*body <= range, wick >= 2*body) so detection is pure integer "
+    "micro-unit comparison — no ratios, no floats, no thresholds that "
+    "could straddle an engine rounding difference. One lag window for "
+    "the engulfing prior-candle context.",
+    tags=("timeseries", "window", "indicator"),
+)
+def candlestick_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _hourly_micro(spark, sf_dir)
+    w1 = _series_window()
+    o, h, l, c = F.col("o"), F.col("h"), F.col("l"), F.col("c")
+    x = base.select(
+        "event_type", "candle_start", "o", "h", "l", "c",
+        F.lag("o").over(w1).alias("po"),
+        F.lag("c").over(w1).alias("pc"),
+        F.abs(c - o).alias("body"),
+        (h - F.greatest(o, c)).alias("wick_up"),
+        (F.least(o, c) - l).alias("wick_dn"),
+    )
+    po, pc = F.col("po"), F.col("pc")
+    body, wu, wd = F.col("body"), F.col("wick_up"), F.col("wick_dn")
+    return x.select(
+        "event_type", "candle_start",
+        (10 * body <= F.col("h") - F.col("l")).alias("is_doji"),
+        ((wd >= 2 * body) & (2 * wu <= body)).alias("is_hammer"),
+        (
+            pc.isNotNull() & (F.col("c") > F.col("o")) & (pc < po)
+            & (F.col("c") >= po) & (F.col("o") <= pc)
+        ).alias("is_bull_engulfing"),
+        (
+            pc.isNotNull() & (F.col("c") < F.col("o")) & (pc > po)
+            & (F.col("o") >= pc) & (F.col("c") <= po)
+        ).alias("is_bear_engulfing"),
+    )
+
+
+# Parabolic SAR recursion — SQL fragments shared verbatim between the
+# up/down branches of the oracle so the kernel mirrors ONE definition.
+_SAR_PRED = "(r.sar + r.af * (r.ep - r.sar))"
+_SAR_UP = (
+    f"least({_SAR_PRED}, CAST(b.pl AS DOUBLE), CAST(b.ppl AS DOUBLE))"
+)
+_SAR_DN = (
+    f"greatest({_SAR_PRED}, CAST(b.ph AS DOUBLE), CAST(b.pph AS DOUBLE))"
+)
+_FLIP_UP = f"CAST(b.l AS DOUBLE) < {_SAR_UP}"    # uptrend pierced
+_FLIP_DN = f"CAST(b.h AS DOUBLE) > {_SAR_DN}"    # downtrend pierced
+
+
+@register(
+    "parabolic_sar",
+    oracle=f"""
+    WITH RECURSIVE {_HOURLY_MICRO_SQL},
+    base AS (
+        SELECT event_type, candle_start, h, l, c,
+               lag(h) OVER w AS ph, lag(l) OVER w AS pl,
+               lag(c) OVER w AS pc,
+               lag(h, 2) OVER w AS pph, lag(l, 2) OVER w AS ppl,
+               row_number() OVER w AS rn
+        FROM iv
+        WINDOW w AS (PARTITION BY event_type ORDER BY candle_start)
+    ),
+    r AS (
+        SELECT event_type, candle_start, rn,
+               CASE WHEN c > pc THEN 1 ELSE -1 END AS trend,
+               CASE WHEN c > pc THEN CAST(pl AS DOUBLE)
+                    ELSE CAST(ph AS DOUBLE) END AS sar,
+               CASE WHEN c > pc THEN CAST(h AS DOUBLE)
+                    ELSE CAST(l AS DOUBLE) END AS ep,
+               CAST(0.02 AS DOUBLE) AS af
+        FROM base WHERE rn = 2
+        UNION ALL
+        SELECT b.event_type, b.candle_start, b.rn,
+               CASE WHEN r.trend = 1
+                    THEN CASE WHEN {_FLIP_UP} THEN -1 ELSE 1 END
+                    ELSE CASE WHEN {_FLIP_DN} THEN 1 ELSE -1 END END,
+               CASE WHEN r.trend = 1
+                    THEN CASE WHEN {_FLIP_UP} THEN r.ep ELSE {_SAR_UP} END
+                    ELSE CASE WHEN {_FLIP_DN} THEN r.ep ELSE {_SAR_DN} END
+                    END,
+               CASE WHEN r.trend = 1
+                    THEN CASE WHEN {_FLIP_UP} THEN CAST(b.l AS DOUBLE)
+                         ELSE greatest(r.ep, CAST(b.h AS DOUBLE)) END
+                    ELSE CASE WHEN {_FLIP_DN} THEN CAST(b.h AS DOUBLE)
+                         ELSE least(r.ep, CAST(b.l AS DOUBLE)) END END,
+               CASE WHEN r.trend = 1
+                    THEN CASE WHEN {_FLIP_UP} THEN CAST(0.02 AS DOUBLE)
+                         WHEN CAST(b.h AS DOUBLE) > r.ep
+                         THEN least(r.af + 0.02, 0.2) ELSE r.af END
+                    ELSE CASE WHEN {_FLIP_DN} THEN CAST(0.02 AS DOUBLE)
+                         WHEN CAST(b.l AS DOUBLE) < r.ep
+                         THEN least(r.af + 0.02, 0.2) ELSE r.af END END
+        FROM base b JOIN r
+          ON b.event_type = r.event_type AND b.rn = r.rn + 1
+    )
+    SELECT event_type, candle_start, sar / 1000000.0 AS psar, trend
+    FROM r
+    """,
+    doc="Parabolic SAR (0.02/0.02/0.2): four interacting state "
+    "variables — SAR, extreme point, acceleration factor, trend — "
+    "with flip resets and a two-bar clamp; the heaviest conditional "
+    "recursion in the indicator family and the fifth sequential-"
+    "kernel use. The kernel replays the exact branch/op order of the "
+    "RECURSIVE-CTE oracle over micro-int inputs (all float steps are "
+    "identical IEEE add/mul/min/max), so the strict hash matches "
+    "unrounded. Distribution axis = series, like all kernels.",
+    tags=("timeseries", "indicator", "udf"),
+)
+def parabolic_sar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    base = _hourly_micro(spark, sf_dir)
+
+    schema = T.StructType([
+        T.StructField("event_type", T.StringType()),
+        T.StructField("candle_start", T.TimestampNTZType()),
+        T.StructField("psar", T.DoubleType()),
+        T.StructField("trend", T.LongType()),
+    ])
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("candle_start").reset_index(drop=True)
+        hs, ls, cs = pdf["h"].tolist(), pdf["l"].tolist(), pdf["c"].tolist()
+        rows = []
+        if len(pdf) >= 2:
+            up = cs[1] > cs[0]
+            trend = 1 if up else -1
+            sar = float(ls[0]) if up else float(hs[0])
+            ep = float(hs[1]) if up else float(ls[1])
+            af = 0.02
+            rows.append((pdf["candle_start"][1], sar, trend))
+            for i in range(2, len(pdf)):
+                sar_pred = sar + af * (ep - sar)
+                if trend == 1:
+                    sar_c = min(sar_pred, float(ls[i - 1]), float(ls[i - 2]))
+                    if float(ls[i]) < sar_c:          # flip to downtrend
+                        trend, sar = -1, ep
+                        ep, af = float(ls[i]), 0.02
+                    else:
+                        sar = sar_c
+                        if float(hs[i]) > ep:
+                            af = min(af + 0.02, 0.2)
+                        ep = max(ep, float(hs[i]))
+                else:
+                    sar_c = max(sar_pred, float(hs[i - 1]), float(hs[i - 2]))
+                    if float(hs[i]) > sar_c:          # flip to uptrend
+                        trend, sar = 1, ep
+                        ep, af = float(hs[i]), 0.02
+                    else:
+                        sar = sar_c
+                        if float(ls[i]) < ep:
+                            af = min(af + 0.02, 0.2)
+                        ep = min(ep, float(ls[i]))
+                rows.append((pdf["candle_start"][i], sar, trend))
+        return pd.DataFrame({
+            "event_type": pdf["event_type"].iloc[0] if len(rows) else pd.Series([], dtype=object),
+            "candle_start": [r[0] for r in rows],
+            "psar": [r[1] / 1000000.0 for r in rows],
+            "trend": [r[2] for r in rows],
+        }) if rows else pd.DataFrame(
+            {"event_type": pd.Series([], dtype=object),
+             "candle_start": pd.Series([], dtype="datetime64[us]"),
+             "psar": pd.Series([], dtype=float),
+             "trend": pd.Series([], dtype="int64")}
+        )
+
+    return base.groupBy("event_type").applyInPandas(kernel, schema)
