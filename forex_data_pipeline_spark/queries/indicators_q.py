@@ -1505,3 +1505,146 @@ def parabolic_sar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return base.groupBy("event_type").applyInPandas(kernel, schema)
+
+
+@register(
+    "breakout_backtest_pnl",
+    oracle=f"""
+    WITH {_HOURLY_MICRO_SQL},
+    sig AS (
+        SELECT event_type, candle_start, c,
+               CASE WHEN max(h) OVER (PARTITION BY event_type
+                        ORDER BY candle_start
+                        ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+                        < c THEN 1 ELSE 0 END AS long_signal,
+               lead(c) OVER (PARTITION BY event_type
+                             ORDER BY candle_start) - c AS next_ret
+        FROM iv
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_bars,
+           CAST(sum(long_signal) AS BIGINT) AS n_signals,
+           CAST(sum(CASE WHEN long_signal = 1 AND next_ret IS NOT NULL
+                         THEN next_ret ELSE 0 END) AS DOUBLE)
+               / 1000000.0 AS total_pnl,
+           CAST(sum(CASE WHEN long_signal = 1 AND next_ret > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_wins
+    FROM sig GROUP BY event_type
+    """,
+    doc="Vectorized breakout backtest: the signal (close above the "
+    "prior 20-bar high — note the 1 PRECEDING frame end, excluding "
+    "the current bar to avoid lookahead) and next-bar PnL (lead) are "
+    "both window expressions, so an entire strategy evaluation is one "
+    "scan + one per-series sort — no event loop. PnL sums exact "
+    "integer micro-units; win counts are integers. The shape every "
+    "signal-research pipeline runs at scale: N strategies x M series "
+    "as one grouped aggregation.",
+    tags=("timeseries", "window", "indicator", "backtest"),
+)
+def breakout_backtest_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _hourly_micro(spark, sf_dir)
+    w_prior = _series_window().rowsBetween(-20, -1)
+    w1 = _series_window()
+    sig = base.select(
+        "event_type", "candle_start", "c",
+        F.when(F.max("h").over(w_prior) < F.col("c"), 1)
+        .otherwise(0)
+        .alias("long_signal"),
+        (F.lead("c").over(w1) - F.col("c")).alias("next_ret"),
+    )
+    return sig.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_bars"),
+        F.sum("long_signal").alias("n_signals"),
+        (
+            F.sum(
+                F.when(
+                    (F.col("long_signal") == 1)
+                    & F.col("next_ret").isNotNull(),
+                    F.col("next_ret"),
+                ).otherwise(0)
+            ).cast("double")
+            / 1000000.0
+        ).alias("total_pnl"),
+        F.sum(
+            F.when(
+                (F.col("long_signal") == 1) & (F.col("next_ret") > 0), 1
+            ).otherwise(0)
+        ).alias("n_wins"),
+    )
+
+
+@register(
+    "volume_profile_poc",
+    oracle=f"""
+    WITH ticks AS (
+        SELECT event_type,
+               {_bucket_sql('ts', 86400, 0)} AS day,
+               CAST(round(value * 1000000) AS BIGINT) AS vm
+        FROM events
+    ),
+    rng AS (
+        SELECT event_type, day, vm,
+               min(vm) OVER (PARTITION BY event_type, day) AS lo,
+               max(vm) OVER (PARTITION BY event_type, day) AS hi
+        FROM ticks
+    ),
+    binned AS (
+        SELECT event_type, day,
+               CAST((vm - lo) * 20 // (hi - lo + 1) AS BIGINT) AS bin,
+               lo, hi
+        FROM rng
+    ),
+    counts AS (
+        SELECT event_type, day, lo, hi, bin,
+               count(*) AS n
+        FROM binned GROUP BY event_type, day, lo, hi, bin
+    )
+    SELECT event_type, day,
+           CAST(max(n * 1000 + (999 - bin)) // 1000 AS BIGINT) AS poc_ticks,
+           CAST(999 - max(n * 1000 + (999 - bin)) % 1000 AS BIGINT) AS poc_bin,
+           CAST(count(*) AS BIGINT) AS n_bins_active,
+           CAST(lo AS DOUBLE) / 1000000.0 AS day_low,
+           CAST(hi AS DOUBLE) / 1000000.0 AS day_high
+    FROM counts GROUP BY event_type, day, lo, hi
+    """,
+    doc="Volume profile point of control per series-day: prices bin "
+    "into 20 integer buckets of the day's range (integer floor-div — "
+    "no float bucketing drift), and the POC (busiest bucket) comes "
+    "from ONE max() over a count*1000+(999-bin) encoding, ties "
+    "breaking to the LOWEST bucket deterministically — the "
+    "market-structure summary that needs no sort and reaggregates "
+    "by simple max. Two shuffles total (day-range window, bin "
+    "counts).",
+    tags=("timeseries", "aggregation", "indicator"),
+)
+def volume_profile_poc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.candles import bucket
+
+    ev = load(spark, sf_dir, "events")
+    ticks = ev.select(
+        "event_type",
+        bucket(F.col("ts"), 86400).alias("day"),
+        F.round(F.col("value") * 1000000).cast("bigint").alias("vm"),
+    )
+    wd = Window.partitionBy("event_type", "day")
+    rng = ticks.select(
+        "event_type", "day", "vm",
+        F.min("vm").over(wd).alias("lo"),
+        F.max("vm").over(wd).alias("hi"),
+    )
+    binned = rng.select(
+        "event_type", "day", "lo", "hi",
+        F.expr("CAST((vm - lo) * 20 div (hi - lo + 1) AS BIGINT)").alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "day", "lo", "hi", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return counts.groupBy("event_type", "day", "lo", "hi").agg(
+        F.expr("CAST(max(n * 1000 + (999 - bin)) div 1000 AS BIGINT)").alias("poc_ticks"),
+        F.expr("CAST(999 - max(n * 1000 + (999 - bin)) % 1000 AS BIGINT)").alias("poc_bin"),
+        F.count(F.lit(1)).alias("n_bins_active"),
+    ).select(
+        "event_type", "day", "poc_ticks", "poc_bin", "n_bins_active",
+        (F.col("lo").cast("double") / 1000000.0).alias("day_low"),
+        (F.col("hi").cast("double") / 1000000.0).alias("day_high"),
+    )
