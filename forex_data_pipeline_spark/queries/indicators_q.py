@@ -1648,3 +1648,61 @@ def volume_profile_poc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lo").cast("double") / 1000000.0).alias("day_low"),
         (F.col("hi").cast("double") / 1000000.0).alias("day_high"),
     )
+
+
+@register(
+    "cross_sectional_momentum_rank",
+    oracle=f"""
+    WITH {_HOURLY_MICRO_SQL},
+    rets AS (
+        SELECT event_type, candle_start,
+               c - lag(c, 24) OVER (PARTITION BY event_type
+                                    ORDER BY candle_start) AS r24
+        FROM iv
+    ),
+    ranked AS (
+        SELECT event_type, candle_start,
+               rank() OVER (PARTITION BY candle_start
+                            ORDER BY r24 DESC, event_type) AS mom_rank,
+               count(*) OVER (PARTITION BY candle_start) AS n_series
+        FROM rets WHERE r24 IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(sum(mom_rank) AS DOUBLE) / count(*) AS avg_rank,
+           CAST(sum(CASE WHEN mom_rank = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_times_leader
+    FROM ranked GROUP BY event_type
+    """,
+    doc="Cross-sectional momentum ranking: at every candle the "
+    "universe of series is ranked by trailing 24-bar return — the "
+    "window partitions by TIME and orders across SERIES, the "
+    "transposed axis from every other window here (relative-strength "
+    "/ currency-strength construction). Returns are exact integer "
+    "diffs, ranks are integers with an event_type tie-break, and the "
+    "average rank is one unrounded division. At scale the per-time "
+    "partitions are tiny (universe-sized) and uniformly distributed — "
+    "the opposite skew profile of per-series windows.",
+    tags=("timeseries", "window", "stats", "indicator"),
+)
+def cross_sectional_momentum_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _hourly_micro(spark, sf_dir)
+    w_series = _series_window()
+    rets = base.select(
+        "event_type", "candle_start",
+        (F.col("c") - F.lag("c", 24).over(w_series)).alias("r24"),
+    ).filter(F.col("r24").isNotNull())
+    w_time = Window.partitionBy("candle_start").orderBy(
+        F.col("r24").desc(), "event_type"
+    )
+    ranked = rets.select(
+        "event_type", "candle_start",
+        F.rank().over(w_time).alias("mom_rank"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        (F.sum("mom_rank").cast("double") / F.count(F.lit(1))).alias("avg_rank"),
+        F.sum(F.when(F.col("mom_rank") == 1, 1).otherwise(0)).alias(
+            "n_times_leader"
+        ),
+    )
