@@ -1706,3 +1706,92 @@ def cross_sectional_momentum_rank(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_times_leader"
         ),
     )
+
+
+@register(
+    "stochastic_rsi",
+    oracle=f"""
+    WITH {_HOURLY_MICRO_SQL},
+    d AS (
+        SELECT event_type, candle_start, c,
+               c - lag(c) OVER (PARTITION BY event_type ORDER BY candle_start)
+                   AS diff
+        FROM iv
+    ),
+    gl AS (
+        SELECT event_type, candle_start,
+               sum(CASE WHEN diff > 0 THEN diff ELSE 0 END) OVER w AS g,
+               sum(CASE WHEN diff < 0 THEN -diff ELSE 0 END) OVER w AS lo
+        FROM d
+        WINDOW w AS (PARTITION BY event_type ORDER BY candle_start
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ),
+    rsi AS (
+        SELECT event_type, candle_start,
+               CASE WHEN g + lo > 0
+                    THEN (200000000 * g + (g + lo)) // (2 * (g + lo))
+                    END AS r6
+        FROM gl
+    ),
+    ext AS (
+        SELECT event_type, candle_start, r6,
+               max(r6) OVER w AS rhi, min(r6) OVER w AS rlo
+        FROM rsi
+        WINDOW w AS (PARTITION BY event_type ORDER BY candle_start
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, candle_start,
+           CAST(r6 AS DOUBLE) / 1000000.0 AS rsi_14,
+           CASE WHEN rhi > rlo
+                THEN CAST((100000000 * (r6 - rlo)) // (rhi - rlo)
+                          AS DOUBLE) / 1000000.0
+                END AS stoch_rsi
+    FROM ext
+    """,
+    doc="Stochastic RSI: the stochastic oscillator applied to the RSI "
+    "series itself — a two-stage window composition (gain/loss sums → "
+    "integer RSI → rolling RSI extrema → scaled position). Because "
+    "the inner RSI is already an exact scaled integer (the Cutler "
+    "floor-div form), the outer %K is one more integer floor-division "
+    "— the whole two-level indicator never touches inexact "
+    "arithmetic. Three window frames, one per-series sort.",
+    tags=("timeseries", "window", "indicator"),
+)
+def stochastic_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _hourly_micro(spark, sf_dir)
+    w1 = _series_window()
+    w14 = _series_window().rowsBetween(-13, 0)
+    d = base.select(
+        "event_type", "candle_start",
+        (F.col("c") - F.lag("c").over(w1)).alias("diff"),
+    )
+    gl = d.select(
+        "event_type", "candle_start",
+        F.sum(F.when(F.col("diff") > 0, F.col("diff")).otherwise(0))
+        .over(w14)
+        .alias("g"),
+        F.sum(F.when(F.col("diff") < 0, -F.col("diff")).otherwise(0))
+        .over(w14)
+        .alias("lo"),
+    )
+    rsi = gl.select(
+        "event_type", "candle_start",
+        F.expr(
+            "CASE WHEN g + lo > 0 THEN"
+            " (200000000 * g + (g + lo)) div (2 * (g + lo)) END"
+        ).alias("r6"),
+    )
+    ext = rsi.select(
+        "event_type", "candle_start", "r6",
+        F.max("r6").over(w14).alias("rhi"),
+        F.min("r6").over(w14).alias("rlo"),
+    )
+    return ext.select(
+        "event_type", "candle_start",
+        (F.col("r6").cast("double") / 1000000.0).alias("rsi_14"),
+        F.expr(
+            "CASE WHEN rhi > rlo THEN"
+            " CAST((100000000 * (r6 - rlo)) div (rhi - rlo)"
+            " AS DOUBLE) / 1000000.0 END"
+        ).alias("stoch_rsi"),
+    )
