@@ -1795,3 +1795,67 @@ def stochastic_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DOUBLE) / 1000000.0 END"
         ).alias("stoch_rsi"),
     )
+
+
+@register(
+    "chandelier_exit",
+    oracle=f"""
+    WITH {_HOURLY_MICRO_SQL},
+    tr AS (
+        SELECT event_type, candle_start, h, l,
+               CASE WHEN pc IS NULL THEN h - l
+                    ELSE greatest(h - l, abs(h - pc), abs(l - pc)) END AS t
+        FROM (
+            SELECT event_type, candle_start, h, l,
+                   lag(c) OVER (PARTITION BY event_type
+                                ORDER BY candle_start) AS pc
+            FROM iv
+        )
+    )
+    SELECT event_type, candle_start,
+           CAST(max(h) OVER w AS DOUBLE) / 1000000.0
+               - 3.0 * (CAST(sum(t) OVER w AS DOUBLE)
+                        / (1000000.0 * count(*) OVER w)) AS chandelier_long,
+           CAST(min(l) OVER w AS DOUBLE) / 1000000.0
+               + 3.0 * (CAST(sum(t) OVER w AS DOUBLE)
+                        / (1000000.0 * count(*) OVER w)) AS chandelier_short
+    FROM tr
+    WINDOW w AS (PARTITION BY event_type ORDER BY candle_start
+                 ROWS BETWEEN 21 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Chandelier Exit (22-bar, 3x ATR): trailing-stop levels hung "
+    "from the rolling extreme minus/plus an ATR multiple. Every term "
+    "is an identical IEEE expression over exact integer window sums "
+    "(extrema, TR sums, counts) — unrounded, bit-equal on both "
+    "engines. One frame feeds all four window aggregates over a "
+    "single per-series sort.",
+    tags=("timeseries", "window", "indicator"),
+)
+def chandelier_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _hourly_micro(spark, sf_dir)
+    w1 = _series_window()
+    w22 = _series_window().rowsBetween(-21, 0)
+    pc = base.select(
+        "event_type", "candle_start", "h", "l",
+        F.lag("c").over(w1).alias("pc"),
+    )
+    t = F.when(F.col("pc").isNull(), F.col("h") - F.col("l")).otherwise(
+        F.greatest(
+            F.col("h") - F.col("l"),
+            F.abs(F.col("h") - F.col("pc")),
+            F.abs(F.col("l") - F.col("pc")),
+        )
+    )
+    tr = pc.select("event_type", "candle_start", "h", "l", t.alias("t"))
+    atr = F.sum("t").over(w22).cast("double") / (
+        F.lit(1000000.0) * F.count(F.lit(1)).over(w22)
+    )
+    return tr.select(
+        "event_type", "candle_start",
+        (F.max("h").over(w22).cast("double") / 1000000.0 - F.lit(3.0) * atr).alias(
+            "chandelier_long"
+        ),
+        (F.min("l").over(w22).cast("double") / 1000000.0 + F.lit(3.0) * atr).alias(
+            "chandelier_short"
+        ),
+    )
