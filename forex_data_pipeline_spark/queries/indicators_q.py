@@ -1859,3 +1859,48 @@ def chandelier_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chandelier_short"
         ),
     )
+
+
+@register(
+    "williams_percent_r",
+    oracle=f"""
+    WITH {_HOURLY_MICRO_SQL},
+    hl AS (
+        SELECT event_type, candle_start, c,
+               max(h) OVER w AS hh, min(l) OVER w AS ll
+        FROM iv
+        WINDOW w AS (PARTITION BY event_type ORDER BY candle_start
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, candle_start,
+           CASE WHEN hh > ll
+                THEN -(CAST((100000000 * (hh - c)) // (hh - ll)
+                            AS DOUBLE) / 1000000.0)
+                END AS willr_14
+    FROM hl
+    """,
+    doc="Williams %R (14): the inverted stochastic — position of the "
+    "close inside the rolling high-low range on the -100..0 scale. "
+    "Numerator and denominator are non-negative exact integers, the "
+    "floor-division happens before the sign flip so both engines "
+    "truncate identically, and the final negate+divide is exact. "
+    "Completes the classic oscillator set alongside stochastic %K/%D, "
+    "RSI, and StochRSI.",
+    tags=("timeseries", "window", "indicator"),
+)
+def williams_percent_r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _hourly_micro(spark, sf_dir)
+    w14 = _series_window().rowsBetween(-13, 0)
+    hl = base.select(
+        "event_type", "candle_start", "c",
+        F.max("h").over(w14).alias("hh"),
+        F.min("l").over(w14).alias("ll"),
+    )
+    return hl.select(
+        "event_type", "candle_start",
+        F.expr(
+            "CASE WHEN hh > ll THEN"
+            " -(CAST((100000000 * (hh - c)) div (hh - ll)"
+            " AS DOUBLE) / 1000000.0) END"
+        ).alias("willr_14"),
+    )
