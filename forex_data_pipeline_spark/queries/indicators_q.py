@@ -400,17 +400,20 @@ def roc_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY event_type ORDER BY day_start)
     )
     SELECT event_type, day_start,
-           round(CAST(p3 AS DOUBLE) / 3000000.0, 6) AS pivot,
-           round(CAST(2 * p3 - 3 * pl AS DOUBLE) / 3000000.0, 6) AS r1,
-           round(CAST(2 * p3 - 3 * ph AS DOUBLE) / 3000000.0, 6) AS s1,
-           round(CAST(p3 + 3 * (ph - pl) AS DOUBLE) / 3000000.0, 6) AS r2,
-           round(CAST(p3 - 3 * (ph - pl) AS DOUBLE) / 3000000.0, 6) AS s2
+           CAST(p3 AS DOUBLE) / 3000000.0 AS pivot,
+           CAST(2 * p3 - 3 * pl AS DOUBLE) / 3000000.0 AS r1,
+           CAST(2 * p3 - 3 * ph AS DOUBLE) / 3000000.0 AS s1,
+           CAST(p3 + 3 * (ph - pl) AS DOUBLE) / 3000000.0 AS r2,
+           CAST(p3 - 3 * (ph - pl) AS DOUBLE) / 3000000.0 AS s2
     FROM prev
     """,
     doc="Classic floor-trader pivot points from the PREVIOUS day's "
     "H/L/C (P, R1/S1, R2/S2): every level is an exact integer-linear "
     "combination of prior-day micro-units over a common denominator 3 — "
-    "one division + round per level, no accumulated float error.",
+    "emitted as the single correctly-rounded IEEE quotient num/3e6 "
+    "(identical on both engines; no round() on an exact rational, per "
+    "the determinism contract — s2 can be negative so the integer "
+    "half-up recipe would need sign branching).",
     tags=("timeseries", "window", "indicator"),
 )
 def pivot_points_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -432,7 +435,7 @@ def pivot_points_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("l").over(w).alias("pl"),
         F.lag(F.col("h") + F.col("l") + F.col("c")).over(w).alias("p3"),
     )
-    lvl = lambda num: F.round(num.cast("double") / 3000000.0, 6)  # noqa: E731
+    lvl = lambda num: num.cast("double") / 3000000.0  # noqa: E731
     p3, ph, pl = F.col("p3"), F.col("ph"), F.col("pl")
     return prev.select(
         "event_type", "day_start",
@@ -742,9 +745,14 @@ def twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM m
     """,
     doc="30-bar rolling Pearson correlation between two aligned series "
-    "(windowed pair-trading signal): the same exact-integer moment "
-    "algebra as series_correlation, but as frame-bounded window sums — "
-    "six bigint accumulators over ONE sort, a single deterministic "
+    "(windowed pair-trading signal). NOTE: this is a deterministic "
+    "scaled-integer APPROXIMATION of Pearson r, not the exact "
+    "statistic — each product is truncated (x*x div 1e6, and sx div "
+    "1e3 before squaring) to keep the 30-bar moment sums inside int64 "
+    "at micro-unit magnitudes (~5.6e8); the truncation loses at most "
+    "~1e-6 relative error per moment, far below the float display "
+    "precision, and is applied identically on both engines. Six "
+    "bigint accumulators over ONE sort, a single deterministic "
     "double expression per row, zero-variance guarded. The global "
     "(unpartitioned) window is fine here because the paired relation "
     "is one row per hour — at 100 TB the partition axis is the pair "
@@ -884,37 +892,39 @@ def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     xy AS (
         SELECT event_type, y,
-               row_number() OVER (PARTITION BY event_type
-                                  ORDER BY candle_start) - 1 AS x
+               2 * (row_number() OVER (PARTITION BY event_type
+                                       ORDER BY candle_start) - 1)
+                 - (count(*) OVER (PARTITION BY event_type) - 1) AS d
         FROM candles
     ),
     m AS (
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(x) AS BIGINT) AS sx,
                CAST(sum(y) AS BIGINT) AS sy,
-               CAST(sum(x * x) AS BIGINT) AS sxx,
-               CAST(sum(x * y) AS BIGINT) AS sxy
+               CAST(sum(d * d) AS BIGINT) AS sdd,
+               CAST(sum(d * y) AS BIGINT) AS sdy
         FROM xy GROUP BY event_type
     )
     SELECT event_type, n,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-               / CAST(n * sxx - sx * sx AS DOUBLE) / 1000000.0
+           CAST(2 * sdy AS DOUBLE) / CAST(sdd AS DOUBLE) / 1000000.0
                AS slope_per_hour,
-           (CAST(sy AS DOUBLE)
-            - (CAST(n * sxy - sx * sy AS DOUBLE)
-               / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
-               / CAST(n AS DOUBLE) / 1000000.0 AS intercept
+           (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+            - (CAST(2 * sdy AS DOUBLE) / CAST(sdd AS DOUBLE))
+              * (CAST(n - 1 AS DOUBLE) / 2.0))
+               / 1000000.0 AS intercept
     FROM m WHERE n >= 2
     """,
     doc="Per-series OLS linear trend (price drift): slope/intercept "
-    "assembled from exact bigint moment sums (x = dense hour index, y "
-    "= micro-unit close — every product stays within int64), with the "
-    "identical final double expression on both engines. The moments "
-    "are one map-side-combinable aggregation — the distributed-OLS "
-    "pattern that replaces sequential regression at 100 TB; regr_* "
-    "built-ins would be float-summation-order-dependent across "
-    "partitionings.",
+    "assembled from exact bigint CENTERED moment sums. x is the dense "
+    "hour index; d = 2x-(n-1) is the doubled deviation from the mean "
+    "index (integer, sums to zero), so slope = 2*sum(d*y)/sum(d*d) — "
+    "centering shrinks the moment magnitudes by ~n versus the raw "
+    "n*sxy - sx*sy form, keeping everything exact int64 out to ~90k "
+    "bars per series (|2*sdy| <= 2*n^2*y_max). Identical final double "
+    "expression on both engines. The moments are one map-side-"
+    "combinable aggregation — the distributed-OLS pattern that "
+    "replaces sequential regression at 100 TB; regr_* built-ins would "
+    "be float-summation-order-dependent across partitionings.",
     tags=("timeseries", "stats", "aggregation"),
 )
 def linear_trend_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -925,27 +935,30 @@ def linear_trend_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket(F.col("ts"), 3600).alias("candle_start"), "event_type"
     ).agg(F.round(F.max_by("value", "ts") * 1000000).cast("bigint").alias("y"))
     w = Window.partitionBy("event_type").orderBy("candle_start")
+    wall = Window.partitionBy("event_type")
     xy = candles.select(
-        "event_type", "y", (F.row_number().over(w) - 1).alias("x")
+        "event_type", "y",
+        (
+            2 * (F.row_number().over(w) - 1)
+            - (F.count(F.lit(1)).over(wall) - 1)
+        ).alias("d"),
     )
     m = xy.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("d") * F.col("y")).alias("sdy"),
     )
     return m.filter(F.col("n") >= 2).select(
         "event_type", "n",
         F.expr(
-            "CAST(n * sxy - sx * sy AS DOUBLE)"
-            " / CAST(n * sxx - sx * sx AS DOUBLE) / 1000000.0"
+            "CAST(2 * sdy AS DOUBLE) / CAST(sdd AS DOUBLE) / 1000000.0"
         ).alias("slope_per_hour"),
         F.expr(
-            "(CAST(sy AS DOUBLE)"
-            " - (CAST(n * sxy - sx * sy AS DOUBLE)"
-            "    / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))"
-            " / CAST(n AS DOUBLE) / 1000000.0"
+            "(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)"
+            " - (CAST(2 * sdy AS DOUBLE) / CAST(sdd AS DOUBLE))"
+            "   * (CAST(n - 1 AS DOUBLE) / 2.0))"
+            " / 1000000.0"
         ).alias("intercept"),
     )
 
@@ -1257,7 +1270,7 @@ def ichimoku_cloud(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc AS (
         SELECT event_type, candle_start, rn,
                max(h * 100000 + rn) OVER w AS hi_enc,
-               max((300000000 - l) * 100000 + rn) OVER w AS lo_enc,
+               max((1000000000000 - l) * 100000 + rn) OVER w AS lo_enc,
                count(*) OVER w AS n
         FROM rn_t
         WINDOW w AS (PARTITION BY event_type ORDER BY candle_start
@@ -1277,9 +1290,13 @@ def ichimoku_cloud(spark: SparkSession, sf_dir: str) -> DataFrame:
     "integer ENCODING — value*100000 + row_number packs (value, "
     "recency) into one bigint so a plain max() recovers the latest "
     "extreme's position (ties break to the most recent, the Aroon "
-    "convention); the low side is complement-encoded to stay "
-    "positive. (25 - age) * 4 keeps the 0-100 scale integer-exact — "
-    "no division at all. NULL during the warmup window.",
+    "convention); the low side is complement-encoded against base "
+    "10^12 micro-units (price < 10^6 units), keeping lo_enc positive "
+    "for any plausible price — (10^12)*10^5 = 10^17 < int64 max. "
+    "Assumes row_number per series < 100000 (~11 years of hourly "
+    "bars); the encoding breaks beyond that. (25 - age) * 4 keeps "
+    "the 0-100 scale integer-exact — no division at all. NULL during "
+    "the warmup window.",
     tags=("timeseries", "window", "indicator"),
 )
 def aroon_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1293,7 +1310,7 @@ def aroon_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = rn_t.select(
         "event_type", "candle_start", "rn",
         F.max(F.col("h") * 100000 + F.col("rn")).over(w25).alias("hi_enc"),
-        F.max((F.lit(300000000) - F.col("l")) * 100000 + F.col("rn"))
+        F.max((F.lit(1000000000000) - F.col("l")) * 100000 + F.col("rn"))
         .over(w25)
         .alias("lo_enc"),
         F.count(F.lit(1)).over(w25).alias("n"),
