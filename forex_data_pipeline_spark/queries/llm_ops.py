@@ -50,13 +50,26 @@ _SH_CTE = (
 )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread documents across the session's full parallelism, keyed by
+    doc_id. The test corpus is one parquet file → one input partition,
+    so the downstream tokenize/explode would otherwise run on one core.
+    Width derives from the session (spark.sql.shuffle.partitions, the
+    same knob every other shuffle here uses) — no literal tuned to
+    local[32]; on a real cluster with many input splits this stage is
+    effectively a no-op, and it is keyed, not round-robin, to stay
+    deterministic."""
+    try:
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, "doc_id")
+
+
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    # The test corpus is one parquet file → one input partition; spread
-    # the explode across cores first (at 100 TB the many input splits
-    # make this a no-op, so it is keyed, not random, to stay stable).
     return (
-        docs.repartition(32, "doc_id")
+        _spread(docs)
         .select(
             "doc_id", F.explode(shingles(tokens(F.col("text")), 5)).alias("sh")
         )
@@ -234,7 +247,7 @@ def _sig_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     satisfies the groupBy's distribution, so the aggregate runs with NO
     exchange after the explode: shuffle bytes ∝ raw docs, not shingles."""
     docs = load(spark, sf_dir, "documents")
-    sh = docs.repartition(32, "doc_id").select(
+    sh = _spread(docs).select(
         "doc_id", F.explode(shingles(tokens(F.col("text")), 5)).alias("sh")
     )
     return sh.groupBy("doc_id").agg(
@@ -504,32 +517,41 @@ _NEAR_DUP_LIMIT = 1500
 _NEAR_DUP_TAU = 0.45
 
 
-def _near_dup_block(
-    batches: Iterator[pd.DataFrame], ref: "object"
-) -> Iterator[pd.DataFrame]:
-    """Blocked cosine: each Arrow batch of vectors is one matrix A;
-    S = Â·B̂ᵀ against the broadcast reference block in one BLAS call —
-    ~100× an interpreted per-pair fold. float64 throughout so values
-    agree with the sequential-fold oracle to well past 6 dp."""
+_NEAR_DUP_BLOCK = 512  # vectors per block; pair-group size <= 2*this
+
+
+def _near_dup_pair_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """BLAS kernel for ONE block pair: rows tagged side=0 (left block)
+    and side=1 (right block). S = Â·B̂ᵀ in one float64 matrix multiply —
+    ~100× an interpreted per-pair fold, and the values agree with the
+    sequential-fold oracle to well past 6 dp. Same-block groups (no
+    side-1 rows) take the strict upper triangle; cross-block pairs are
+    emitted as (min_id, max_id), so every unordered pair appears
+    exactly once across all groups."""
     import numpy as np
 
-    b_ids, b_mat = ref
-    b_unit = b_mat / np.linalg.norm(b_mat, axis=1, keepdims=True)
-    for pdf in batches:
-        if not len(pdf):
-            continue
-        a_ids = pdf["vec_id"].to_numpy()
-        a_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-        a_unit = a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)
-        sims = np.round(a_unit @ b_unit.T, 6)
-        ai, bi = np.nonzero((sims >= _NEAR_DUP_TAU) & (a_ids[:, None] < b_ids[None, :]))
-        yield pd.DataFrame(
-            {
-                "a_id": a_ids[ai],
-                "b_id": b_ids[bi],
-                "cos_sim": sims[ai, bi],
-            }
-        )
+    a = pdf[pdf["side"] == 0]
+    b = pdf[pdf["side"] == 1]
+    a_ids = a["vec_id"].to_numpy()
+    a_mat = np.array(list(a["embedding"]), dtype=np.float64)
+    a_unit = a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)
+    if len(b):
+        b_ids = b["vec_id"].to_numpy()
+        b_mat = np.array(list(b["embedding"]), dtype=np.float64)
+        b_unit = b_mat / np.linalg.norm(b_mat, axis=1, keepdims=True)
+    else:  # same-block pair: B is A, strict upper triangle below
+        b_ids, b_unit = a_ids, a_unit
+    sims = np.round(a_unit @ b_unit.T, 6)
+    ai, bi = np.nonzero(
+        (sims >= _NEAR_DUP_TAU) & (a_ids[:, None] < b_ids[None, :])
+    )
+    return pd.DataFrame(
+        {
+            "a_id": np.minimum(a_ids[ai], b_ids[bi]),
+            "b_id": np.maximum(a_ids[ai], b_ids[bi]),
+            "cos_sim": sims[ai, bi],
+        }
+    )
 
 
 @register(
@@ -543,31 +565,78 @@ def _near_dup_block(
       AND round({cosine_sql('a.embedding', 'b.embedding')}, 6)
           >= {_NEAR_DUP_TAU}
     """,
-    doc="Embedding-cosine near-dup pairs, BLAS-blocked: the reference "
-    "block is broadcast as a dense float64 matrix, each Arrow batch "
-    "does ONE matrix multiply (Â·B̂ᵀ) instead of per-pair expression "
-    "folds — ~40× faster than the Catalyst-fold formulation at equal "
-    "results. At 100 TB the same kernel runs per (cell, cell) block "
-    "pair after LSH/IVF blocking.",
+    doc="Embedding-cosine near-dup pairs via a fully DISTRIBUTED "
+    "block-pair join — no driver collect anywhere in the plan: vectors "
+    "are range-blocked (vec_id div B), the tiny blocks×blocks pair "
+    "relation is broadcast, each vector is map-side replicated into "
+    "its block's pairs, and ONE applyInPandas group per (left, right) "
+    "block runs the BLAS kernel (Â·B̂ᵀ, a single float64 matrix "
+    "multiply). Exact all-pairs semantics (the O(n^2) is inherent to "
+    "the exact oracle) with per-pair cost ~100× below an interpreted "
+    "fold; replication factor is n/B, the textbook distributed "
+    "all-pairs layout. At 100 TB you chain the LSH bucket generator "
+    "(ann_lsh_topk's banding) in front as a candidate prefilter and "
+    "run this same kernel per bucket when approximate recall is "
+    "acceptable.",
     tags=("llm", "dedup", "similarity"),
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-
-    emb = load(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") < _NEAR_DUP_LIMIT
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _NEAR_DUP_LIMIT)
+        .select(
+            F.expr(f"vec_id div {_NEAR_DUP_BLOCK}").alias("blk"),
+            "vec_id", "embedding",
+        )
     )
-    ref_rows = emb.select("vec_id", "embedding").collect()
-    ref = (
-        np.array([r.vec_id for r in ref_rows]),
-        np.array([r.embedding for r in ref_rows], dtype=np.float64),
+    blocks = emb.select("blk").distinct()
+    bp = (
+        blocks.select(F.col("blk").alias("lb"))
+        .join(
+            blocks.select(F.col("blk").alias("rb")),
+            F.col("lb") <= F.col("rb"),
+        )
+    )
+    left = emb.join(F.broadcast(bp), F.col("blk") == F.col("lb")).select(
+        "lb", "rb", "vec_id", "embedding", F.lit(0).alias("side")
+    )
+    right = (
+        emb.join(
+            F.broadcast(bp.filter(F.col("lb") != F.col("rb"))),
+            F.col("blk") == F.col("rb"),
+        ).select("lb", "rb", "vec_id", "embedding", F.lit(1).alias("side"))
+    )
+    return (
+        left.unionAll(right)
+        .groupBy("lb", "rb")
+        .applyInPandas(
+            lambda pdf: _near_dup_pair_kernel(pdf),
+            "a_id bigint, b_id bigint, cos_sim double",
+        )
     )
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        return _near_dup_block(batches, ref)
 
-    return emb.select("vec_id", "embedding").mapInPandas(
-        fn, "a_id bigint, b_id bigint, cos_sim double"
+_IVF_K = 16  # FIXED centroid count — assignment cost is O(n*k), k constant
+
+
+def _ivf_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast scoring is map-side; the
+    argmax is a partial-aggregating max_by over skinny (vec_id, cell_id,
+    c_sim) rows — embeddings never ride the shuffle. Ties break to the
+    lowest cell_id."""
+    return (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "cell_id",
+            cosine(F.col("embedding"), F.col("c_emb")).alias("c_sim"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cell_id",
+                F.struct(F.col("c_sim"), (-F.col("cell_id")).alias("nid")),
+            ).alias("cell_id")
+        )
     )
 
 
@@ -575,30 +644,52 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_ivf_topk",
     # No oracle: multi-stage approximate algorithm; recall vs the exact
     # brute-force result is asserted in tests/test_llm_ops.py instead.
-    doc="IVF-style approximate nearest neighbor: coarse centroids "
-    "(deterministic subset), every vector assigned to its nearest "
-    "centroid (one broadcast scoring pass), queries probe the 2 best "
-    "cells only — search cost drops by ~|cells|/probes. The scale "
-    "path when brute force stops fitting; recall measured against "
-    "embedding_cosine_topk in tests.",
+    doc="IVF-style approximate nearest neighbor: a FIXED number of "
+    f"coarse centroids ({_IVF_K}, hash-picked seeds refined by ONE "
+    "Lloyd/k-means pass — the count does NOT grow with data, so the "
+    "broadcast stays bounded and assignment is O(n*k)), every vector "
+    "assigned to its nearest centroid via a skinny map-side-combinable "
+    "max_by agg (no window sort, no embedding duplicated through the "
+    "shuffle), queries probe the 2 best cells only — search cost drops "
+    "by ~|cells|/probes. The scale path when brute force stops "
+    "fitting; recall measured against embedding_cosine_topk in tests. "
+    "The refinement pass is the k-means|| shape: per-(cell,dim) mean "
+    "via posexplode + partial agg, output bounded at k*dim rows.",
     tags=("llm", "similarity", "topk"),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    cent = emb.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    # deterministic fixed-k seed pick: k smallest xxhash64(vec_id) —
+    # TakeOrderedAndProject (per-partition k-heap + one reduce), O(n)
+    seeds = (
+        emb.select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("embedding").alias("c_emb"),
+        )
+        .orderBy(F.xxhash64(F.col("cell_id")), "cell_id")
+        .limit(_IVF_K)
     )
-    # assign every vector to its nearest centroid (broadcast, map-side)
-    scored = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "embedding", "cell_id",
-        cosine(F.col("embedding"), F.col("c_emb")).alias("c_sim"),
+    # one Lloyd refinement: centroid <- mean of its assigned vectors.
+    # (cell, dim)-keyed partial agg; output is k*dim rows — bounded.
+    seed_assign = _ivf_assign(emb, seeds)
+    cent = (
+        emb.join(seed_assign, "vec_id")
+        .select("cell_id", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("cell_id", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("cell_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("s")
+        )
+        .select(
+            "cell_id",
+            F.transform("s", lambda x: x.m.cast("float")).alias("c_emb"),
+        )
+        .localCheckpoint(eager=True)  # k rows; probing reuses it
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("c_sim").desc(), "cell_id"
-    )
+    assign = _ivf_assign(emb, cent)
     assigned = (
-        scored.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
+        emb.join(assign, "vec_id")
         .select("vec_id", "embedding", "cell_id")
         .localCheckpoint(eager=True)  # reused by queries + cell search
     )
@@ -756,7 +847,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("media")
     )
-    return docs.repartition(32, "doc_id").mapInPandas(
+    return _spread(docs).mapInPandas(
         _sample_frames, _FRAME_SCHEMA
     )
 
@@ -966,7 +1057,7 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import simhash_bit_sums, simhash_from_sums
 
     docs = load(spark, sf_dir, "documents")
-    tok = docs.repartition(32, "doc_id").select(
+    tok = _spread(docs).select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("token")
     )
     tc = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
@@ -1281,7 +1372,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     n_docs = docs.count()  # tiny scalar, same pattern as high_watermark
     tok = (
-        docs.repartition(32, "doc_id")
+        _spread(docs)
         .select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
         .filter(F.col("term") != "")
     )
@@ -1384,7 +1475,7 @@ def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text", "quality"),
 )
 def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").repartition(32, "doc_id")
+    docs = _spread(load(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
     tc = (
         toks.select("doc_id", F.explode("toks").alias("term"))
@@ -1445,7 +1536,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text", "topk"),
 )
 def ngram_lm_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").repartition(32, "doc_id")
+    docs = _spread(load(spark, sf_dir, "documents"))
     grams = docs.select(
         "doc_id",
         F.explode(shingles(tokens(F.col("text")), 3)).alias("gram"),
@@ -1599,7 +1690,7 @@ def cross_corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text", "topk"),
 )
 def vocab_top5_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").repartition(32, "doc_id")
+    docs = _spread(load(spark, sf_dir, "documents"))
     tok = (
         docs.select(
             "lang", F.explode(tokens(F.col("text"))).alias("token")
@@ -1761,7 +1852,7 @@ _REG["dedup_survivorship"].oracle = f"""
     tags=("llm", "text", "stats"),
 )
 def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").repartition(32, "doc_id")
+    docs = _spread(load(spark, sf_dir, "documents"))
     tc = (
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
         .filter(F.col("term") != "")
@@ -1807,7 +1898,7 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text", "aggregation"),
 )
 def token_prefix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").repartition(32, "doc_id")
+    docs = _spread(load(spark, sf_dir, "documents"))
     tok = docs.select(
         F.explode(tokens(F.col("text"))).alias("token")
     ).filter(F.length("token") >= 2)
