@@ -155,8 +155,12 @@ def _protobuf_available() -> bool:
 
 @pytest.mark.skipif(
     not _protobuf_available(),
-    reason="transformWithStateInPandas needs google.protobuf, "
-    "not installed in this environment",
+    reason="HARD BLOCKER in this container: transformWithStateInPandas' "
+    "Python worker imports generated StateMessage_pb2 modules that need "
+    "the real google.protobuf runtime (absent; no pip installs allowed; "
+    "a shim would be a protobuf reimplementation). The processor's own "
+    "fold logic is covered without Spark plumbing by "
+    "test_transform_with_state_processor_logic_mock_handle below.",
 )
 def test_transform_with_state_running_stats(spark, tmp_path):
     """transformWithStateInPandas (Spark 4.x stateful API): per-key
@@ -230,6 +234,69 @@ def test_transform_with_state_running_stats(spark, tmp_path):
             )
             < 1e-9
         )
+
+
+def test_transform_with_state_processor_logic_mock_handle():
+    """RunningStatsProcessor fold logic WITHOUT Spark plumbing: a mock
+    ValueState handle stands in for the state store, and the processor
+    is driven across three simulated micro-batches per key. Covers
+    everything the skipped end-to-end test would except Spark's
+    protobuf wire path (see the skipif note above): state init on
+    first batch, cross-batch accumulation, and the emitted row shape
+    matching OUTPUT_SCHEMA."""
+    from forex_data_pipeline_spark.streaming.stateful_v2 import (
+        OUTPUT_SCHEMA,
+        RunningStatsProcessor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, FakeValueState())
+
+    proc = RunningStatsProcessor()
+    handle = FakeHandle()
+    proc.init(handle)
+
+    batches = [
+        pd.DataFrame({"value": [1.0, 2.0, 3.0]}),
+        pd.DataFrame({"value": [4.0]}),
+        pd.DataFrame({"value": [5.0, 6.0]}),
+    ]
+    outs = []
+    for b in batches:
+        outs.extend(proc.handleInputRows(("click",), iter([b]), None))
+    proc.close()
+
+    cols = [c.split()[0] for c in OUTPUT_SCHEMA.split(", ")]
+    assert list(outs[-1].columns) == cols
+    # state accumulated across batches, not reset per batch
+    assert outs[0].n_events[0] == 3 and outs[0].total_value[0] == 6.0
+    assert outs[1].n_events[0] == 4 and outs[1].total_value[0] == 10.0
+    assert outs[2].n_events[0] == 6 and outs[2].total_value[0] == 21.0
+    assert outs[2].mean_value[0] == 3.5
+    # a second key folds independently through its own handle state
+    proc2 = RunningStatsProcessor()
+    proc2.init(FakeHandle())
+    (out_v,) = proc2.handleInputRows(
+        ("view",), iter([pd.DataFrame({"value": [7.0]})]), None
+    )
+    assert out_v.n_events[0] == 1 and out_v.total_value[0] == 7.0
 
 
 def test_stream_merge_restart_recovers_from_checkpoint(spark, tmp_path):
