@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Per-query bench regression check against a baseline bench JSON.
+
+The reference publishes no benchmark numbers (BASELINE.md), so the
+previous round's BENCH_r{N}.json is the de-facto baseline. Runs
+`bench.py`, compares each query's wall time against the baseline file,
+and flags regressions beyond the threshold (default 1.5x).
+
+Usage:
+    python scripts/bench_compare.py [baseline.json] [threshold]
+
+Exit code 1 iff any per-query regression exceeds the threshold.
+Timings at these scales carry ~0.3 s of scheduler noise per query, so
+small absolute deltas are reported but never flagged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+ABS_NOISE_SEC = 0.5  # deltas below this are scheduler noise, never flagged
+
+
+def main() -> int:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    baseline_path = (
+        sys.argv[1] if len(sys.argv) > 1 else os.path.join(repo, "BENCH_r01.json")
+    )
+    threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 1.5
+
+    with open(baseline_path) as f:
+        base = json.load(f)
+    # driver-recorded BENCH_r{N}.json wraps the bench line under "parsed"
+    if "queries" not in base and isinstance(base.get("parsed"), dict):
+        base = base["parsed"]
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        capture_output=True, text=True, check=True,
+    )
+    cur = json.loads(out.stdout.strip().splitlines()[-1])
+
+    flagged = []
+    for name, t in sorted(cur["queries"].items()):
+        b = base["queries"].get(name)
+        if b is None:
+            print(f"{name}: {t:.2f}s (new — no baseline)")
+            continue
+        ratio = t / b if b else float("inf")
+        mark = ""
+        if ratio > threshold and (t - b) > ABS_NOISE_SEC:
+            mark = f"  <-- REGRESSION >{threshold}x"
+            flagged.append(name)
+        print(f"{name}: {t:.2f}s vs baseline {b:.2f}s ({ratio:.2f}x){mark}")
+
+    print(
+        f"total: {cur['value']:.2f}s vs baseline {base['value']:.2f}s "
+        f"({cur['value'] / base['value']:.2f}x); "
+        f"{len(flagged)} regression(s): {flagged or 'none'}"
+    )
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
