@@ -130,6 +130,69 @@ def incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "compaction_file_audit",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS files_before,
+           CAST(1 AS BIGINT) AS files_after,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY 1
+    """,
+    doc="OPTIMIZE-style small-file compaction, audited end-to-end from "
+    "REAL file metadata: events are written day-partitioned with one "
+    "file per (day, event_type) — the many-tiny-files layout a "
+    "per-batch writer produces — then sources.writers.compact() "
+    "rewrites to one file per day partition. Both layouts are audited "
+    "with the _metadata.file_path hidden column (measured from disk, "
+    "not assumed), and the oracle states the EXPECTED arithmetic: "
+    "files_before = distinct event_types that day, files_after = 1, "
+    "rows preserved. A wrong compaction (lost rows, leftover files, "
+    "broken partition recovery) hash-mismatches. At 100 TB this runs "
+    "per recent partition only — cost follows churn, not table size.",
+    tags=("pipeline", "lakehouse", "quality"),
+)
+def compaction_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.writers import compact
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type", "value")
+        .withColumn("day", F.to_date("ts"))
+    )
+    root = f"{tempfile.mkdtemp(prefix='fx_compact_')}/t"
+    # one file per (day, event_type) leaf: repartition groups each leaf
+    # into a single task, partitionBy makes it a directory
+    (
+        ev.repartition("day", "event_type")
+        .write.mode("overwrite")
+        .partitionBy("day", "event_type")
+        .parquet(root)
+    )
+    before = (
+        spark.read.parquet(root)
+        .groupBy("day")
+        .agg(
+            F.countDistinct(F.col("_metadata.file_path")).alias(
+                "files_before"
+            )
+        )
+    )
+    before = before.localCheckpoint(eager=True)  # pin pre-compaction stats
+    compact(spark, root, target_files=1, partition_cols=["day"])
+    after = (
+        spark.read.parquet(root)
+        .groupBy("day")
+        .agg(
+            F.countDistinct(F.col("_metadata.file_path")).alias("files_after"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    return before.join(after, "day").select(
+        "day", "files_before", "files_after", "n_rows"
+    )
+
+
+@register(
     "snapshot_cdc_diff",
     oracle="""
     WITH snap_a AS (
