@@ -1185,6 +1185,130 @@ def sequence_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_CAP = 128  # tokens per packed training sequence
+
+
+@register(
+    "sequence_packing",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, len({tokens_sql('text')}) AS n
+        FROM documents WHERE len({tokens_sql('text')}) > 0
+    ),
+    c AS (
+        SELECT doc_id, lang, n,
+               CAST(sum(n) OVER (PARTITION BY lang ORDER BY doc_id)
+                    AS BIGINT) AS e
+        FROM t
+    ),
+    s AS (SELECT doc_id, lang, n, e - n AS st, e FROM c)
+    SELECT lang, CAST(b AS BIGINT) AS bin_id, doc_id,
+           CAST(least(e, (b + 1) * {_PACK_CAP})
+                - greatest(st, b * {_PACK_CAP}) AS BIGINT) AS n_tokens,
+           (st // {_PACK_CAP}) <> ((e - 1) // {_PACK_CAP}) AS is_split
+    FROM (SELECT *, unnest(generate_series(
+              st // {_PACK_CAP}, (e - 1) // {_PACK_CAP})) AS b
+          FROM s)
+    """,
+    doc=f"Training-sequence PACKING (concat-and-chunk, the GPT-style "
+    f"pretraining default): per language stream, docs concatenate in "
+    f"doc_id order and the token stream is cut every {_PACK_CAP} "
+    "tokens; emits one row per (bin, contributing doc) with the token "
+    "count it contributes and whether the doc straddles a bin "
+    "boundary. All integer window arithmetic: running token cumsum -> "
+    "[start, end) span -> generate_series over the covered bins. "
+    "Partitioned by lang so the window parallelizes across streams; "
+    "at 100 TB the packing stream key becomes (lang, shard) so no "
+    "single stream's sort exceeds a task — bin ids then offset by a "
+    "per-shard base, identical arithmetic. Complements "
+    "sequence_chunking (per-doc split, no cross-doc packing).",
+    tags=("llm", "text", "window"),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(load(spark, sf_dir, "documents"))
+    n = F.size(tokens(F.col("text")))
+    t = docs.select("doc_id", "lang", n.alias("n")).filter(F.col("n") > 0)
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    s = t.select(
+        "doc_id", "lang", "n",
+        (F.sum("n").over(w)).alias("e"),
+    ).withColumn("st", F.col("e") - F.col("n"))
+    exploded = s.select(
+        "lang", "doc_id", "st", "e",
+        F.explode(
+            F.sequence(
+                F.expr(f"st div {_PACK_CAP}"),
+                F.expr(f"(e - 1) div {_PACK_CAP}"),
+            )
+        ).alias("b"),
+    )
+    return exploded.select(
+        "lang",
+        F.col("b").cast("bigint").alias("bin_id"),
+        "doc_id",
+        (
+            F.least(F.col("e"), (F.col("b") + 1) * _PACK_CAP)
+            - F.greatest(F.col("st"), F.col("b") * _PACK_CAP)
+        ).cast("bigint").alias("n_tokens"),
+        (
+            F.expr(f"st div {_PACK_CAP}") != F.expr(f"(e - 1) div {_PACK_CAP}")
+        ).alias("is_split"),
+    )
+
+
+@register(
+    "token_rarity_score",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({tokens_sql('text')}) AS token
+        FROM documents WHERE len(trim(text)) > 0
+    ),
+    vocab AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS freq
+        FROM tok GROUP BY token
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(CAST(sum(v.freq) AS BIGINT) AS BIGINT) AS sum_freq,
+           CAST(CAST(sum(v.freq) AS BIGINT) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS mean_token_freq
+    FROM tok t JOIN vocab v ON t.token = v.token
+    GROUP BY t.doc_id
+    """,
+    doc="Doc-level token-familiarity quality score: corpus-wide token "
+    "frequencies (one explode + hash agg) joined back onto each "
+    "token occurrence; per doc emits exact integer (n_tokens, "
+    "sum_freq) and their single-division mean — docs full of corpus-"
+    "rare tokens (low mean frequency) are OCR noise / gibberish "
+    "candidates, the cheap familiarity signal pretraining filters "
+    "run before perplexity models. Integer sums keep it order-"
+    "independent (a log-prob sum would be float-order-dependent "
+    "across partitionings); the division is one correctly-rounded "
+    "IEEE op, identical on both engines. At scale the vocab side is "
+    "heavy-hitter skewed — the token join broadcasts the (bounded) "
+    "vocab when it fits, else rides a shuffle join.",
+    tags=("llm", "text", "quality"),
+)
+def token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(load(spark, sf_dir, "documents"))
+    tok = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        tok.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("freq").alias("sum_freq"),
+            (
+                F.sum("freq").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_token_freq"),
+        )
+    )
+
+
 # --------------------------------------------- LSH-bucketed ANN (scale path)
 
 _LSH_BITS = 16         # 16 sign-projection bits per vector

@@ -3150,3 +3150,324 @@ def asof_join_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts",
         F.when(fresh, F.col("value_m")).alias("click_value_1h"),
     )
+
+
+# ------------------------------------------- TPC-H shapes, second wave
+
+@register(
+    "bilateral_trade_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           {_cents_sum_sql('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                           AND TIMESTAMP '1997-12-31'
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape (volume shipping): revenue flowing between two "
+    "nations per year, via the 6-table chain lineitem-supplier-nation "
+    "x orders-customer-nation. The nation filters push through the "
+    "joins (Catalyst turns the OR-pair into semi-join-able IN sets); "
+    "nation is broadcast on both legs; money in exact cents. The "
+    "date range prunes the fact scan.",
+    tags=("sql", "join", "aggregation"),
+)
+def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp_ntz"),
+            F.lit("1997-12-31").cast("timestamp_ntz"),
+        )
+    )
+    su = load(spark, sf_dir, "supplier")
+    od = load(spark, sf_dir, "orders")
+    cu = load(spark, sf_dir, "customer")
+    na = load(spark, sf_dir, "nation")
+    n1 = na.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = na.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(su, li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("bigint").alias("l_year"),
+    ).agg(
+        _cents_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+        )
+    )
+
+
+@register(
+    "market_share_by_year",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+               THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT) ELSE 0 END) AS BIGINT) AS DOUBLE)
+           / CAST(CAST(sum(CAST(round(
+                 l.l_extendedprice * (1 - l.l_discount) * 100)
+                 AS BIGINT)) AS BIGINT) AS DOUBLE) AS mkt_share
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n1.n_regionkey
+    WHERE r.r_name = 'REGION_1' AND p.p_type = 'PROMO'
+    GROUP BY 1
+    """,
+    doc="TPC-H Q8 shape (national market share): within one region's "
+    "market for one part type, the share of revenue supplied by one "
+    "nation, per order year. Numerator and denominator are both exact "
+    "integer-cents sums folded in ONE aggregation (conditional sum), "
+    "so the share is a single correctly-rounded division — no "
+    "float-order dependence at any parallelism. 8-table join tree: "
+    "region/nation broadcast, the customer-region filter prunes "
+    "before the fact join.",
+    tags=("sql", "join", "aggregation"),
+)
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pa = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    su = load(spark, sf_dir, "supplier")
+    od = load(spark, sf_dir, "orders")
+    cu = load(spark, sf_dir, "customer")
+    na = load(spark, sf_dir, "nation")
+    re = load(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_1")
+    n1 = na.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = na.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    j = (
+        li.join(pa, li.l_partkey == pa.p_partkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(re), F.col("c_rkey") == F.col("r_regionkey"))
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", cents).otherwise(F.lit(0))
+    )
+    den = F.sum(cents)
+    return j.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("o_year")
+    ).agg((num.cast("double") / den.cast("double")).alias("mkt_share"))
+
+
+@register(
+    "returned_items_top_customers",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {_cents_sum_sql('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+    GROUP BY 1, 2, 3
+    ORDER BY sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                      AS BIGINT)) DESC, c.c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape (returned items): the 20 customers who "
+    "returned the most revenue in a half-year window. Revenue ranked "
+    "on the exact integer-cents sum (ties then broken by the unique "
+    "c_custkey) so the LIMIT frontier is deterministic — ranking on "
+    "the rounded double could reorder equal-cents neighbors. Global "
+    "top-k via TakeOrderedAndProject after a keyed agg; date filter "
+    "prunes orders before the fact join.",
+    tags=("sql", "join", "aggregation", "topk"),
+)
+def returned_items_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load(spark, sf_dir, "customer")
+    od = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    na = load(spark, sf_dir, "nation")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    agg = (
+        cu.join(od, cu.c_custkey == od.o_custkey)
+        .join(li, od.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(cents).alias("revenue_cents"),
+        )
+    )
+    return (
+        agg.orderBy(F.col("revenue_cents").desc(), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey", "c_name", "n_name",
+            (F.col("revenue_cents").cast("double") / 100.0).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "shipping_delay_distribution",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 30
+                THEN 'fast'
+                WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 90
+                THEN 'normal'
+                ELSE 'slow' END AS delay_class,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q12 shape adapted to the available columns (no "
+    "l_shipmode/commit/receipt dates in this corpus): line-level "
+    "shipping delay (o_orderdate -> l_shipdate, whole days — exact "
+    "on midnight-aligned timestamps) bucketed fast/normal/slow and "
+    "cross-tabbed against order priority. One fact-fact equi-join "
+    "then a tiny-key agg; the CASE is pure integer comparison.",
+    tags=("sql", "join", "aggregation"),
+)
+def shipping_delay_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    cls = (
+        F.when(delay < 30, "fast").when(delay < 90, "normal").otherwise("slow")
+    )
+    return (
+        od.join(li, od.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority", cls.alias("delay_class"))
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@register(
+    "promo_revenue_share",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(CAST(sum(CASE WHEN p.p_type = 'PROMO'
+               THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT) ELSE 0 END) AS BIGINT) AS BIGINT)
+               AS promo_cents,
+           CAST(CAST(sum(CAST(round(
+               l.l_extendedprice * (1 - l.l_discount) * 100)
+               AS BIGINT)) AS BIGINT) AS BIGINT) AS total_cents,
+           CAST(CAST(sum(CASE WHEN p.p_type = 'PROMO'
+               THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT) ELSE 0 END) AS BIGINT) AS DOUBLE)
+           / CAST(CAST(sum(CAST(round(
+                 l.l_extendedprice * (1 - l.l_discount) * 100)
+                 AS BIGINT)) AS BIGINT) AS DOUBLE) AS promo_share
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1
+    """,
+    doc="TPC-H Q14 shape (promotion effect), per ship year: promo and "
+    "total revenue as exact integer cents in one conditional "
+    "aggregation, share = one division of the two exact sums — the "
+    "same single-agg discipline as market_share_by_year. The "
+    "part join broadcasts at dim scale; at fact-fact scale it rides "
+    "a shuffle join on partkey.",
+    tags=("sql", "join", "aggregation"),
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pa = load(spark, sf_dir, "part")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0))
+    )
+    total = F.sum(cents)
+    return (
+        li.join(pa, li.l_partkey == pa.p_partkey)
+        .groupBy(F.year("l_shipdate").cast("bigint").alias("l_year"))
+        .agg(
+            promo.alias("promo_cents"),
+            total.alias("total_cents"),
+            (promo.cast("double") / total.cast("double")).alias("promo_share"),
+        )
+    )
+
+
+@register(
+    "brand_quantity_revenue",
+    oracle=f"""
+    SELECT {_cents_sum_sql('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#2'
+           AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 5)
+       OR (p.p_brand = 'Brand#15'
+           AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 10)
+       OR (p.p_brand = 'Brand#23'
+           AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 15)
+    """,
+    doc="TPC-H Q19 shape (discounted revenue, OR-of-ANDs): three "
+    "brand/size/quantity predicate conjunctions unioned by OR across "
+    "a part join — the disjunctive-predicate pattern that exercises "
+    "Catalyst's CNF conversion and partial pushdown (the p_brand/"
+    "p_size legs prune the part side before the join; the quantity "
+    "legs prune lineitem). Single-row exact-cents answer.",
+    tags=("sql", "join", "aggregation"),
+)
+def brand_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pa = load(spark, sf_dir, "part")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#2") & q.between(1, 11) & s.between(1, 5))
+        | ((b == "Brand#15") & q.between(10, 20) & s.between(1, 10))
+        | ((b == "Brand#23") & q.between(20, 30) & s.between(1, 15))
+    )
+    return (
+        li.join(pa, li.l_partkey == pa.p_partkey)
+        .filter(cond)
+        .agg(
+            _cents_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

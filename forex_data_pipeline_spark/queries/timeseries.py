@@ -1459,3 +1459,43 @@ def series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("correlation"),
     )
+
+
+@register(
+    "salted_distinct_users",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    doc="Skew-safe exact distinct count via SALTED two-stage "
+    "aggregation: count(DISTINCT user) over a handful of heavy keys "
+    "normally funnels every distinct value of a hot key through ONE "
+    "reducer (plain count-distinct has no map-side partial). Stage 1 "
+    "deduplicates (event_type, salt, user_id) where salt = "
+    "pmod(hash(user_id), 16) — the hot key's distinct set is spread "
+    "over 16 reducers, each bounded; stage 2 sums the 16 per-salt "
+    "counts (tiny). n_events rides stage 1 as a plain partial-agg sum. "
+    "Exact integers — identical to the oracle's count(DISTINCT) — and "
+    "the salt width is the knob that bounds per-task state at 100 TB "
+    "(16 here; a cluster run sizes it to executor count / key "
+    "hotness). The same discipline as AQE's skew-join splitting, "
+    "applied to aggregation state.",
+    tags=("timeseries", "aggregation", "skew"),
+)
+def salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    salted = ev.select(
+        "event_type",
+        F.pmod(F.hash("user_id"), F.lit(16)).alias("salt"),
+        "user_id",
+    )
+    stage1 = salted.groupBy("event_type", "salt").agg(
+        F.count_distinct("user_id").alias("part_users"),
+        F.count(F.lit(1)).alias("part_events"),
+    )
+    return stage1.groupBy("event_type").agg(
+        F.sum("part_users").alias("n_users"),
+        F.sum("part_events").alias("n_events"),
+    )
