@@ -3471,3 +3471,259 @@ def brand_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# ------------------------------------------------ global-rank derived ops
+
+@register(
+    "equi_depth_histogram",
+    oracle="""
+    WITH ranked AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               row_number() OVER (
+                   ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                            o_orderkey) AS rn,
+               (SELECT count(*) FROM orders) AS n
+        FROM orders)
+    SELECT CAST((rn - 1) * 16 // n + 1 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents,
+           CAST(CAST(sum(cents) AS BIGINT) AS BIGINT) AS total_cents
+    FROM ranked
+    GROUP BY 1
+    """,
+    doc="Equi-depth (equal-height) 16-bucket histogram of order value — "
+    "the optimizer-statistics / quantile-binning primitive the "
+    "equi-WIDTH price_histogram can't provide under skew. The global "
+    "rank comes from operators/ranking.py global_rank (range "
+    "repartition + per-partition offsets + partition-local windows), "
+    "NOT an ORDER-BY-only window: no single task ever holds the whole "
+    "relation, so the plan survives 100 TB. Bucket assignment "
+    "((rank-1)·B div N) is pure integer math on the exact cents key "
+    "with o_orderkey as the total-order tie-break — identical in any "
+    "engine; the oracle's single-window row_number is the semantic "
+    "twin at oracle scale.",
+    tags=("aggregation", "rank", "statistics"),
+)
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_rank
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    ranked, n = global_rank(orders, ["cents", "o_orderkey"], rank_col="rn")
+    return (
+        ranked.select(
+            ((F.col("rn") - 1) * 16 / F.lit(n))
+            .cast("bigint")  # floor for non-negative operands
+            .alias("_b"),
+            "cents",
+        )
+        .groupBy((F.col("_b") + 1).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("cents").cast("bigint").alias("min_cents"),
+            F.max("cents").cast("bigint").alias("max_cents"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+    )
+
+
+@register(
+    "per_key_hash_sample",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, CAST(sample_rank AS BIGINT)
+               AS sample_rank
+    FROM (
+        SELECT o_orderpriority, o_orderkey,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey)
+                   AS sample_rank
+        FROM orders)
+    WHERE sample_rank <= 20
+    """,
+    doc="Deterministic fixed-n-per-group sampling (the distributed "
+    "replacement for reservoir sampling when reproducibility matters): "
+    "rank rows within each group by a cryptographic hash of their key "
+    "and keep the first n — a uniform-ish, seedless, rerun-stable "
+    "sample. Unlike rand()-based sampling it is idempotent across "
+    "retries and engines. The row_number window is group-limit "
+    "pushed (each partition keeps only its running top-20), one "
+    "shuffle on the group key. Complements stratified_sample "
+    "(fraction-per-stratum) with exact-count-per-stratum semantics.",
+    tags=("sampling", "window"),
+)
+def per_key_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), "o_orderkey"
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.row_number().over(w).cast("bigint").alias("sample_rank"),
+        )
+        .filter(F.col("sample_rank") <= 20)
+    )
+
+
+# ------------------------------------------------ more TPC-H query shapes
+
+@register(
+    "discount_band_revenue",
+    oracle=f"""
+    SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+           {_cents_sum_sql('l_extendedprice * l_discount',
+                           'discount_revenue')},
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    GROUP BY 1
+    """,
+    doc="TPC-H Q6 shape (forecasting revenue change): pure "
+    "scan-filter-aggregate with BETWEEN + range predicates — no join, "
+    "so the whole query is one WholeStageCodegen span over the "
+    "parquet scan with both predicates pushed to the reader "
+    "(PushedFilters on l_discount/l_quantity) and only three columns "
+    "read. Revenue = Σ price·discount in exact integer cents, grouped "
+    "per ship year. The canonical 'is pushdown actually working' "
+    "probe: at 100 TB this query's cost is exactly the row groups the "
+    "min/max stats can't skip.",
+    tags=("sql", "filter", "aggregation"),
+)
+def discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .groupBy(F.year("l_shipdate").cast("bigint").alias("l_year"))
+        .agg(
+            _cents_sum(
+                F.col("l_extendedprice") * F.col("l_discount"),
+                "discount_revenue",
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "top_revenue_suppliers",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(round(
+                   l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                   AS BIGINT) AS total_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_cents AS BIGINT) AS total_cents,
+           CAST(r.total_cents AS DOUBLE) / 100.0 AS total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_cents = (SELECT max(total_cents) FROM rev)
+    """,
+    doc="TPC-H Q15 shape (top supplier): quarterly revenue per "
+    "supplier (exact cents), then the scalar-MAX subquery keeps every "
+    "supplier tied at the maximum — the view+max pattern from the "
+    "spec, deterministic WITHOUT a tie-break because ties are "
+    "returned, not ranked away. The rev aggregate shuffles on "
+    "l_suppkey once and is reused for both the max and the final "
+    "filter; the supplier dim broadcasts. Shipdate range is pushed "
+    "to the scan.",
+    tags=("sql", "join", "subquery", "aggregation"),
+)
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    su = load(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("total_cents")
+        )
+    )
+    max_cents = rev.agg(F.max("total_cents")).collect()[0][0]
+    return (
+        su.join(
+            rev.filter(F.col("total_cents") == F.lit(max_cents)),
+            su.s_suppkey == F.col("l_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_cents").cast("bigint").alias("total_cents"),
+            (F.col("total_cents").cast("double") / 100.0).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    oracle="""
+    WITH pq AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               count(*) AS n_lines
+        FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS BIGINT) AS revenue_cents,
+           CAST(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS DOUBLE) / 700.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#23'
+    JOIN pq ON pq.l_partkey = l.l_partkey
+    WHERE CAST(l.l_quantity AS BIGINT) * 5 * pq.n_lines < pq.sum_qty
+    """,
+    doc="TPC-H Q17 shape (small-quantity-order revenue): lineitems "
+    "below 20% of their part's average quantity, for one brand. The "
+    "correlated avg subquery is decorrelated into a per-part "
+    "aggregate joined back on partkey — co-partitioned with the "
+    "aggregation's own shuffle, so ONE exchange serves both. The 20% "
+    "threshold compare is cross-multiplied into exact integers "
+    "(5·qty·n < Σqty — quantities are integral) instead of dividing, "
+    "so no float boundary can flip a row. Brand filter prunes the "
+    "broadcast part dim before the join; avg_yearly = cents/700 is "
+    "one exact division.",
+    tags=("sql", "join", "subquery", "aggregation"),
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pa = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    pq = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    cents = F.sum(
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+    )
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(pq.withColumnRenamed("l_partkey", "pq_partkey"),
+              li.l_partkey == F.col("pq_partkey"))
+        .filter(
+            F.col("l_quantity").cast("bigint") * 5 * F.col("n_lines")
+            < F.col("sum_qty")
+        )
+        .agg(
+            cents.cast("bigint").alias("revenue_cents"),
+            (cents.cast("double") / 700.0).alias("avg_yearly"),
+        )
+    )
