@@ -2212,3 +2212,257 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_phones").alias("phones_found"),
         F.sum(F.col("len_raw") - F.col("len_redacted")).alias("chars_removed"),
     )
+
+
+# ------------------------------------------- sketch-accelerated operators
+
+#: Bloom filter geometry for decontamination pruning. m is a CONSTANT
+#: set by the false-positive target, independent of corpus size — the
+#: occupied-bit table is ≤ m rows (~8 MB of longs), broadcastable on
+#: any cluster, while the exact train-shingle set it stands in for is
+#: corpus-sized and must be shuffled. Hash indexes 8/9 come from the
+#: same universal affine family as MinHash but are disjoint from the
+#: signature's 0..7, so bloom bits and minhash values are independent.
+_BLOOM_M = 1 << 20
+_BLOOM_HASHES = (8, 9)
+
+
+def _bloom_bit(col, idx: int):
+    return minhash_value(col, idx) % _BLOOM_M
+
+
+def _bloom_bit_sql(expr: str, idx: int) -> str:
+    return f"({minhash_value_sql(expr, idx)} % {_BLOOM_M})"
+
+
+@register(
+    "bloom_pruned_contamination",
+    oracle=f"""
+    WITH sh AS ({_SH_CTE}),
+    side AS (SELECT doc_id, strlen(source) = 4 AS is_train
+             FROM documents),
+    tagged AS (SELECT sh.doc_id, sh.sh, side.is_train
+               FROM sh JOIN side ON sh.doc_id = side.doc_id),
+    train_sh AS (SELECT DISTINCT sh FROM tagged WHERE is_train),
+    occ AS (SELECT DISTINCT unnest([{_bloom_bit_sql('sh', 8)},
+                                    {_bloom_bit_sql('sh', 9)}]) AS bit
+            FROM train_sh),
+    eval_sh AS (SELECT doc_id, sh,
+                       {_bloom_bit_sql('sh', 8)} AS bit0,
+                       {_bloom_bit_sql('sh', 9)} AS bit1
+                FROM tagged WHERE NOT is_train),
+    cand AS (SELECT doc_id, sh FROM eval_sh
+             WHERE bit0 IN (SELECT bit FROM occ)
+               AND bit1 IN (SELECT bit FROM occ)),
+    tot AS (SELECT doc_id, count(*) AS n_shingles
+            FROM eval_sh GROUP BY doc_id),
+    cc AS (SELECT doc_id, count(*) AS n_cand
+           FROM cand GROUP BY doc_id),
+    hit AS (SELECT c.doc_id, count(*) AS n_hits
+            FROM cand c JOIN train_sh t ON c.sh = t.sh
+            GROUP BY c.doc_id)
+    SELECT tot.doc_id,
+           CAST(tot.n_shingles AS BIGINT) AS n_shingles,
+           CAST(coalesce(cc.n_cand, 0) AS BIGINT) AS n_bloom_candidates,
+           CAST(coalesce(hit.n_hits, 0) AS BIGINT) AS n_contaminated,
+           CAST(coalesce(cc.n_cand, 0) - coalesce(hit.n_hits, 0)
+                AS BIGINT) AS n_bloom_fp,
+           CAST(coalesce(hit.n_hits, 0) AS DOUBLE) / tot.n_shingles
+               AS contamination_rate
+    FROM tot
+    LEFT JOIN cc ON tot.doc_id = cc.doc_id
+    LEFT JOIN hit ON tot.doc_id = hit.doc_id
+    """,
+    doc="Decontamination with Bloom-filter pruning — the 100 TB form "
+    "of cross_corpus_contamination. The train shingle set is folded "
+    "into a 2²⁰-bit Bloom filter (2 universal hashes; represented "
+    "relationally as the DISTINCT occupied-bit table, ≤ m rows ≈ 8 MB "
+    "— a CONSTANT independent of corpus size, so it broadcasts on any "
+    "cluster). Eval shingles are pruned by two broadcast semi-joins "
+    "(both bits set) before the expensive corpus-sized exact join, "
+    "which now touches only candidates. Bloom filters have no false "
+    "negatives, so n_contaminated is EXACT (equal to the unpruned "
+    "sibling query) — n_bloom_fp records the false-positive overhead "
+    "that the exact verify join discarded, i.e. the audit of the "
+    "filter's actual FP rate. All hashing is the same md5-affine "
+    "family as MinHash (indexes 8/9, disjoint from the signature), "
+    "exact 64-bit integers in both engines.",
+    tags=("llm", "text", "dedup", "join", "sketch"),
+)
+def bloom_pruned_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    side = load(spark, sf_dir, "documents").select(
+        "doc_id", (F.length("source") == 4).alias("is_train")
+    )
+    tagged = sh.join(side, "doc_id")
+    train_sh = tagged.filter(F.col("is_train")).select("sh").distinct()
+    occ = (
+        train_sh.select(
+            F.explode(
+                F.array(
+                    _bloom_bit(F.col("sh"), 8), _bloom_bit(F.col("sh"), 9)
+                )
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    eval_sh = (
+        tagged.filter(~F.col("is_train"))
+        .select(
+            "doc_id",
+            "sh",
+            _bloom_bit(F.col("sh"), 8).alias("bit0"),
+            _bloom_bit(F.col("sh"), 9).alias("bit1"),
+        )
+    )
+    cand = (
+        eval_sh.join(
+            F.broadcast(occ.withColumnRenamed("bit", "bit0")),
+            "bit0",
+            "left_semi",
+        )
+        .join(
+            F.broadcast(occ.withColumnRenamed("bit", "bit1")),
+            "bit1",
+            "left_semi",
+        )
+        .select("doc_id", "sh")
+    )
+    tot = eval_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    cc = cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_cand"))
+    hit = (
+        cand.join(train_sh, "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    n_cand = F.coalesce(F.col("n_cand"), F.lit(0))
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
+    return (
+        tot.join(cc, "doc_id", "left")
+        .join(hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            n_cand.cast("bigint").alias("n_bloom_candidates"),
+            n_hits.cast("bigint").alias("n_contaminated"),
+            (n_cand - n_hits).cast("bigint").alias("n_bloom_fp"),
+            (n_hits.cast("double") / F.col("n_shingles")).alias(
+                "contamination_rate"
+            ),
+        )
+    )
+
+
+#: Count-min sketch geometry: d rows × w buckets. Like the Bloom m,
+#: (d, w) are accuracy-chosen CONSTANTS — the sketch is ≤ d·w rows
+#: regardless of corpus size, mergeable across partitions/batches by
+#: cell-wise addition (each cell is a SUM — re-aggregable), and the
+#: estimate for any key needs only d cells.
+_CMS_D = 4
+_CMS_W = 1024
+_CMS_HASHES = (8, 9, 10, 11)
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH tc AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS exact_count
+        FROM (SELECT doc_id, unnest(toks) AS term FROM ({_TOK_CTE}))
+        WHERE term != ''
+        GROUP BY term),
+    sketch AS (
+        SELECT row_idx, bucket,
+               CAST(CAST(sum(exact_count) AS BIGINT) AS BIGINT) AS cell
+        FROM (
+            {" UNION ALL ".join(
+                f"SELECT {i} AS row_idx, "
+                f"({minhash_value_sql('term', h)} % {_CMS_W}) AS bucket, "
+                f"exact_count FROM tc"
+                for i, h in enumerate(_CMS_HASHES))}
+        )
+        GROUP BY row_idx, bucket),
+    top AS (
+        SELECT term, exact_count
+        FROM tc ORDER BY exact_count DESC, term LIMIT 20),
+    probes AS (
+        SELECT term, exact_count, row_idx,
+               CASE row_idx
+                   {" ".join(
+                       f"WHEN {i} THEN "
+                       f"({minhash_value_sql('term', h)} % {_CMS_W})"
+                       for i, h in enumerate(_CMS_HASHES))}
+               END AS bucket
+        FROM top, (SELECT unnest(generate_series(0, {_CMS_D - 1}))
+                   AS row_idx))
+    SELECT p.term, p.exact_count,
+           CAST(min(s.cell) AS BIGINT) AS cms_estimate,
+           CAST(min(s.cell) - p.exact_count AS BIGINT) AS overestimate
+    FROM probes p
+    JOIN sketch s ON s.row_idx = p.row_idx AND s.bucket = p.bucket
+    GROUP BY p.term, p.exact_count
+    """,
+    doc="Count-min sketch frequency estimation, audited against exact "
+    "counts for the top-20 corpus tokens. The sketch is d=4 rows × "
+    "w=1024 buckets of SUM cells — built from the per-term count "
+    "table with four affine-hash projections and one (row, bucket) "
+    "aggregation, so its size is the constant d·w no matter the "
+    "corpus, and cells merge by addition (partition-parallel, "
+    "stream-mergeable — the same property HLL rollup exploits). "
+    "Estimates = min over the d probed cells, always ≥ exact "
+    "(one-sided error); `overestimate` materializes the collision "
+    "error actually incurred. Hashes are the shared md5-affine "
+    "family (indexes 8-11), exact integers in both engines.",
+    tags=("llm", "text", "sketch", "aggregation"),
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(load(spark, sf_dir, "documents"))
+    tc = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    projections = [
+        tc.select(
+            F.lit(i).alias("row_idx"),
+            (minhash_value(F.col("term"), h) % _CMS_W).alias("bucket"),
+            "exact_count",
+        )
+        for i, h in enumerate(_CMS_HASHES)
+    ]
+    proj = projections[0]
+    for p in projections[1:]:
+        proj = proj.unionAll(p)
+    sketch = proj.groupBy("row_idx", "bucket").agg(
+        F.sum("exact_count").alias("cell")
+    )
+    # top-k via TakeOrderedAndProject (per-partition top-20 + driver
+    # merge), never an unpartitioned window — the vocabulary table is
+    # corpus-sized at 100 TB.
+    top = tc.orderBy(F.col("exact_count").desc(), "term").limit(20)
+    bucket_cases = F.when(
+        F.col("row_idx") == 0,
+        minhash_value(F.col("term"), _CMS_HASHES[0]) % _CMS_W,
+    )
+    for i, h in list(enumerate(_CMS_HASHES))[1:]:
+        bucket_cases = bucket_cases.when(
+            F.col("row_idx") == i, minhash_value(F.col("term"), h) % _CMS_W
+        )
+    probes = top.crossJoin(
+        spark.range(_CMS_D).select(F.col("id").cast("int").alias("row_idx"))
+    ).select("term", "exact_count", "row_idx", bucket_cases.alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["row_idx", "bucket"])
+        .groupBy("term", "exact_count")
+        .agg(
+            F.min("cell").cast("bigint").alias("cms_estimate"),
+            (F.min("cell") - F.col("exact_count"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+    )

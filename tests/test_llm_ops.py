@@ -53,3 +53,29 @@ def test_lsh_ann_recall_vs_brute_force(spark, sf_dir):
     # 4 OR-ed 4-bit bands on uniform random vectors pass ~1/4 of the
     # corpus as candidates — recall of the true top-5 must clear this.
     assert recall >= 0.3, f"LSH ANN recall {recall:.2f} vs brute force"
+
+
+def test_bloom_pruning_is_lossless_and_prunes(spark, sf_dir):
+    exact = {
+        (r.doc_id, r.n_contaminated)
+        for r in catalog.REGISTRY["cross_corpus_contamination"]
+        .fn(spark, sf_dir).collect()
+    }
+    bloomed = catalog.REGISTRY["bloom_pruned_contamination"].fn(
+        spark, sf_dir
+    ).collect()
+    # No false negatives: exact contamination counts are preserved.
+    assert {(r.doc_id, r.n_contaminated) for r in bloomed} == exact
+    # The filter is sound: candidates ⊇ hits, and FP accounting adds up.
+    for r in bloomed:
+        assert r.n_bloom_candidates >= r.n_contaminated
+        assert r.n_bloom_fp == r.n_bloom_candidates - r.n_contaminated
+
+
+def test_cms_estimate_dominates_exact_count(spark, sf_dir):
+    rows = catalog.REGISTRY["cms_heavy_hitters"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        # One-sided error: CMS never undercounts.
+        assert r.cms_estimate >= r.exact_count
+        assert r.overestimate == r.cms_estimate - r.exact_count
