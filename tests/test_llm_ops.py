@@ -4,6 +4,7 @@ IVF recall vs brute force, MinHash-vs-exact-Jaccard agreement."""
 from __future__ import annotations
 
 from forex_data_pipeline_spark import catalog
+from forex_data_pipeline_spark.tables import load
 
 catalog._ensure_loaded()
 
@@ -79,3 +80,28 @@ def test_cms_estimate_dominates_exact_count(spark, sf_dir):
         # One-sided error: CMS never undercounts.
         assert r.cms_estimate >= r.exact_count
         assert r.overestimate == r.cms_estimate - r.exact_count
+
+
+def test_pq_ann_recall_vs_exact_l2(spark, sf_dir):
+    import numpy as np
+
+    rows = (
+        catalog.REGISTRY["ann_pq_topk"].fn(spark, sf_dir).collect()
+    )
+    pq = {(r.query_id, r.neighbor_id) for r in rows}
+    for r in rows:
+        assert 1 <= r.rank <= 5
+        assert r.exact_dist2 >= 0.0
+
+    emb = load(spark, sf_dir, "embeddings").orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in emb])
+    X = np.array([list(r.embedding) for r in emb])
+    exact = set()
+    for q in range(10):
+        d = ((X - X[ids == q][0]) ** 2).sum(axis=1)
+        d[ids == q] = np.inf
+        for n in np.lexsort((ids, d))[:5]:
+            exact.add((q, int(ids[n])))
+    recall = len(exact & pq) / len(exact)
+    # ADC shortlist (50) + exact re-rank: well above the raw-ADC ~0.3.
+    assert recall >= 0.6, f"PQ recall {recall:.2f} vs exact L2"
