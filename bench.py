@@ -55,6 +55,11 @@ HEADLINE: tuple[str, ...] = (
     "repetition_stats",
     "tfidf_top_terms",
     "sequence_chunking",
+    # round-2 additions: sketch-accelerated + rank/ANN paths
+    "bloom_pruned_contamination",
+    "cms_heavy_hitters",
+    "equi_depth_histogram",
+    "ann_pq_topk",
 )
 
 

@@ -2426,20 +2426,26 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term") != "")
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("exact_count"))
+        # consumed three times (sketch, top-20, probes): materialize
+        # once instead of re-tokenizing the corpus per consumer
+        .localCheckpoint(eager=True)
     )
-    projections = [
-        tc.select(
-            F.lit(i).alias("row_idx"),
-            (minhash_value(F.col("term"), h) % _CMS_W).alias("bucket"),
-            "exact_count",
-        )
-        for i, h in enumerate(_CMS_HASHES)
-    ]
-    proj = projections[0]
-    for p in projections[1:]:
-        proj = proj.unionAll(p)
-    sketch = proj.groupBy("row_idx", "bucket").agg(
-        F.sum("exact_count").alias("cell")
+    # all d projections in ONE map-side explode over tc — a union of d
+    # selects would recompute tc d times
+    proj_rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_idx"),
+                (minhash_value(F.col("term"), h) % _CMS_W).alias("bucket"),
+            )
+            for i, h in enumerate(_CMS_HASHES)
+        ]
+    )
+    sketch = (
+        tc.select(F.explode(proj_rows).alias("p"), "exact_count")
+        .select("p.row_idx", "p.bucket", "exact_count")
+        .groupBy("row_idx", "bucket")
+        .agg(F.sum("exact_count").alias("cell"))
     )
     # top-k via TakeOrderedAndProject (per-partition top-20 + driver
     # merge), never an unpartitioned window — the vocabulary table is
@@ -2476,23 +2482,23 @@ _PQ_CODES = 16   # codebook entries per subspace — FIXED, data-independent
 
 
 def _pq_subvectors(emb: DataFrame) -> DataFrame:
-    """(vec_id, sub_idx, subvec) — m skinny slices per vector. The
-    union is map-side only (no shuffle); each slice is 1/m of the
-    embedding, so total bytes equal the input."""
-    parts = [
-        emb.select(
-            "vec_id",
-            F.lit(j).alias("sub_idx"),
-            F.slice("embedding", j * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias(
-                "subvec"
-            ),
-        )
-        for j in range(_PQ_M)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    """(vec_id, sub_idx, subvec) — m skinny slices per vector via ONE
+    map-side explode (a union of m selects would scan the source m
+    times); total bytes equal the input."""
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("sub_idx"),
+                F.slice(
+                    "embedding", j * _PQ_SUBDIM + 1, _PQ_SUBDIM
+                ).alias("subvec"),
+            )
+            for j in range(_PQ_M)
+        ]
+    )
+    return emb.select(
+        "vec_id", F.explode(slices).alias("s")
+    ).select("vec_id", F.col("s.sub_idx"), F.col("s.subvec"))
 
 
 def _pq_assign(sub: DataFrame, books: DataFrame) -> DataFrame:
