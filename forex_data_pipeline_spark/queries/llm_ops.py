@@ -2296,8 +2296,17 @@ def bloom_pruned_contamination(
     side = load(spark, sf_dir, "documents").select(
         "doc_id", (F.length("source") == 4).alias("is_train")
     )
-    tagged = sh.join(side, "doc_id")
-    train_sh = tagged.filter(F.col("is_train")).select("sh").distinct()
+    # The shingle table feeds five consumers (train set, occupied bits,
+    # eval totals, candidate prune, verify join); without materializing
+    # it each consumer re-tokenizes the corpus (16 scans, no exchange
+    # reuse — the projections differ). One linear, partition-parallel
+    # materialization; on a cluster this is persist(DISK_ONLY)/
+    # checkpoint of the (doc_id, shingle, side) relation.
+    tagged = sh.join(side, "doc_id").localCheckpoint(eager=True)
+    train_sh = (
+        tagged.filter(F.col("is_train")).select("sh").distinct()
+        .localCheckpoint(eager=True)  # reused by occ and the verify join
+    )
     occ = (
         train_sh.select(
             F.explode(
