@@ -2666,3 +2666,73 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "neighbor_id", "approx_dist2", "exact_dist2", "rank"
         )
     )
+
+
+@register(
+    "weighted_mixture_sample",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT source, n_chars,
+               CASE WHEN strlen(source) = 4 THEN 900 ELSE 300 END
+                   AS target_permille,
+               ({minhash_value_sql("CAST(doc_id AS VARCHAR)", 10)} % 1000)
+                   AS draw
+        FROM documents)
+    SELECT source,
+           CAST(max(target_permille) AS BIGINT) AS target_permille,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN draw < target_permille THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(CAST(sum(CASE WHEN draw < target_permille
+                         THEN n_chars ELSE 0 END) AS BIGINT) AS BIGINT)
+               AS chars_kept,
+           CAST(sum(CASE WHEN draw < target_permille THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS achieved_rate
+    FROM keyed GROUP BY source
+    """,
+    doc="Training-mixture curation: per-source sampling weights "
+    "(90% for the train sources, 30% for the rest — the domain-"
+    "reweighting step of corpus assembly) applied by DETERMINISTIC "
+    "hash thinning: keep a doc iff its universal-hash draw "
+    "(md5-affine family, index 10) mod 1000 falls under the source's "
+    "permille target. Unlike rand()-based Bernoulli sampling this is "
+    "idempotent across retries/engines/reruns (a failed task keeps "
+    "exactly the same docs), stratification is exact per key, and "
+    "the audit (achieved vs target rate per source) is an "
+    "integer/integer division. Pure map + one aggregation — no "
+    "shuffle of document payloads, scales linearly.",
+    tags=("llm", "curation", "sampling"),
+)
+def weighted_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    target = F.when(F.length("source") == 4, 900).otherwise(300)
+    draw = minhash_value(F.col("doc_id").cast("string"), 10) % 1000
+    kept = F.when(draw < F.col("target_permille"), 1).otherwise(0)
+    return (
+        docs.select(
+            "source",
+            "n_chars",
+            target.alias("target_permille"),
+            draw.alias("draw"),
+        )
+        .groupBy("source")
+        .agg(
+            F.max("target_permille").cast("bigint").alias("target_permille"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("draw") < F.col("target_permille"), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_kept"),
+            F.sum(
+                F.when(
+                    F.col("draw") < F.col("target_permille"), F.col("n_chars")
+                ).otherwise(0)
+            ).cast("bigint").alias("chars_kept"),
+            (
+                F.sum(
+                    F.when(F.col("draw") < F.col("target_permille"), 1)
+                    .otherwise(0)
+                ).cast("double") / F.count(F.lit(1))
+            ).alias("achieved_rate"),
+        )
+    )

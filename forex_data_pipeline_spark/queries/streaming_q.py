@@ -262,3 +262,54 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table).select(
         "event_type", F.col("n_events").cast("bigint").alias("n_events")
     )
+
+
+@register(
+    "streaming_dim_enrich",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(CAST(sum(CAST(round(e.value * 1000000) AS BIGINT))
+                AS BIGINT) AS BIGINT) AS value_micro
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    doc="Stream-static enrichment join (the streaming lookup/dimension "
+    "pattern): the event stream joins the STATIC customer dimension — "
+    "no stream-stream state, the dim is broadcast to every micro-batch "
+    "task and re-resolvable per trigger (slowly-changing dims pick up "
+    "updates between batches) — then aggregates per (segment, type). "
+    "Exact integer micro-unit sums; drained with Trigger.AvailableNow "
+    "in complete mode and hash-matched against the batch join+agg "
+    "oracle, proving batch/stream parity for the enrich-then-aggregate "
+    "shape. State is bounded by the group-key cardinality "
+    "(segments × types), independent of stream length.",
+    tags=("streaming", "join", "aggregation"),
+)
+def streaming_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = tempfile.mkdtemp(prefix="fx_stream_dim_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ts_is_long = raw_schema["ts"].dataType.typeName() == "long"
+
+    ticks = read_tick_stream(
+        spark, src, raw_schema, ts_is_nanos_long=ts_is_long
+    )
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = ticks.join(F.broadcast(dim), "user_id").groupBy(
+        "c_mktsegment", "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 1000000).cast("long"))
+        .cast("bigint")
+        .alias("value_micro"),
+    )
+    table = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="fx_stream_dim_ckpt_")
+    run_available_now_to_table(enriched, table, ckpt)
+    return spark.table(table).select(
+        "c_mktsegment", "event_type", "n_events", "value_micro"
+    )
