@@ -2513,8 +2513,9 @@ def _pq_subvectors(emb: DataFrame) -> DataFrame:
 def _pq_assign(sub: DataFrame, books: DataFrame) -> DataFrame:
     """Nearest-code assignment per (vec_id, sub_idx): broadcast the
     m·k codebook, score map-side, argmin via min_by partial agg —
-    subvectors never ride a shuffle."""
-    from ..functions.vector import l2sq
+    subvectors never ride a shuffle. The subspace distance is unrolled
+    over the constant subdim so it stays in whole-stage codegen."""
+    from ..functions.vector import l2sq_unrolled
 
     return (
         sub.join(F.broadcast(books), "sub_idx")
@@ -2522,7 +2523,9 @@ def _pq_assign(sub: DataFrame, books: DataFrame) -> DataFrame:
             "vec_id",
             "sub_idx",
             "code_id",
-            l2sq(F.col("subvec"), F.col("c_sub")).alias("d2"),
+            l2sq_unrolled(
+                F.col("subvec"), F.col("c_sub"), _PQ_SUBDIM
+            ).alias("d2"),
         )
         .groupBy("vec_id", "sub_idx")
         .agg(
@@ -2556,7 +2559,7 @@ def _pq_assign(sub: DataFrame, books: DataFrame) -> DataFrame:
     tags=("llm", "similarity", "topk"),
 )
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.vector import l2sq
+    from ..functions.vector import l2sq_unrolled
 
     emb = load(spark, sf_dir, "embeddings")
     sub = _pq_subvectors(emb)
@@ -2616,7 +2619,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "sub_idx",
             "code_id",
-            l2sq(F.col("q_sub"), F.col("c_sub")).alias("d2"),
+            l2sq_unrolled(
+                F.col("q_sub"), F.col("c_sub"), _PQ_SUBDIM
+            ).alias("d2"),
         )
     )
     scored = (
@@ -2653,7 +2658,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "approx_dist2",
-            l2sq(F.col("q_emb"), F.col("n_emb")).alias("exact_dist2"),
+            l2sq_unrolled(
+                F.col("q_emb"), F.col("n_emb"), _PQ_M * _PQ_SUBDIM
+            ).alias("exact_dist2"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
