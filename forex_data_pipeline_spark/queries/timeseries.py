@@ -1587,3 +1587,118 @@ def distribution_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
         diff.cast("bigint").alias("abs_diff_num"),
         (diff.cast("double") / (tot_a * tot_b)).alias("abs_prob_diff"),
     )
+
+
+@register(
+    "interval_overlap_join",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS is_new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id,
+               sum(is_new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_seq, ts
+        FROM flagged
+    ),
+    sessions AS (
+        SELECT user_id, session_seq,
+               min(ts) AS s_start, max(ts) AS s_end
+        FROM sess GROUP BY user_id, session_seq
+    ),
+    wins AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               min(ts) AS w_start, max(ts) AS w_end
+        FROM events GROUP BY 1, 2
+    ),
+    sess_days AS (
+        SELECT user_id, session_seq, s_start, s_end,
+               unnest(generate_series(CAST(s_start AS DATE),
+                                      CAST(s_end AS DATE),
+                                      INTERVAL 1 DAY)) AS day
+        FROM sessions
+    )
+    SELECT w.event_type, w.day,
+           CAST(count(*) AS BIGINT) AS n_overlapping_sessions,
+           CAST(CAST(sum(epoch_us(least(s.s_end, w.w_end))
+                         - epoch_us(greatest(s.s_start, w.w_start)))
+                     AS BIGINT) AS BIGINT) AS total_overlap_micros
+    FROM sess_days s
+    JOIN wins w
+      ON w.day = CAST(s.day AS DATE)
+     AND s.s_start <= w.w_end AND w.w_start <= s.s_end
+    GROUP BY 1, 2
+    """,
+    doc="Interval-×-interval OVERLAP join — the missing sibling of the "
+    "point-in-band range joins: user activity sessions (30-min-gap "
+    "sessionization) against per-(type, day) activity windows, paired "
+    "whenever the intervals intersect. A naive formulation is a cross "
+    "join with an inequality predicate (O(n²), nested-loop); instead "
+    "each session EXPLODES to the days it covers (bounded by span — "
+    "the interval-bucketing discipline of range_join_bucketed) and "
+    "the join becomes a day-keyed equi-join with a residual overlap "
+    "predicate — shuffle-partitionable at any scale. Overlap duration "
+    "is exact integer µs (least/greatest of epoch micros); output is "
+    "the per-(type, day) audit: overlapping-session count + total "
+    "overlap time.",
+    tags=("timeseries", "join", "window"),
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+                > 1800 * 1_000_000
+            ),
+            1,
+        ).otherwise(0).alias("is_new_session"),
+    )
+    sess_seq = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("is_new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_seq"),
+    )
+    sessions = sess_seq.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    wins = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.min("ts").alias("w_start"), F.max("ts").alias("w_end"))
+    sess_days = sessions.select(
+        "user_id",
+        "session_seq",
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(F.to_date("s_start"), F.to_date("s_end"))
+        ).alias("day"),
+    )
+    joined = sess_days.join(
+        wins,
+        (sess_days.day == wins.day)
+        & (F.col("s_start") <= F.col("w_end"))
+        & (F.col("w_start") <= F.col("s_end")),
+    )
+    overlap_us = F.unix_micros(
+        F.least("s_end", "w_end").cast("timestamp")
+    ) - F.unix_micros(F.greatest("s_start", "w_start").cast("timestamp"))
+    return joined.groupBy("event_type", wins.day).agg(
+        F.count(F.lit(1)).alias("n_overlapping_sessions"),
+        F.sum(overlap_us).cast("bigint").alias("total_overlap_micros"),
+    )
