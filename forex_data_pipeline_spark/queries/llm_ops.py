@@ -2743,3 +2743,155 @@ def weighted_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("achieved_rate"),
         )
     )
+
+
+@register(
+    "skipgram_pairs",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_transform({tokens_sql('text')},
+                   (t, i) -> struct_pack(term := t, pos := i))) AS s
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, s.term AS term, s.pos AS pos FROM tok
+        WHERE s.term != ''
+    )
+    SELECT center, context, n_pairs
+    FROM (
+        SELECT a.term AS center, b.term AS context,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               row_number() OVER (ORDER BY count(*) DESC, a.term, b.term)
+                   AS rn
+        FROM pos a
+        JOIN pos b
+          ON a.doc_id = b.doc_id
+         AND b.pos BETWEEN a.pos - 2 AND a.pos + 2
+         AND b.pos != a.pos
+        GROUP BY a.term, b.term)
+    WHERE rn <= 30
+    """,
+    doc="Skip-gram (center, context) training-pair generation — the "
+    "word2vec/embedding-pretraining data op: every token pairs with "
+    "its ±2 neighbors. Implemented WITHOUT a positional self-join: "
+    "the token array pairs map-side via a transform over the four "
+    "relative offsets (each doc's pairs are generated inside one "
+    "task, n·window rows, no (doc, pos)-keyed shuffle of the corpus — "
+    "the oracle's self-join form is the semantic spec, the flattened "
+    "explode is the 100 TB plan). Top-30 global pairs with total "
+    "tie-break; counts are exact.",
+    tags=("llm", "text", "topk"),
+)
+def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(load(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    # map-side pair generation: for each position i, emit (t[i], t[i+d])
+    # for d in {-2,-1,1,2} where the neighbor exists and both non-empty
+    n = F.size("toks")
+    pair_arrays = []
+    for d in (-2, -1, 1, 2):
+        pair_arrays.append(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(n, F.lit(0))),
+                    lambda i: F.struct(
+                        F.element_at("toks", i).alias("center"),
+                        F.when(
+                            (i + d >= 1) & (i + d <= n),
+                            F.element_at("toks", i + F.lit(d)),
+                        ).alias("context"),
+                    ),
+                ),
+                lambda s: s.context.isNotNull()
+                & (s.center != "")
+                & (s.context != ""),
+            )
+        )
+    pairs = toks.select(
+        F.explode(F.concat(*pair_arrays)).alias("p")
+    ).select("p.center", "p.context")
+    counted = pairs.groupBy("center", "context").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    return (
+        counted.orderBy(F.col("n_pairs").desc(), "center", "context")
+        .limit(30)
+        .select("center", "context", "n_pairs")
+    )
+
+
+@register(
+    "bpe_top_merges",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest({tokens_sql('text')}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT term, count(*) AS freq FROM tok
+        WHERE term != '' GROUP BY term
+    ),
+    pairs AS (
+        SELECT substr(term, i, 1) AS left_sym,
+               substr(term, i + 1, 1) AS right_sym,
+               freq
+        FROM tf, (SELECT unnest(generate_series(1, 40)) AS i)
+        WHERE i < strlen(term)
+    )
+    SELECT left_sym, right_sym, n_occurrences
+    FROM (
+        SELECT left_sym, right_sym,
+               CAST(CAST(sum(freq) AS BIGINT) AS BIGINT) AS n_occurrences,
+               row_number() OVER (
+                   ORDER BY sum(freq) DESC, left_sym, right_sym) AS rn
+        FROM pairs GROUP BY left_sym, right_sym)
+    WHERE rn <= 20
+    """,
+    doc="BPE tokenizer-training inner loop: corpus-wide adjacent-symbol "
+    "pair frequencies (the argmax of which is the next BPE merge). "
+    "Computed over the DEDUPLICATED word-frequency table — pair "
+    "counts weight by word freq, so the expensive character explode "
+    "runs once per distinct word, not once per corpus occurrence "
+    "(vocabulary-sized, the standard BPE trainer optimization). "
+    "Character pairs explode map-side (posexplode of the split word, "
+    "bounded at 40 chars); exact bigint sums; top-20 merges with "
+    "total tie-break.",
+    tags=("llm", "text", "aggregation", "topk"),
+)
+def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(load(spark, sf_dir, "documents"))
+    tf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # 1-char words have no pairs; the filter also dodges Spark's
+    # descending sequence(1, 0) pitfall
+    tf = tf.filter(F.length("term") >= 2)
+    chars = F.split(F.col("term"), "")
+    n = F.size(chars)
+    pairs = tf.select(
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.least(n - 1, F.lit(40))
+                ),
+                lambda i: F.struct(
+                    F.element_at(chars, i).alias("left_sym"),
+                    F.element_at(chars, i + 1).alias("right_sym"),
+                ),
+            )
+        ).alias("p"),
+        "freq",
+    ).select("p.left_sym", "p.right_sym", "freq")
+    counted = pairs.groupBy("left_sym", "right_sym").agg(
+        F.sum("freq").cast("bigint").alias("n_occurrences")
+    )
+    return (
+        counted.orderBy(
+            F.col("n_occurrences").desc(), "left_sym", "right_sym"
+        )
+        .limit(20)
+        .select("left_sym", "right_sym", "n_occurrences")
+    )
