@@ -3811,3 +3811,80 @@ def concurrent_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_closed",
         F.sum("day_delta").over(w).cast("bigint").alias("open_orders"),
     )
+
+
+@register(
+    "pagerank_part_graph",
+    # No oracle: iterative float algorithm (like ann_ivf_topk); checked
+    # against a numpy power-iteration reference in tests/test_graph.py.
+    doc="PageRank over the part co-purchase graph — the iterative "
+    "graph-analytics pattern (label propagation's weighted sibling; "
+    "dedup_clusters already covers the min-label form). Edges: parts "
+    "sharing an order, generated ORDER-LOCALLY (pairs within each "
+    "order's part list — linear in orders, never corpus²), "
+    "deduplicated, both directions. 10 damped (0.85) power "
+    "iterations, each ONE edge-keyed shuffle join + ONE dst-keyed "
+    "aggregation — the textbook distributed PageRank plan; lineage "
+    "is truncated every 4 rounds (localCheckpoint) so the plan "
+    "doesn't deepen with iterations. Dangling mass is redistributed "
+    "uniformly (rank sum stays = n, asserted in tests). Output: "
+    "top-20 parts with unique tie-break.",
+    tags=("sql", "graph", "iterative", "topk"),
+)
+def pagerank_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    order_parts = li.select("l_orderkey", "l_partkey").distinct()
+    a = order_parts.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src")
+    )
+    b = order_parts.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst")
+    )
+    und = (
+        a.join(b, "k")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.count()
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    edges = und.join(deg, "src").localCheckpoint(eager=True)
+
+    d = 0.85
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    for i in range(10):
+        contribs = (
+            edges.join(
+                ranks.withColumnRenamed("node", "src"), "src"
+            )
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("out_deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        # every node has degree >= 1 here (co-order graph), but keep
+        # the no-inbound case: teleport-only base
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - d)
+                    + F.lit(d) * F.coalesce("in_sum", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if i % 4 == 3:
+            ranks = ranks.localCheckpoint(eager=True)
+    return (
+        ranks.orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+        .select(
+            F.col("node").alias("p_partkey"),
+            F.col("rank").alias("pagerank"),
+        )
+    )
