@@ -218,3 +218,64 @@ def delete_rows(
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
     return n_total - n_keep
+
+
+def write_with_expectations(
+    df: DataFrame,
+    path: str,
+    expectations: "dict[str, Column]",
+    *,
+    quarantine_path: "str | None" = None,
+    partition_cols: "Sequence[str]" = (),
+) -> "DataFrame":
+    """Constraint-gated write (dbt test severity=error, Delta-style
+    CHECK constraints): rows satisfying every expectation land in
+    ``path``; violators are quarantined (with a per-rule flag column
+    each) instead of poisoning the table or failing the job. Returns
+    the audit frame (rule → violation count, plus the pass count under
+    rule '__passed').
+
+    One scan feeds both writes: the rule columns are computed once,
+    the pass/fail split is two filters over the same plan (Spark scans
+    twice but map-side only — no shuffle), and the audit aggregates
+    the tiny flag columns. Per-rule flags in the quarantine output
+    make triage queryable ('which rule killed this row').
+    """
+    from pyspark.sql import functions as F
+
+    flagged = df.select(
+        "*",
+        *[
+            (~cond).alias(f"__viol_{name}")
+            for name, cond in expectations.items()
+        ],
+    )
+    any_viol = None
+    for name in expectations:
+        c = F.col(f"__viol_{name}")
+        any_viol = c if any_viol is None else (any_viol | c)
+
+    passed = flagged.filter(~any_viol).drop(
+        *[f"__viol_{n}" for n in expectations]
+    )
+    write_partitioned(passed, path, partition_cols=partition_cols)
+    if quarantine_path is not None:
+        flagged.filter(any_viol).write.mode("overwrite").parquet(
+            quarantine_path
+        )
+
+    spark = df.sparkSession
+    audits = [
+        flagged.agg(
+            F.lit(name).alias("rule"),
+            F.sum(F.col(f"__viol_{name}").cast("long")).alias("violations"),
+        )
+        for name in expectations
+    ]
+    audit = audits[0]
+    for a in audits[1:]:
+        audit = audit.unionAll(a)
+    n_passed = flagged.filter(~any_viol).count()
+    return audit.unionAll(
+        spark.createDataFrame([("__passed", n_passed)], "rule string, violations bigint")
+    )

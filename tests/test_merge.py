@@ -167,3 +167,49 @@ def test_delete_rows_retention_and_erasure(spark, tmp_path):
     # deleting nothing is a no-op rewrite
     assert delete_rows(spark, path, F.col("user_id") == 99) == 0
     assert spark.read.parquet(path).count() == 3
+
+
+def test_write_with_expectations_gates_and_quarantines(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from forex_data_pipeline_spark.sources.writers import (
+        write_with_expectations,
+    )
+    from forex_data_pipeline_spark.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    # plant violations: negative quantity + null returnflag
+    bad = spark.createDataFrame(
+        [(-1, 1, -5.0, None), (-2, 1, 999.0, "N")],
+        "l_orderkey bigint, l_linenumber int, l_quantity double, "
+        "l_returnflag string",
+    )
+    inp = li.unionByName(bad)
+    target = str(tmp_path / "gated")
+    quarantine = str(tmp_path / "quarantine")
+    audit = write_with_expectations(
+        inp,
+        target,
+        {
+            "quantity_in_range": F.col("l_quantity").between(1, 50),
+            "returnflag_not_null": F.col("l_returnflag").isNotNull(),
+        },
+        quarantine_path=quarantine,
+    )
+    rows = {r.rule: r.violations for r in audit.collect()}
+    n_in = inp.count()
+    assert rows["quantity_in_range"] == 2  # -5 and 999
+    assert rows["returnflag_not_null"] == 1
+    assert rows["__passed"] == n_in - 2  # one row violates both rules
+
+    written = spark.read.parquet(target)
+    assert written.count() == n_in - 2
+    assert written.filter(~F.col("l_quantity").between(1, 50)).count() == 0
+
+    q = spark.read.parquet(quarantine)
+    assert q.count() == 2
+    assert "__viol_quantity_in_range" in q.columns
+    # triage: each quarantined row carries which rule(s) it broke
+    assert q.filter(F.col("__viol_returnflag_not_null")).count() == 1
