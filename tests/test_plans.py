@@ -211,3 +211,43 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
 
     smj = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
     assert "SortMergeJoin" in smj._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bloom_prune_uses_broadcast_semi_joins(spark, sf_dir):
+    """The occupied-bit table is constant-size (≤ 2^20 rows) — the
+    candidate prune must be broadcast LeftSemi joins, never a shuffle
+    of the eval shingle stream against it."""
+    plan = plan_of(run("bloom_pruned_contamination", spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_codebook_joins_are_broadcast(spark, sf_dir):
+    """PQ codebooks (m·k rows) and ADC distance tables are
+    data-independent constants — every join against them must
+    broadcast; a sort-merge join would shuffle the corpus-sized code
+    stream for no reason."""
+    plan = plan_of(run("ann_pq_topk", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_discount_band_pushdown_reaches_scan(spark, sf_dir):
+    """TPC-H Q6 shape: both range predicates must be pushed to the
+    parquet reader and only the three needed columns read."""
+    plan = plan_of(run("discount_band_revenue", spark, sf_dir))
+    assert "PushedFilters:" in plan
+    assert "l_discount" in plan.split("PushedFilters:")[1].split("\n")[0]
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_orderkey" not in read_schema
+
+
+def test_skipgram_has_no_positional_self_join(spark, sf_dir):
+    """Pairs generate map-side from the token array — the corpus must
+    not self-join on (doc, pos)."""
+    plan = plan_of(run("skipgram_pairs", spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
