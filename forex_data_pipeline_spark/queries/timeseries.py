@@ -1702,3 +1702,111 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_overlapping_sessions"),
         F.sum(overlap_us).cast("bigint").alias("total_overlap_micros"),
     )
+
+
+@register(
+    "variant_shredded_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS BIGINT)
+               AS k_bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS BIGINT) AS k_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Spark 4 VARIANT ingestion (the open-lakehouse semi-structured "
+    "type): props parses ONCE to the binary variant encoding "
+    "(parse_json) and typed fields shred out via variant_get with a "
+    "declared target type — the replacement for per-access "
+    "get_json_object string re-parsing (each of which re-reads the "
+    "raw JSON text; variant decodes the field path directly). "
+    "Aggregation over the shredded integers is exact; the oracle "
+    "mirrors with DuckDB's JSON extraction. try_variant_get-style "
+    "safety lives in q:`try_cast_safe_parsing`'s family.",
+    tags=("timeseries", "scalar", "json"),
+)
+def variant_shredded_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy(
+            "event_type", (F.col("k") % 10).cast("bigint").alias("k_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+        )
+    )
+
+
+@register(
+    "approx_top_k_events",
+    oracle="""
+    SELECT event_type AS item,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    doc="approx_top_k sketch aggregation (Spark 4): single-pass "
+    "frequent-items summary, mergeable across partitions like HLL/CMS. "
+    "With distinct keys ≤ the sketch's tracked-item budget the "
+    "result is EXACT (the sketch degrades gracefully only beyond it), "
+    "so the hash oracle is the plain GROUP BY — the same "
+    "exact-below-threshold discipline as approx_count_distinct's "
+    "property test, but hash-checkable. The sketch output "
+    "(array<struct<item,count>>) is exploded back to rows.",
+    tags=("timeseries", "aggregation", "sketch"),
+)
+def approx_top_k_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    sk = ev.agg(
+        F.expr("approx_top_k(event_type, 100)").alias("sk")
+    )
+    return sk.select(F.explode("sk").alias("s")).select(
+        F.col("s.item").alias("item"),
+        F.col("s.count").cast("bigint").alias("n_events"),
+    )
+
+
+@register(
+    "sql_udf_revenue_bands",
+    oracle="""
+    SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 5000000
+               AS price_band,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS BIGINT) AS band_cents
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="SQL-defined scalar functions (Spark 4 CREATE FUNCTION … "
+    "RETURN expr — the dbt-macro / catalog-UDF surface): cents() and "
+    "band() are declared ONCE in SQL and reused; because the body is "
+    "a SQL expression, Catalyst inlines it into the plan (no Python "
+    "boundary, unlike classic UDFs — the whole query stays "
+    "whole-stage-codegen). The oracle inlines the same expressions "
+    "by hand.",
+    tags=("sql", "scalar", "aggregation"),
+)
+def sql_udf_revenue_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION to_cents(x DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(round(x * 100) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION price_band(x DOUBLE) "
+        "RETURNS BIGINT RETURN to_cents(x) div 5000000"
+    )
+    return spark.sql(
+        """
+        SELECT price_band(o_totalprice) AS price_band,
+               count(*) AS n_orders,
+               sum(to_cents(o_totalprice)) AS band_cents
+        FROM orders GROUP BY 1
+        """
+    )
