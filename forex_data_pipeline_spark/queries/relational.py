@@ -3888,3 +3888,57 @@ def pagerank_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").alias("pagerank"),
         )
     )
+
+
+@register(
+    "pandas_udaf_gini",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                            o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders)
+    SELECT o_orderpriority,
+           CAST(max(n) AS BIGINT) AS n_orders,
+           CAST(CAST(sum((2 * rn - n - 1) * cents) AS BIGINT) AS DOUBLE)
+           / (CAST(max(n) AS BIGINT)
+              * CAST(CAST(sum(cents) AS BIGINT) AS BIGINT)) AS gini
+    FROM c GROUP BY o_orderpriority
+    """,
+    doc="Revenue-concentration Gini per priority class, computed by a "
+    "GROUPED_AGG pandas UDF — the vectorized UDAF shape (with a "
+    "SCALAR pandas UDF doing the cents cast), completing the Arrow "
+    "surface alongside grouped-map, mapInPandas, UDTF and the "
+    "stateful forms. Inside the UDAF everything is Python-int "
+    "arithmetic (arbitrary precision, sorted-rank formula "
+    "Σ(2i−n−1)·xᵢ), emitted as ONE final float division — the same "
+    "exact-integer discipline as the declarative queries, which is "
+    "why a window-rank SQL oracle hash-matches a numpy-free UDAF "
+    "bit-for-bit. Partial aggregation does NOT apply to grouped-agg "
+    "UDAFs (whole groups ship to Python) — acceptable for bounded "
+    "groups; the declarative twin would be the window formulation "
+    "in the oracle.",
+    tags=("sql", "udf", "aggregation"),
+)
+def pandas_udaf_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.pandas_udfs import (
+        gini_from_cents,
+        group_size,
+        to_cents,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderpriority", to_cents("o_totalprice").alias("cents")
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            group_size("cents").alias("n_orders"),
+            gini_from_cents("cents").alias("gini"),
+        )
+    )
