@@ -74,16 +74,19 @@ def global_rank(
         offsets[row[_PID]] = acc
         acc += row["count"]
 
-    offset_map = F.create_map(
-        *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
-    )
+    if offsets:
+        offset_map = F.create_map(
+            *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
+        )[F.col(_PID)]
+    else:  # empty input: no partitions counted, rank base is 0
+        offset_map = F.lit(None).cast("long")
     w = Window.partitionBy(_PID).orderBy(*cols)
     ranked = (
         ranged.withColumn(_LOCAL, F.row_number().over(w))
         .withColumn(
             rank_col,
             (
-                F.coalesce(offset_map[F.col(_PID)], F.lit(0))
+                F.coalesce(offset_map, F.lit(0))
                 + F.col(_LOCAL)
             ).cast("bigint"),
         )

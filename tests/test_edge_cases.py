@@ -119,3 +119,24 @@ def test_multi_timeframe_strategies_agree(spark, sf_dir):
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_global_rank_empty_input(spark):
+    from forex_data_pipeline_spark.operators.ranking import global_rank
+
+    empty = spark.createDataFrame([], "cents long, o_orderkey long")
+    ranked, n = global_rank(empty, ["cents", "o_orderkey"], rank_col="rn")
+    assert n == 0
+    assert ranked.count() == 0
+    assert "rn" in ranked.columns
+
+
+def test_distributed_ema_empty_input(spark):
+    from forex_data_pipeline_spark.operators.scan import distributed_ema
+
+    empty = spark.createDataFrame(
+        [], "event_type string, ts timestamp_ntz, value double"
+    )
+    out = distributed_ema(empty, "event_type", "ts", "value", 0.2)
+    assert out.count() == 0
+    assert set(out.columns) == {"event_type", "ts", "value", "ema"}
