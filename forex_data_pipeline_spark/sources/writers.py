@@ -279,3 +279,80 @@ def write_with_expectations(
     return audit.unionAll(
         spark.createDataFrame([("__passed", n_passed)], "rule string, violations bigint")
     )
+
+
+# ---------------------------------------------------------- time travel
+
+_LATEST = "_LATEST"
+
+
+def table_versions(table_dir: str) -> "list[int]":
+    """All committed versions, ascending."""
+    if not os.path.isdir(table_dir):
+        return []
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(table_dir)
+        if d.startswith("v=")
+    )
+
+
+def latest_version(table_dir: str) -> "int | None":
+    """The committed latest, read from the manifest (NOT max(dir):
+    a crashed writer may leave a data dir without the manifest flip —
+    such orphans are invisible, which is the atomicity contract)."""
+    p = os.path.join(table_dir, _LATEST)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def write_version(df: DataFrame, table_dir: str) -> int:
+    """Copy-on-write versioned write (Delta/Iceberg-style time travel,
+    minus the transaction log): data lands in ``v=<n>``, then a tiny
+    manifest flip (os.replace — atomic on POSIX) commits it. Readers
+    resolve the manifest first, so a concurrent reader sees either the
+    old or the new version, never a half-written directory. Old
+    versions stay readable for time travel / reproducible training
+    runs (the lakehouse feature LLM pipelines lean on for dataset
+    versioning)."""
+    os.makedirs(table_dir, exist_ok=True)
+    cur = latest_version(table_dir)
+    nxt = 0 if cur is None else cur + 1
+    df.write.mode("overwrite").parquet(os.path.join(table_dir, f"v={nxt}"))
+    tmp = os.path.join(table_dir, f".{_LATEST}.{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(str(nxt))
+    os.replace(tmp, os.path.join(table_dir, _LATEST))
+    return nxt
+
+
+def read_version(
+    spark: SparkSession, table_dir: str, version: "int | None" = None
+) -> DataFrame:
+    """Time-travel read: ``version=None`` resolves the committed
+    latest via the manifest."""
+    v = latest_version(table_dir) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    return spark.read.parquet(os.path.join(table_dir, f"v={v}"))
+
+
+def merge_versioned(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    keys: "Sequence[str]",
+) -> int:
+    """MERGE as a new version: read committed latest, upsert (anti-join
+    + union — same algebra as merge_upsert), commit copy-on-write.
+    History stays intact; re-running the same batch produces an
+    idempotent-content new version."""
+    cur = latest_version(table_dir)
+    if cur is None:
+        return write_version(updates, table_dir)
+    base = read_version(spark, table_dir)
+    remaining = base.join(updates.select(*keys).distinct(), list(keys), "left_anti")
+    merged = remaining.unionByName(updates)
+    return write_version(merged, table_dir)

@@ -213,3 +213,39 @@ def test_write_with_expectations_gates_and_quarantines(spark, sf_dir, tmp_path):
     assert "__viol_quantity_in_range" in q.columns
     # triage: each quarantined row carries which rule(s) it broke
     assert q.filter(F.col("__viol_returnflag_not_null")).count() == 1
+
+
+def test_versioned_writes_time_travel(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from forex_data_pipeline_spark.sources.writers import (
+        latest_version,
+        merge_versioned,
+        read_version,
+        table_versions,
+        write_version,
+    )
+    from forex_data_pipeline_spark.tables import load
+
+    table = str(tmp_path / "versioned")
+    nat = load(spark, sf_dir, "nation")
+    v0 = write_version(nat, table)
+    assert v0 == 0 and latest_version(table) == 0
+
+    updates = nat.limit(3).withColumn("n_name", F.lit("RENAMED"))
+    v1 = merge_versioned(spark, table, updates, ["n_nationkey"])
+    assert v1 == 1 and table_versions(table) == [0, 1]
+
+    # time travel: v0 unchanged, latest reflects the merge
+    old = read_version(spark, table, 0)
+    assert old.filter(F.col("n_name") == "RENAMED").count() == 0
+    new = read_version(spark, table)
+    assert new.count() == nat.count()
+    assert new.filter(F.col("n_name") == "RENAMED").count() == 3
+
+    # the manifest, not directory listing, defines "committed":
+    # an orphan data dir (crashed writer) must stay invisible
+    import os
+    os.makedirs(f"{table}/v=99", exist_ok=True)
+    assert latest_version(table) == 1
+    assert read_version(spark, table).count() == nat.count()
