@@ -224,3 +224,34 @@ def test_hll_sketch_rollup_merges_and_bounds_error(spark, sf_dir):
     assert rolled == direct  # union of partial sketches == one-shot sketch
     for et, n in exact.items():
         assert abs(rolled[et] - n) <= max(1, 0.05 * n)
+
+
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.lists(st.floats(-10, 10, allow_nan=False, width=32),
+                     min_size=4, max_size=4),
+            st.lists(st.floats(-10, 10, allow_nan=False, width=32),
+                     min_size=4, max_size=4),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_l2sq_unrolled_is_bit_identical_to_fold(spark, vecs):
+    """The codegen-unrolled distance must equal the higher-order fold
+    EXACTLY (same left-to-right summation order) — PQ's correctness
+    claims rest on interchangeability."""
+    from forex_data_pipeline_spark.functions.vector import l2sq, l2sq_unrolled
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in vecs], "a array<float>, b array<float>"
+    )
+    rows = df.select(
+        l2sq(F.col("a"), F.col("b")).alias("fold"),
+        l2sq_unrolled(F.col("a"), F.col("b"), 4).alias("unrolled"),
+    ).collect()
+    for r in rows:
+        assert r.fold == r.unrolled  # bitwise, no tolerance
