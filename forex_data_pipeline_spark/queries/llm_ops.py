@@ -2895,3 +2895,152 @@ def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("left_sym", "right_sym", "n_occurrences")
     )
+
+
+_DEDUP_CHUNK = 16
+
+
+@register(
+    "chunk_dedup_ratio",
+    oracle=f"""
+    WITH chunks AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   toks[(c - 1) * {_DEDUP_CHUNK} + 1 : c * {_DEDUP_CHUNK}],
+                   ' ')) AS chunk_hash
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(
+                         1, CAST(ceil(len(toks) / {_DEDUP_CHUNK}.0)
+                                 AS BIGINT))) AS c
+              FROM ({_TOK_CTE})
+              WHERE len(toks) > 0)),
+    freq AS (
+        SELECT chunk_hash, count(*) AS n_occ
+        FROM chunks GROUP BY chunk_hash)
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN f.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+           CAST(sum(CASE WHEN f.n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS dup_ratio
+    FROM chunks c JOIN freq f ON c.chunk_hash = f.chunk_hash
+    GROUP BY c.doc_id
+    """,
+    doc=f"Chunk-level (sub-document) duplication audit — the C4/RefinedWeb "
+    "span-dedup signal for corpora without natural paragraph breaks: "
+    f"docs split into {_DEDUP_CHUNK}-token windows (map-side array "
+    "slicing), window hashes counted corpus-wide, and each doc scored "
+    "by the fraction of its chunks appearing elsewhere (planted "
+    "near-dup docs light up; unique prose scores 0). One hash-keyed "
+    "aggregation + one join back, both shuffling only (id, hash) "
+    "skinny rows; the ratio is an exact integer division. The "
+    "removal pass would keep min-(doc,chunk) first occurrences — "
+    "same plan, one more window.",
+    tags=("llm", "text", "dedup"),
+)
+def chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(load(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    n = F.size("toks")
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.ceil(n / F.lit(float(_DEDUP_CHUNK))).cast("int")),
+                lambda c: F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.slice(
+                            "toks",
+                            (c - 1) * _DEDUP_CHUNK + 1,
+                            _DEDUP_CHUNK,
+                        ),
+                    )
+                ),
+            )
+        ).alias("chunk_hash"),
+    )
+    freq = chunks.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
+    dup = F.when(F.col("n_occ") > 1, 1).otherwise(0)
+    return (
+        chunks.join(freq, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(dup).cast("bigint").alias("n_dup_chunks"),
+            (F.sum(dup).cast("double") / F.count(F.lit(1))).alias(
+                "dup_ratio"
+            ),
+        )
+    )
+
+
+@register(
+    "unigram_surprisal",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(toks) AS term FROM ({_TOK_CTE})),
+    clean AS (SELECT doc_id, term FROM tok WHERE term != ''),
+    freq AS (
+        SELECT term, count(*) AS c,
+               (SELECT count(*) FROM clean) AS total
+        FROM clean GROUP BY term),
+    scored AS (
+        SELECT term,
+               CAST(round(-log2(CAST(c AS DOUBLE) / total) * 1000000)
+                    AS BIGINT) AS surprisal_micro
+        FROM freq)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(CAST(sum(s.surprisal_micro) AS BIGINT) AS BIGINT)
+               AS total_surprisal_micro,
+           CAST(CAST(sum(s.surprisal_micro) AS BIGINT) AS DOUBLE)
+           / (count(*) * 1000000) AS bits_per_token
+    FROM clean t JOIN scored s ON t.term = s.term
+    GROUP BY t.doc_id
+    """,
+    doc="Unigram LM surprisal per document (the cheap perplexity proxy "
+    "used for quality filtering): corpus unigram probabilities → "
+    "per-term −log₂p → per-doc sum; low bits/token ≈ repetitive or "
+    "common-word text, high ≈ rare-token soup. Determinism: the "
+    "transcendental log is rounded ONCE per DISTINCT TERM to integer "
+    "micro-bits (round() on a transcendental — exact ties can't "
+    "occur, the repo's one sanctioned rounding), and the per-doc "
+    "aggregation then sums exact integers, so millions of tokens "
+    "accumulate zero float drift. Frequency table broadcasts "
+    "(vocabulary-sized); one token-keyed join + doc-keyed agg.",
+    tags=("llm", "text", "quality"),
+)
+def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(load(spark, sf_dir, "documents"))
+    tok = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    total = tok.count()
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    scored = freq.select(
+        "term",
+        F.round(
+            -F.log2(F.col("c").cast("double") / F.lit(float(total)))
+            * 1000000
+        ).cast("bigint").alias("surprisal_micro"),
+    )
+    return (
+        tok.join(F.broadcast(scored), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("surprisal_micro").cast("bigint").alias(
+                "total_surprisal_micro"
+            ),
+            (
+                F.sum("surprisal_micro").cast("double")
+                / (F.count(F.lit(1)) * 1000000)
+            ).alias("bits_per_token"),
+        )
+    )
