@@ -73,6 +73,9 @@ def replay_transport(path: str):
         sel = pdf[m].copy()
         if sel.empty:
             return pd.DataFrame()
+        # first()/last() are row-order semantics: sort by tick time or
+        # open/close silently follow parquet file order
+        sel = sel.sort_values(ts_col, kind="stable")
         sel["bar"] = pd.to_datetime(sel[ts_col]).dt.floor("5min")
         g = sel.groupby("bar")[val_col]
         out = pd.DataFrame(

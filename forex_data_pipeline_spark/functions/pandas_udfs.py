@@ -11,8 +11,15 @@ from pyspark.sql.functions import pandas_udf
 @pandas_udf("bigint")
 def to_cents(x: pd.Series) -> pd.Series:
     """SCALAR shape: vectorized exact cents cast (surface demo — the
-    builtin round(x*100) is the production path)."""
-    return (x * 100).round().astype("int64")
+    builtin round(x*100) is the production path). Half-AWAY rounding
+    via sign·floor(|x·100|+0.5): pandas' .round() is half-EVEN and
+    would diverge from Spark/DuckDB round() on exact .5 products."""
+    import numpy as np
+
+    scaled = x * 100
+    return pd.Series(
+        np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
+    ).astype("int64")
 
 
 @pandas_udf("double")
@@ -23,6 +30,8 @@ def gini_from_cents(cents: pd.Series) -> float:
     xs = sorted(int(v) for v in cents)
     n = len(xs)
     total = sum(xs)
+    if total == 0:  # all-zero group: Gini undefined, report 0
+        return 0.0
     num = sum((2 * i - n - 1) * x for i, x in enumerate(xs, start=1))
     return float(num) / (n * total)
 

@@ -1293,7 +1293,7 @@ def token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(load(spark, sf_dir, "documents"))
     tok = docs.filter(F.length(F.trim("text")) > 0).select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("token")
-    )
+    ).localCheckpoint(eager=True)  # consumed by vocab AND the join back
     vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
     return (
         tok.join(vocab, "token")
@@ -2605,10 +2605,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ADC: per-query distance table against every codebook cell —
     # 10 queries × m·k cells, broadcastable by construction.
     queries = _pq_subvectors(
-        emb.filter(F.col("vec_id") < 10).select(
-            F.col("vec_id").alias("query_id"),
-            "embedding",
-        ).withColumnRenamed("query_id", "vec_id")
+        emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
     ).select(
         F.col("vec_id").alias("query_id"), "sub_idx",
         F.col("subvec").alias("q_sub"),
@@ -2714,7 +2711,6 @@ def weighted_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     target = F.when(F.length("source") == 4, 900).otherwise(300)
     draw = minhash_value(F.col("doc_id").cast("string"), 10) % 1000
-    kept = F.when(draw < F.col("target_permille"), 1).otherwise(0)
     return (
         docs.select(
             "source",
@@ -2961,7 +2957,7 @@ def chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("chunk_hash"),
-    )
+    ).localCheckpoint(eager=True)  # consumed by freq AND the join back
     freq = chunks.groupBy("chunk_hash").agg(
         F.count(F.lit(1)).alias("n_occ")
     )
@@ -3020,6 +3016,8 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = (
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
         .filter(F.col("term") != "")
+        # three consumers (count, freq, join) — tokenize once
+        .localCheckpoint(eager=True)
     )
     total = tok.count()
     freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))

@@ -2899,9 +2899,16 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "prefix) blocks. The length and prefix components make block "
     "cardinality GROW with data diversity (the business keys alone "
     "are ~125 blocks forever, so block size — and in-block quadratic "
-    "cost — would grow linearly with the corpus); on uniform synthetic "
-    "names they are degenerate and provably leave the pair set "
-    "unchanged. The probe side is repartitioned to the session's "
+    "cost — would grow linearly with the corpus). NOTE the semantic "
+    "trade: equality blocking on length/prefix is APPROXIMATE for "
+    "free-form names (a lev≤2 pair differing by an indel or a "
+    "first-4-chars edit lands in different blocks — the standard "
+    "blocking-recall trade of entity resolution; the lossless form "
+    "is a |Δlen|≤2 band join plus segment-pigeonhole keys, at ~5× "
+    "candidates). On this corpus's fixed-format names the blocks are "
+    "degenerate and the pair set is UNCHANGED — asserted by "
+    "tests/test_skew_bucketing.py::"
+    "test_fuzzy_blocking_is_lossless_on_current_names. The probe side is repartitioned to the session's "
     "shuffle width first: a single-file scan otherwise probes the "
     "broadcast in ONE task, serializing every levenshtein eval "
     "(measured 6.3s -> sub-second at sf0.1). Levenshtein <= 2 "
@@ -3516,9 +3523,8 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked, n = global_rank(orders, ["cents", "o_orderkey"], rank_col="rn")
     return (
         ranked.select(
-            ((F.col("rn") - 1) * 16 / F.lit(n))
-            .cast("bigint")  # floor for non-negative operands
-            .alias("_b"),
+            # exact integer floor-div, bit-identical to the oracle's //
+            F.expr(f"(rn - 1) * 16 div {n}").alias("_b"),
             "cents",
         )
         .groupBy((F.col("_b") + 1).cast("bigint").alias("bucket"))

@@ -243,10 +243,14 @@ def write_with_expectations(
     """
     from pyspark.sql import functions as F
 
+    # SQL three-valued logic: a NULL expectation result is a VIOLATION
+    # (the row can't be shown valid) — coalescing here guarantees every
+    # row lands in exactly one of target/quarantine; without it,
+    # NULL-condition rows would satisfy neither filter and vanish.
     flagged = df.select(
         "*",
         *[
-            (~cond).alias(f"__viol_{name}")
+            (~F.coalesce(cond, F.lit(False))).alias(f"__viol_{name}")
             for name, cond in expectations.items()
         ],
     )
@@ -265,20 +269,21 @@ def write_with_expectations(
         )
 
     spark = df.sparkSession
-    audits = [
-        flagged.agg(
-            F.lit(name).alias("rule"),
-            F.sum(F.col(f"__viol_{name}").cast("long")).alias("violations"),
-        )
-        for name in expectations
-    ]
-    audit = audits[0]
-    for a in audits[1:]:
-        audit = audit.unionAll(a)
-    n_passed = flagged.filter(~any_viol).count()
-    return audit.unionAll(
-        spark.createDataFrame([("__passed", n_passed)], "rule string, violations bigint")
+    # ONE aggregation pass for the whole audit (per-rule sums + total +
+    # any-violation count ride the same scan), unpivoted driver-side
+    counts = flagged.agg(
+        *[
+            F.sum(F.col(f"__viol_{name}").cast("long")).alias(name)
+            for name in expectations
+        ],
+        F.sum(any_viol.cast("long")).alias("__any_viol"),
+        F.count(F.lit(1)).alias("__total"),
+    ).collect()[0]
+    rows = [(name, int(counts[name] or 0)) for name in expectations]
+    rows.append(
+        ("__passed", int(counts["__total"]) - int(counts["__any_viol"] or 0))
     )
+    return spark.createDataFrame(rows, "rule string, violations bigint")
 
 
 # ---------------------------------------------------------- time travel

@@ -180,9 +180,11 @@ def test_write_with_expectations_gates_and_quarantines(spark, sf_dir, tmp_path):
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
     )
-    # plant violations: negative quantity + null returnflag
+    # plant violations: negative quantity, null returnflag, and a NULL
+    # quantity whose between() evaluates to SQL NULL — three-valued
+    # logic must treat that as a violation, not let the row vanish
     bad = spark.createDataFrame(
-        [(-1, 1, -5.0, None), (-2, 1, 999.0, "N")],
+        [(-1, 1, -5.0, None), (-2, 1, 999.0, "N"), (-3, 1, None, "N")],
         "l_orderkey bigint, l_linenumber int, l_quantity double, "
         "l_returnflag string",
     )
@@ -200,19 +202,21 @@ def test_write_with_expectations_gates_and_quarantines(spark, sf_dir, tmp_path):
     )
     rows = {r.rule: r.violations for r in audit.collect()}
     n_in = inp.count()
-    assert rows["quantity_in_range"] == 2  # -5 and 999
+    assert rows["quantity_in_range"] == 3  # -5, 999, and NULL qty
     assert rows["returnflag_not_null"] == 1
-    assert rows["__passed"] == n_in - 2  # one row violates both rules
+    assert rows["__passed"] == n_in - 3  # one row violates both rules
 
     written = spark.read.parquet(target)
-    assert written.count() == n_in - 2
+    assert written.count() == n_in - 3
     assert written.filter(~F.col("l_quantity").between(1, 50)).count() == 0
+    assert written.filter(F.col("l_quantity").isNull()).count() == 0
 
     q = spark.read.parquet(quarantine)
-    assert q.count() == 2
+    assert q.count() == 3  # every non-passing row accounted for
     assert "__viol_quantity_in_range" in q.columns
     # triage: each quarantined row carries which rule(s) it broke
     assert q.filter(F.col("__viol_returnflag_not_null")).count() == 1
+    assert q.filter(F.col("l_quantity").isNull()).count() == 1
 
 
 def test_versioned_writes_time_travel(spark, sf_dir, tmp_path):

@@ -118,3 +118,47 @@ def test_compaction_preserves_rows_and_reduces_files(spark, sf_dir, tmp_path):
     after_files = len(glob.glob(f"{path}/*.parquet"))
     assert n == n_before == spark.read.parquet(path).count()
     assert before_files >= 24 and after_files <= 2
+
+
+def test_fuzzy_blocking_is_lossless_on_current_names(spark, sf_dir):
+    """The scale-stable (length, prefix) block keys must not change the
+    answer on this corpus: recompute with business-key-only blocking
+    (the exhaustive-within-block form) and compare."""
+    from forex_data_pipeline_spark import catalog
+
+    catalog._ensure_loaded()
+    got = {
+        (r.c_nationkey, r.c_mktsegment, r.n_close_pairs, r.min_dist)
+        for r in catalog.REGISTRY["fuzzy_name_pairs"]
+        .fn(spark, sf_dir).collect()
+    }
+    cust = load(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment", "c_custkey", "c_name"
+    )
+    a, b = cust.alias("a"), cust.alias("b")
+    exhaustive = (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .filter(
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 2
+        )
+        .groupBy(
+            F.col("a.c_nationkey").alias("c_nationkey"),
+            F.col("a.c_mktsegment").alias("c_mktsegment"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_close_pairs"),
+            F.min(
+                F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+            ).cast("bigint").alias("min_dist"),
+        )
+    )
+    expected = {
+        (r.c_nationkey, r.c_mktsegment, r.n_close_pairs, r.min_dist)
+        for r in exhaustive.collect()
+    }
+    assert got == expected
