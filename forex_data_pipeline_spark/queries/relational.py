@@ -3948,3 +3948,124 @@ def pandas_udaf_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             gini_from_cents("cents").alias("gini"),
         )
     )
+
+
+@register(
+    "part_leader_suppliers",
+    oracle="""
+    WITH sup_part AS (
+        SELECT l_suppkey, l.l_partkey,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sp_qty
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+         AND p.p_name LIKE '%g%'
+        GROUP BY l_suppkey, l.l_partkey),
+    leaders AS (
+        SELECT l_partkey, l_suppkey, sp_qty
+        FROM (SELECT l_partkey, l_suppkey, sp_qty,
+                     row_number() OVER (
+                         PARTITION BY l_partkey
+                         ORDER BY sp_qty DESC, l_suppkey) AS rn
+              FROM sup_part)
+        WHERE rn = 1)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(count(*) AS BIGINT) AS n_parts_led,
+           CAST(CAST(sum(ld.sp_qty) AS BIGINT) AS BIGINT) AS total_led_qty
+    FROM supplier s JOIN leaders ld ON s.s_suppkey = ld.l_suppkey
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+    doc="TPC-H Q2/Q20-flavored greatest-per-group decorrelation: for "
+    "every 'g…'-named part, the supplier who shipped the most of it "
+    "(the correlated 'WHERE qty = (SELECT max … FOR THIS PART)' "
+    "shape, decorrelated to a per-part window group-limit), then a "
+    "per-supplier leaderboard. The (supplier, part) aggregate and "
+    "the per-part argmax share one partkey-shuffled stage; ties "
+    "break to the lowest suppkey (total order — the repo's top-k "
+    "rule); quantities are exact bigints; the supplier dim "
+    "broadcasts. Replaces a share-threshold formulation that was "
+    "degenerate (empty) on uniformly-spread synthetic data at every "
+    "SF.",
+    tags=("sql", "join", "subquery", "window", "aggregation"),
+)
+def part_leader_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pa = load(spark, sf_dir, "part").filter(F.col("p_name").like("%g%"))
+    su = load(spark, sf_dir, "supplier")
+    sup_part = (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sp_qty"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("sp_qty").desc(), "l_suppkey"
+    )
+    leaders = (
+        sup_part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        su.join(leaders, su.s_suppkey == leaders.l_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts_led"),
+            F.sum("sp_qty").cast("bigint").alias("total_led_qty"),
+        )
+    )
+
+
+@register(
+    "reaggregable_moments_rollup",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                    AS BIGINT) AS BIGINT) AS s1,
+               CAST(CAST(sum(CAST(round(value * 1000000) AS BIGINT)
+                    * CAST(round(value * 1000000) AS BIGINT))
+                    AS BIGINT) AS BIGINT) AS s2
+        FROM events GROUP BY 1, 2)
+    SELECT event_type,
+           CAST(date_trunc('month', day) AS DATE) AS month,
+           CAST(CAST(sum(n) AS BIGINT) AS BIGINT) AS n,
+           CAST(CAST(sum(s1) AS BIGINT) AS BIGINT) AS s1_micro,
+           CAST(sum(s1) AS DOUBLE) / CAST(sum(n) AS BIGINT) / 1000000
+               AS mean_value
+    FROM daily
+    GROUP BY 1, 2
+    """,
+    doc="Re-aggregable partial-state rollup — the incremental-warehouse "
+    "algebra every streaming/medallion pipeline depends on: daily "
+    "(count, Σx, Σx²) moment states in exact integer micro-units roll "
+    "up to monthly by PLAIN ADDITION, provably equal to aggregating "
+    "the raw stream directly (the commutative-monoid property the "
+    "HLL/CMS sketches share). s2 stays bigint-exact because "
+    "|value|≤~500 units → x_micro² ≤ 2.5e17 and the corpus sum stays "
+    "under int64 at any realistic per-(type,month) volume; at larger "
+    "scales the state type widens to DECIMAL(38). The two-level "
+    "aggregation is the map-side-combine story made explicit: the "
+    "wide shuffle carries day states, not events.",
+    tags=("timeseries", "aggregation", "pipeline"),
+)
+def reaggregable_moments_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    micro = F.round(F.col("value") * 1000000).cast("long")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(micro).alias("s1"),
+        F.sum(micro * micro).alias("s2"),
+    )
+    return daily.groupBy(
+        "event_type",
+        F.date_trunc("month", "day").cast("date").alias("month"),
+    ).agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("s1").cast("bigint").alias("s1_micro"),
+        (
+            F.sum("s1").cast("double")
+            / F.sum("n").cast("bigint")
+            / 1000000
+        ).alias("mean_value"),
+    )
