@@ -3042,3 +3042,161 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bits_per_token"),
         )
     )
+
+
+@register(
+    "ann_ivfpq_topk",
+    # No oracle: iterative/approximate (like ann_ivf_topk / ann_pq_topk);
+    # recall vs exact L2 asserted in tests/test_llm_ops.py.
+    doc="IVF-PQ composed ANN — the production billion-scale index "
+    "shape (FAISS IVFADC): the IVF stage prunes the SEARCH SPACE "
+    "(queries probe their 2 nearest of 16 coarse cells — candidate "
+    "count drops ~8x), the PQ stage compresses the DISTANCE "
+    f"computation ({_PQ_M} sub-codebooks, ADC against a broadcast "
+    "per-query distance table — no embedding bytes touched), and the "
+    "50-deep shortlist re-ranks at full precision. Every stage's "
+    "working set is constant-size (centroids m·k cells, dtable "
+    "q·m·k) or candidate-proportional; vectors ride the shuffles as "
+    "8 code bytes + a cell id. Residual encoding (PQ over x − "
+    "centroid) is the classic refinement; on these uniform vectors "
+    "plain-vector codes measure equal recall, so the simpler form "
+    "stays.",
+    tags=("llm", "similarity", "topk"),
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import l2sq_unrolled
+
+    emb = load(spark, sf_dir, "embeddings")
+
+    # ---- IVF coarse stage (fixed-k hash-picked seeds + 1 Lloyd pass)
+    seeds = (
+        emb.select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("embedding").alias("c_emb"),
+        )
+        .orderBy(F.xxhash64(F.col("cell_id")), "cell_id")
+        .limit(_IVF_K)
+    )
+    seed_assign = _ivf_assign(emb, seeds)
+    cent = (
+        emb.join(seed_assign, "vec_id")
+        .select("cell_id", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("cell_id", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("cell_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("s"))
+        .select(
+            "cell_id",
+            F.transform("s", lambda x: x.m.cast("float")).alias("c_emb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    assign = _ivf_assign(emb, cent).localCheckpoint(eager=True)
+
+    # ---- PQ fine stage: codebooks + per-vector codes (cell id rides)
+    sub = _pq_subvectors(emb)
+    pq_seed_ids = (
+        emb.select("vec_id")
+        .orderBy(F.xxhash64(F.col("vec_id")), "vec_id")
+        .limit(_PQ_CODES)
+        .withColumn(
+            "code_id",
+            (F.row_number().over(
+                Window.orderBy(F.xxhash64(F.col("vec_id")), "vec_id")
+            ) - 1).cast("int"),
+        )
+    )
+    seed_books = sub.join(F.broadcast(pq_seed_ids), "vec_id").select(
+        "sub_idx", "code_id", F.col("subvec").alias("c_sub")
+    )
+    books = (
+        sub.join(_pq_assign(sub, seed_books), ["vec_id", "sub_idx"])
+        .select("sub_idx", "code_id", F.posexplode("subvec").alias("pos", "v"))
+        .groupBy("sub_idx", "code_id", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("sub_idx", "code_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("s"))
+        .select(
+            "sub_idx", "code_id",
+            F.transform("s", lambda x: x.m.cast("float")).alias("c_sub"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    codes = _pq_assign(sub, books).join(assign, "vec_id")
+
+    # ---- search: probe 2 cells, ADC against candidates, re-rank 50
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    q_cells = (
+        queries.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "cell_id",
+            l2sq_unrolled(
+                F.col("q_emb"), F.col("c_emb"), _PQ_M * _PQ_SUBDIM
+            ).alias("c_d2"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("c_d2", "cell_id")
+            ),
+        )
+        .filter(F.col("rn") <= 2)
+        .select("query_id", "cell_id")
+    )
+    q_sub = _pq_subvectors(
+        emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    ).select(
+        F.col("vec_id").alias("query_id"), "sub_idx",
+        F.col("subvec").alias("q_sub"),
+    )
+    dtable = q_sub.join(F.broadcast(books), "sub_idx").select(
+        "query_id", "sub_idx", "code_id",
+        l2sq_unrolled(F.col("q_sub"), F.col("c_sub"), _PQ_SUBDIM).alias("d2"),
+    )
+    cand_codes = codes.join(F.broadcast(q_cells), "cell_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = (
+        cand_codes.join(F.broadcast(dtable), ["query_id", "sub_idx", "code_id"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2").alias("approx_dist2"))
+    )
+    shortlist = (
+        scored.withColumn(
+            "srank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    "approx_dist2", "neighbor_id"
+                )
+            ),
+        )
+        .filter(F.col("srank") <= 50)
+        .select("query_id", "neighbor_id", "approx_dist2")
+    )
+    reranked = (
+        shortlist.join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("n_emb"),
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id", "neighbor_id", "approx_dist2",
+            l2sq_unrolled(
+                F.col("q_emb"), F.col("n_emb"), _PQ_M * _PQ_SUBDIM
+            ).alias("exact_dist2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("exact_dist2", "neighbor_id")
+    return (
+        reranked.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id", "neighbor_id", "approx_dist2", "exact_dist2", "rank"
+        )
+    )
