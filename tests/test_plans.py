@@ -251,3 +251,25 @@ def test_skipgram_has_no_positional_self_join(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_parquet_aggregate_pushdown_reaches_footer(spark, sf_dir):
+    """COUNT/MIN/MAX must be answered by the reader (PushedAggregation
+    in the scan node), not by scanning data pages."""
+    saved = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    try:
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        import pyspark.sql.functions as F
+
+        agg = spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
+            F.count(F.lit(1)), F.min("l_orderkey"), F.max("l_partkey")
+        )
+        plan = plan_of(agg)
+        assert "PushedAggregation: [COUNT(*)" in plan
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+        if saved is None:
+            spark.conf.unset("spark.sql.sources.useV1SourceList")
+        else:
+            spark.conf.set("spark.sql.sources.useV1SourceList", saved)
