@@ -4069,3 +4069,69 @@ def reaggregable_moments_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("mean_value"),
     )
+
+
+@register(
+    "table_profile_orders",
+    oracle="""
+    SELECT col, n_rows, n_nulls, n_distinct, min_str, max_str FROM (
+        SELECT 'o_orderstatus' AS col,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+               CAST(min(o_orderstatus) AS VARCHAR) AS min_str,
+               CAST(max(o_orderstatus) AS VARCHAR) AS max_str
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+               CAST(min(o_orderpriority) AS VARCHAR),
+               CAST(max(o_orderpriority) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(count(DISTINCT o_custkey) AS BIGINT),
+               CAST(min(o_custkey) AS VARCHAR),
+               CAST(max(o_custkey) AS VARCHAR)
+        FROM orders)
+    """,
+    doc="Single-pass column profiling (the dbt-docs / Deequ / "
+    "OPTIMIZE-stats surface): per-column row count, null count, exact "
+    "distinct count, and min/max — the health summary every warehouse "
+    "table page shows. All columns profile in ONE scan: the "
+    "count(DISTINCT x) trio expands to Spark's multi-distinct Expand "
+    "plan (one extra shuffle per distinct column, partial-aggregated "
+    "— not one job per column, and never a driver loop over columns). "
+    "min/max stringify so heterogeneous column types share one "
+    "result schema; the unpivot to (col, stats) rows is map-side.",
+    tags=("sql", "aggregation", "quality"),
+)
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cols = ["o_orderstatus", "o_orderpriority", "o_custkey"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                f"nn_{c}"
+            ),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"mx_{c}"),
+        ]
+    wide = orders.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack}) AS "
+        "(col, n_nulls, n_distinct, min_str, max_str)",
+    ).select("col", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
