@@ -3897,6 +3897,113 @@ def pagerank_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "triangle_count_part_graph",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+    e AS (SELECT DISTINCT a.p AS s, b.p AS d
+          FROM op a JOIN op b ON a.k = b.k AND a.p < b.p),
+    tri AS (
+        SELECT e1.s AS a, e1.d AS b, e2.d AS c
+        FROM e e1
+        JOIN e e2 ON e2.s = e1.s AND e2.d > e1.d
+        JOIN e e3 ON e3.s = e1.d AND e3.d = e2.d
+    ),
+    pern AS (
+        SELECT node, count(*) AS triangles FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY node
+    )
+    SELECT CAST(node AS BIGINT) AS p_partkey,
+           CAST(triangles AS BIGINT) AS triangles
+    FROM pern ORDER BY triangles DESC, node LIMIT 20
+    """,
+    doc="Exact triangle counting over the part co-order graph "
+    "(top-20 parts by triangle membership). The Spark side uses the "
+    "DEGREE-ORIENTED enumeration — every undirected edge is directed "
+    "from its lower-(degree, id) endpoint to the higher, wedges are "
+    "generated only at each triangle's lowest-order vertex, and the "
+    "closing edge is probed with one equi-join — so per-vertex wedge "
+    "work is bounded by min-degree² (a high-degree hub never fans "
+    "out), the standard skew-proof plan at scale. The DuckDB oracle "
+    "enumerates the same triangles with the naive id-canonical "
+    "3-way self-join; both orientations enumerate each triangle "
+    "exactly once, so per-node counts hash-match while the Spark "
+    "plan is the one you'd actually run on 100 TB. Edges are "
+    "generated order-locally (pairs within each order's part list — "
+    "linear in orders, never corpus²), same discipline as pagerank.",
+    tags=("sql", "graph", "join", "topk"),
+)
+def triangle_count_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("s"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("d"))
+    # canonical undirected edges (s < d), deduplicated; 3 consumers below
+    und = (
+        a.join(b, "k")
+        .filter(F.col("s") < F.col("d"))
+        .select("s", "d")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # total order pi(x) = (degree, id) packed into one int64 key
+    deg = (
+        und.select(F.col("s").alias("node"))
+        .unionAll(und.select(F.col("d").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(
+            "node",
+            (F.col("degree") * F.lit(10_000_000_000) + F.col("node")).alias("pi"),
+        )
+    )
+    pis = F.broadcast(deg.select(F.col("node").alias("s"), F.col("pi").alias("pi_s")))
+    pid = F.broadcast(deg.select(F.col("node").alias("d"), F.col("pi").alias("pi_d")))
+    oriented = (
+        und.join(pis, "s")
+        .join(pid, "d")
+        .select(
+            F.when(F.col("pi_s") < F.col("pi_d"), F.col("s"))
+            .otherwise(F.col("d"))
+            .alias("lo"),
+            F.when(F.col("pi_s") < F.col("pi_d"), F.col("d"))
+            .otherwise(F.col("s"))
+            .alias("hi"),
+            F.least("pi_s", "pi_d").alias("pi_lo"),
+            F.greatest("pi_s", "pi_d").alias("pi_hi"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # wedges at each triangle's pi-lowest vertex: (lo -> b, lo -> c), pi(b) < pi(c)
+    e1 = oriented.select(
+        F.col("lo").alias("a"), F.col("hi").alias("b"), F.col("pi_hi").alias("pi_b")
+    )
+    e2 = oriented.select(
+        F.col("lo").alias("a"), F.col("hi").alias("c"), F.col("pi_hi").alias("pi_c")
+    )
+    wedges = e1.join(e2, "a").filter(F.col("pi_b") < F.col("pi_c"))
+    closing = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    tri = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    pern = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        pern.orderBy(F.col("triangles").desc(), "node")
+        .limit(20)
+        .select(
+            F.col("node").cast("bigint").alias("p_partkey"),
+            F.col("triangles").cast("bigint").alias("triangles"),
+        )
+    )
+
+
+@register(
     "pandas_udaf_gini",
     oracle="""
     WITH c AS (
