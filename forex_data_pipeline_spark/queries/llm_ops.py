@@ -2562,7 +2562,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vector import l2sq_unrolled
 
     emb = load(spark, sf_dir, "embeddings")
-    sub = _pq_subvectors(emb)
+    # four consumers below (seed_books, seed_assign, books, codes) —
+    # materialize once or each branch re-scans + re-explodes the source
+    sub = _pq_subvectors(emb).localCheckpoint(eager=True)
     # Deterministic seed rows (shared across subspaces): the k vectors
     # with smallest xxhash64(vec_id) — TakeOrderedAndProject, O(n).
     seed_ids = (
