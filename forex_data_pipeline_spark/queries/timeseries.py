@@ -1810,3 +1810,70 @@ def sql_udf_revenue_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY 1
         """
     )
+
+
+@register(
+    "seasonal_naive_mape",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT c.event_type, c.v AS cv, p.v AS pv
+        FROM hourly c
+        JOIN hourly p
+          ON p.event_type = c.event_type
+         AND p.h = c.h - INTERVAL 168 HOURS
+        WHERE c.v > 0
+    )
+    SELECT event_type,
+           count(*) AS n_hours,
+           CAST(CAST(sum((abs(cv - pv) * 1000000) // cv) AS BIGINT) AS DOUBLE)
+               / count(*) AS mape_ppm
+    FROM j GROUP BY event_type
+    """,
+    doc="Seasonal-naive forecast backtest: predict each hour's total "
+    "from the same hour LAST WEEK (the standard baseline every real "
+    "forecaster must beat), score week-over-week MAPE per series. "
+    "The 168-hour shift is an equi-JOIN on (series, h−7d), not "
+    "lag(168) over a window — gap-robust (a missing hour misaligns "
+    "every lag-based shift) and shuffle-partitioned by series+hour "
+    "rather than one window sort per series. Exact integer "
+    "discipline end-to-end: hourly sums in cents, each absolute "
+    "percentage error truncated to ppm in the INTEGER domain "
+    "((|a−p|·1e6) div a — engine-identical, no float tie-breaks), "
+    "summed as int64, one final division. Headroom: |a−p|·1e6 needs "
+    "hourly cents < ~9e12, i.e. ~9×10^10 per hour per series in "
+    "money units — re-scale the ppm factor before that at extreme "
+    "densities.",
+    tags=("timeseries", "aggregation", "join", "forecast"),
+)
+def seasonal_naive_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v"))
+    )
+    cur = hourly.select(
+        "event_type", "h", F.col("v").alias("cv")
+    ).filter(F.col("v") > 0)
+    prev = hourly.select(
+        F.col("event_type").alias("p_et"),
+        (F.col("h") + F.expr("INTERVAL 168 HOURS")).alias("p_h"),
+        F.col("v").alias("pv"),
+    )
+    j = cur.join(
+        prev,
+        (F.col("event_type") == F.col("p_et")) & (F.col("h") == F.col("p_h")),
+    )
+    ape_ppm = F.expr("(abs(cv - pv) * 1000000) div cv")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        (
+            F.sum(ape_ppm).cast("double") / F.count(F.lit(1))
+        ).alias("mape_ppm"),
+    )
