@@ -1877,3 +1877,52 @@ def seasonal_naive_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(ape_ppm).cast("double") / F.count(F.lit(1))
         ).alias("mape_ppm"),
     )
+
+
+@register(
+    "purged_walkforward_splits",
+    oracle="""
+    WITH folds AS (
+        SELECT * FROM (VALUES
+            (1, TIMESTAMP '2024-01-08 00:00:00'),
+            (2, TIMESTAMP '2024-01-15 00:00:00'),
+            (3, TIMESTAMP '2024-01-22 00:00:00')
+        ) AS t(fold, cut)
+    )
+    SELECT fold, event_type,
+           CAST(sum(CASE WHEN ts < cut - INTERVAL 24 HOURS
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN ts >= cut AND ts < cut + INTERVAL 7 DAYS
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+    FROM events CROSS JOIN folds
+    GROUP BY fold, event_type
+    """,
+    doc="Purged walk-forward cross-validation splits — the "
+    "leakage-safe temporal CV a market/training pipeline must use "
+    "instead of random K-fold: per fold, train = everything before "
+    "the cut MINUS a 24 h embargo (rows whose look-ahead labels "
+    "would straddle the boundary), test = the following 7 days. "
+    "Implemented as ONE scan: the 3-row fold table rides a "
+    "broadcast cross join (map-side row ×3, no shuffle) into a "
+    "single conditional aggregation — never one pass per fold, so "
+    "adding folds at 100 TB adds map work, not scans. Exact integer "
+    "counts.",
+    tags=("timeseries", "aggregation", "sampling"),
+)
+def purged_walkforward_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ts_type = ev.schema["ts"].dataType
+    folds = spark.createDataFrame(
+        [(1, "2024-01-08 00:00:00"), (2, "2024-01-15 00:00:00"),
+         (3, "2024-01-22 00:00:00")],
+        "fold INT, cut_s STRING",
+    ).select("fold", F.col("cut_s").cast(ts_type).alias("cut"))
+    j = ev.crossJoin(F.broadcast(folds))
+    in_train = F.col("ts") < F.col("cut") - F.expr("INTERVAL 24 HOURS")
+    in_test = (F.col("ts") >= F.col("cut")) & (
+        F.col("ts") < F.col("cut") + F.expr("INTERVAL 7 DAYS")
+    )
+    return j.groupBy("fold", "event_type").agg(
+        F.sum(F.when(in_train, 1).otherwise(0)).cast("bigint").alias("n_train"),
+        F.sum(F.when(in_test, 1).otherwise(0)).cast("bigint").alias("n_test"),
+    )
