@@ -62,6 +62,22 @@ HEADLINE: tuple[str, ...] = (
     "ann_pq_topk",
 )
 
+#: The round-1 headline set (BENCH_r01.json) — emitted as a separate
+#: subtotal so per-round totals stay apples-to-apples as the headline
+#: set widens.
+R1_SET: frozenset[str] = frozenset(
+    {
+        "candles_5m", "candles_multi_tf", "medallion_gold",
+        "dedup_keyed_latest", "pricing_summary", "join_revenue_by_nation",
+        "star_join_revenue", "topk_orders_per_customer",
+        "global_topk_orders", "asof_join_purchases", "cohort_retention",
+        "rolling_correlation_30", "twap_daily", "ewma_macd",
+        "fk_integrity_check", "fuzzy_name_pairs", "minhash_lsh_pairs",
+        "simhash_hamming_pairs", "embedding_cosine_topk", "text_stats",
+        "repetition_stats", "tfidf_top_terms", "sequence_chunking",
+    }
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -90,6 +106,9 @@ def main() -> None:
                 "metric": "headline-suite wall time",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
+                "r1_comparable_sec": round(
+                    sum(v for n, v in timings.items() if n in R1_SET), 3
+                ),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
