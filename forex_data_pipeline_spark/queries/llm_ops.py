@@ -3202,3 +3202,104 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "neighbor_id", "approx_dist2", "exact_dist2", "rank"
         )
     )
+
+
+_INC_EST_SQL = (
+    "CAST("
+    + " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)"
+        for i in range(MINHASH_K)
+    )
+    + f" AS DOUBLE) / {MINHASH_K}"
+)
+
+
+@register(
+    "incremental_minhash_dedup",
+    oracle=f"""
+    WITH sig AS ({_SIG_WIDE_CTE}),
+    cut AS (SELECT (max(doc_id) * 9) // 10 AS c FROM sig),
+    bands AS (
+        SELECT doc_id,
+               {", ".join(f"md5(concat_ws('|', {', '.join(ms)})) AS {bh}"
+                          for bh, ms in _band_hash_cols())}
+        FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.doc_id < b.doc_id
+         AND b.doc_id >= (SELECT c FROM cut)
+         AND ({" OR ".join(f"a.{bh} = b.{bh}" for bh, _ in _band_hash_cols())})
+    )
+    SELECT c.a_id AS older_id, c.b_id AS newer_id,
+           {_INC_EST_SQL} AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.a_id
+    JOIN sig sb ON sb.doc_id = c.b_id
+    WHERE {_INC_EST_SQL} >= 0.5
+    """,
+    doc="INCREMENTAL near-dup dedup: the newest batch (top decile of "
+    "doc_id, standing in for today's ingest) is deduplicated against "
+    "the already-indexed corpus WITHOUT recomputing any base-vs-base "
+    "pair — the production shape where signatures/bands of the corpus "
+    "are a stored index (here recomputed because the sandbox has no "
+    "persisted state; at 100 TB they're a table written once per "
+    "batch) and each increment only pays delta-sized work. The "
+    "delta's band rows are BROADCAST against the corpus band index — "
+    "a daily increment is ≪ the corpus, so the corpus-sized side is "
+    "never shuffled at all; delta-internal pairs fall out of the same "
+    "join (newer id on the delta side, a_id < b_id keeps each pair "
+    "once). First-shared-band discipline and signature ride-through "
+    "reused from minhash_lsh_pairs: one join, no distinct over the "
+    "candidate×band blow-up.",
+    tags=("llm", "dedup", "join", "incremental"),
+)
+def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _sig_wide(spark, sf_dir).localCheckpoint(eager=True)
+    cut = sig.agg(F.expr("(max(doc_id) * 9) div 10").alias("cutoff"))
+    band_hashes = F.array(
+        *[F.md5(F.concat_ws("|", *ms)) for _, ms in _band_hash_cols()]
+    )
+    e = sig.select(
+        "doc_id",
+        *[f"m{i}" for i in range(MINHASH_K)],
+        band_hashes.alias("bhs"),
+        F.posexplode(band_hashes).alias("bk", "h"),
+    )
+
+    def side(p: str) -> DataFrame:
+        return e.select(
+            F.col("doc_id").alias(f"{p}_id"),
+            *[F.col(f"m{i}").alias(f"{p}_m{i}") for i in range(MINHASH_K)],
+            F.col("bhs").alias(f"{p}_bhs"),
+            "bk",
+            "h",
+        )
+
+    delta = (
+        side("b")
+        .join(F.broadcast(cut), F.col("b_id") >= F.col("cutoff"))
+        .drop("cutoff")
+    )
+    first_band = F.lit(True)
+    for j in range(LSH_BANDS - 1):
+        earlier_hit = (F.col("bk") > j) & (
+            F.col("a_bhs")[j] == F.col("b_bhs")[j]
+        )
+        first_band = first_band & ~earlier_hit
+    agreement = sum(
+        F.when(F.col(f"a_m{i}") == F.col(f"b_m{i}"), 1).otherwise(0)
+        for i in range(MINHASH_K)
+    )
+    est = agreement.cast("double") / MINHASH_K
+    return (
+        side("a").join(F.broadcast(delta), ["bk", "h"])
+        .filter((F.col("a_id") < F.col("b_id")) & first_band)
+        .select(
+            F.col("a_id").alias("older_id"),
+            F.col("b_id").alias("newer_id"),
+            est.alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= 0.5)
+    )
