@@ -4242,3 +4242,77 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(cols)}, {stack}) AS "
         "(col, n_nulls, n_distinct, min_str, max_str)",
     ).select("col", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
+
+
+@register(
+    "bfs_khop_reach",
+    oracle="""
+    WITH RECURSIVE op AS (
+        SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+    ),
+    und AS (SELECT DISTINCT a.p AS s, b.p AS d
+            FROM op a JOIN op b ON a.k = b.k AND a.p < b.p),
+    e AS (SELECT s, d FROM und UNION ALL SELECT d AS s, s AS d FROM und),
+    seeds AS (SELECT DISTINCT s AS node FROM e WHERE s < 5),
+    bfs(node, dist) AS (
+        SELECT node, 0 FROM seeds
+        UNION
+        SELECT e.d, b.dist + 1 FROM bfs b JOIN e ON e.s = b.node
+        WHERE b.dist < 3
+    ),
+    md AS (SELECT node, min(dist) AS dist FROM bfs GROUP BY node)
+    SELECT CAST(dist AS BIGINT) AS hop, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM md GROUP BY dist
+    """,
+    doc="Multi-source BFS reach over the part co-order graph: nodes "
+    "within 3 hops of the seed set (parts 0-4), counted per minimum "
+    "hop distance. The Spark side is the distributed frontier "
+    "pattern — per round ONE edge equi-join on the frontier + "
+    "distinct + anti-join against the visited set, so each round's "
+    "work is frontier-sized (never paths — the naive recursive "
+    "all-paths expansion is exponential on a dense graph); lineage "
+    "is truncated per round. The oracle is DuckDB's WITH RECURSIVE "
+    "UNION fixpoint over (node, dist) pairs — bounded by nodes x "
+    "depth, then min(dist) per node. Same reachability frontier, "
+    "two execution models, hash-matched.",
+    tags=("sql", "graph", "iterative", "join"),
+)
+def bfs_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("s"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("d"))
+    und = (
+        a.join(b, "k")
+        .filter(F.col("s") < F.col("d"))
+        .select("s", "d")
+        .distinct()
+    )
+    bidir = und.unionAll(
+        und.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).localCheckpoint(eager=True)
+    seeds = (
+        bidir.select(F.col("s").alias("node"))
+        .filter(F.col("node") < 5)
+        .distinct()
+    )
+    visited = seeds.select("node", F.lit(0).alias("dist")).localCheckpoint(
+        eager=True
+    )
+    frontier = seeds
+    for h in range(1, 4):
+        nxt = (
+            bidir.join(frontier.select(F.col("node").alias("s")), "s")
+            .select(F.col("d").alias("node"))
+            .distinct()
+        )
+        newly = (
+            nxt.join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(h).alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionAll(newly)
+        frontier = newly
+    return visited.groupBy(F.col("dist").cast("bigint").alias("hop")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
