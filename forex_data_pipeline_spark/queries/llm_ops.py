@@ -3303,3 +3303,50 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("est_jaccard") >= 0.5)
     )
+
+
+@register(
+    "corpus_datacard",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(lower(trim(text)))) AS BIGINT)
+               AS n_unique_texts,
+           CAST(((count(*) - count(DISTINCT md5(lower(trim(text)))))
+                 * 1000000) // count(*) AS BIGINT) AS dup_ppm,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars,
+           CAST((sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END)
+                 * 1000000) // count(*) AS BIGINT) AS short_share_ppm
+    FROM documents GROUP BY source
+    """,
+    doc="Per-source corpus datacard — the one-page health report a "
+    "training-data release ships (docs, exact-dup rate, language "
+    "spread, volume, short-doc share) in ONE scan + one source-keyed "
+    "aggregation. Exact-dup rate counts DISTINCT normalized-text "
+    "md5s, so the dedup shuffle key is 32 bytes regardless of "
+    "document size; shares are integer-ppm ((k·1e6) div n — "
+    "engine-identical, no float tie-breaks). The source key has "
+    "bounded cardinality, so the plan is a partial-agg + one "
+    "exchange at any corpus size.",
+    tags=("llm", "quality", "aggregation"),
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    n = F.count(F.lit(1))
+    nu = F.count_distinct(fp)
+    return docs.groupBy("source").agg(
+        n.cast("bigint").alias("n_docs"),
+        nu.cast("bigint").alias("n_unique_texts"),
+        F.expr(
+            "((count(*) - count(DISTINCT md5(lower(trim(text))))) "
+            "* 1000000) div count(*)"
+        ).cast("bigint").alias("dup_ppm"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        F.sum(F.col("n_chars").cast("bigint")).cast("bigint").alias("sum_chars"),
+        F.expr(
+            "(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) * 1000000) "
+            "div count(*)"
+        ).cast("bigint").alias("short_share_ppm"),
+    )
