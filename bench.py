@@ -60,6 +60,8 @@ HEADLINE: tuple[str, ...] = (
     "cms_heavy_hitters",
     "equi_depth_histogram",
     "ann_pq_topk",
+    "incremental_minhash_dedup",
+    "triangle_count_part_graph",
 )
 
 #: The round-1 headline set (BENCH_r01.json) — emitted as a separate

@@ -273,3 +273,22 @@ def test_parquet_aggregate_pushdown_reaches_footer(spark, sf_dir):
             spark.conf.unset("spark.sql.sources.useV1SourceList")
         else:
             spark.conf.set("spark.sql.sources.useV1SourceList", saved)
+
+
+def test_incremental_dedup_broadcasts_delta_band_index(spark, sf_dir):
+    """incremental_minhash_dedup's whole point is that the corpus-sized
+    band table is NEVER shuffled: the (small) delta batch must be the
+    broadcast side of the band join, and no sort-merge join may appear."""
+    plan = plan_of(run("incremental_minhash_dedup", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_wedge_join_has_no_cartesian(spark, sf_dir):
+    """Degree-oriented triangle enumeration must stay equi-join shaped
+    (wedge build + closing-edge probe); a cartesian means the
+    orientation/blocking logic regressed."""
+    plan = plan_of(run("triangle_count_part_graph", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
