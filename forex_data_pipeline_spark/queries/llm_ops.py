@@ -3096,7 +3096,9 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = _ivf_assign(emb, cent).localCheckpoint(eager=True)
 
     # ---- PQ fine stage: codebooks + per-vector codes (cell id rides)
-    sub = _pq_subvectors(emb)
+    # four consumers (seed_books, seed assign, books, codes) —
+    # materialize once or each branch re-scans + re-explodes the source
+    sub = _pq_subvectors(emb).localCheckpoint(eager=True)
     pq_seed_ids = (
         emb.select("vec_id")
         .orderBy(F.xxhash64(F.col("vec_id")), "vec_id")
