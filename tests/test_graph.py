@@ -66,3 +66,45 @@ def test_pagerank_conserves_mass(spark, sf_dir):
     for r in got:
         assert np.isfinite(r.pagerank)
         assert r.pagerank > 0.15  # 1-d is the floor
+
+
+def test_triangle_counts_match_brute_force(spark, sf_dir):
+    """Degree-oriented edge-iterator enumeration must agree with an
+    O(n³)-ish itertools brute force on the real (small-SF) graph —
+    guards the orientation/one-triangle-once logic independently of
+    the SQL oracle."""
+    from itertools import combinations
+
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("s"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("d"))
+    edges = {
+        (r.s, r.d)
+        for r in a.join(b, "k")
+        .filter(F.col("s") < F.col("d"))
+        .select("s", "d")
+        .distinct()
+        .collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    per_node: dict[int, int] = {}
+    for node, nbrs in adj.items():
+        t = sum(
+            1
+            for x, y in combinations(sorted(nbrs), 2)
+            if (x, y) in edges
+        )
+        if t:
+            per_node[node] = t
+
+    got = catalog.REGISTRY["triangle_count_part_graph"].fn(
+        spark, sf_dir
+    ).collect()
+    expected_top = sorted(
+        per_node.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:20]
+    assert [(r.p_partkey, r.triangles) for r in got] == expected_top
