@@ -400,3 +400,64 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     assert got.k.tolist() == [1, 2, 3]
     # first arrival per key wins (v=10, 20, 30)
     assert got.v.tolist() == [10, 20, 30]
+
+
+def test_streaming_session_windows_merge_and_split(spark, tmp_path):
+    """F.session_window through the STREAMING path (the batch
+    `session_windows` query is its driver-verified twin): events within
+    the 30 s inactivity gap must merge into one growing session, a
+    larger silence must split, per key. Complete output mode surfaces
+    the session state without waiting on watermark finalization."""
+    src = tmp_path / "sw_src"
+    src.mkdir()
+    ticks = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 1, 2],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:00",
+                    "2024-01-01 00:00:20",  # +20s → merges
+                    "2024-01-01 00:00:45",  # +25s → merges
+                    "2024-01-01 00:02:00",  # +75s silence → new session
+                    "2024-01-01 00:00:10",
+                ]
+            ),
+        }
+    )
+    sdf = spark.createDataFrame(ticks).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    sdf.coalesce(1).write.parquet(str(src / "f1"))
+
+    stream = (
+        spark.readStream.schema(sdf.schema)
+        .parquet(str(src / "*"))
+        .groupBy("user_id", F.session_window("ts", "30 seconds"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sw_t")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "sw_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.table("sw_t")
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("string").alias("s"),
+            F.col("session_window.end").cast("string").alias("e"),
+            "n",
+        )
+        .toPandas()
+        .sort_values(["user_id", "s"])
+        .reset_index(drop=True)
+    )
+    assert got.values.tolist() == [
+        [1, "2024-01-01 00:00:00", "2024-01-01 00:01:15", 3],
+        [1, "2024-01-01 00:02:00", "2024-01-01 00:02:30", 1],
+        [2, "2024-01-01 00:00:10", "2024-01-01 00:00:40", 1],
+    ]
