@@ -1926,3 +1926,85 @@ def purged_walkforward_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(in_train, 1).otherwise(0)).cast("bigint").alias("n_train"),
         F.sum(F.when(in_test, 1).otherwise(0)).cast("bigint").alias("n_test"),
     )
+
+
+@register(
+    "timed_funnel_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+          AND e.ts <= v.t_view + INTERVAL 1 HOUR
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          AND e.ts <= c.t_click + INTERVAL 24 HOURS
+        GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_timed_click,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_timed_purchase,
+           CAST((SELECT count(*) FROM p) * 1000000
+                // (SELECT count(*) FROM v) AS BIGINT) AS conv_ppm
+    """,
+    doc="TIME-CONSTRAINED funnel (first view → click within 1 h → "
+    "purchase within 24 h of that click) — the attribution-window "
+    "semantics product analytics actually bills on, vs the ordered "
+    "any-time funnel of `funnel_conversion`. Each stage is one "
+    "user-keyed conditional-min aggregation joined back to the "
+    "event log on the SAME user key — three shuffles total on one "
+    "key (co-partitioned all the way; at 100 TB the event log would "
+    "be bucketed by user_id and none of the three would move data). "
+    "Conversion emitted as exact integer ppm.",
+    tags=("timeseries", "analytics", "join", "aggregation"),
+)
+def timed_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_timed_click"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_timed_purchase"))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            F.col("n_view").cast("bigint").alias("n_view"),
+            F.col("n_timed_click").cast("bigint").alias("n_timed_click"),
+            F.col("n_timed_purchase").cast("bigint").alias("n_timed_purchase"),
+            F.expr("n_timed_purchase * 1000000 div n_view")
+            .cast("bigint")
+            .alias("conv_ppm"),
+        )
+    )
