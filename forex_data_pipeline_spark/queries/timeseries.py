@@ -1953,7 +1953,7 @@ def purged_walkforward_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((SELECT count(*) FROM c) AS BIGINT) AS n_timed_click,
            CAST((SELECT count(*) FROM p) AS BIGINT) AS n_timed_purchase,
            CAST((SELECT count(*) FROM p) * 1000000
-                // (SELECT count(*) FROM v) AS BIGINT) AS conv_ppm
+                // NULLIF((SELECT count(*) FROM v), 0) AS BIGINT) AS conv_ppm
     """,
     doc="TIME-CONSTRAINED funnel (first view → click within 1 h → "
     "purchase within 24 h of that click) — the attribution-window "
@@ -2003,7 +2003,7 @@ def timed_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_view").cast("bigint").alias("n_view"),
             F.col("n_timed_click").cast("bigint").alias("n_timed_click"),
             F.col("n_timed_purchase").cast("bigint").alias("n_timed_purchase"),
-            F.expr("n_timed_purchase * 1000000 div n_view")
+            F.expr("n_timed_purchase * 1000000 div nullif(n_view, 0)")
             .cast("bigint")
             .alias("conv_ppm"),
         )
