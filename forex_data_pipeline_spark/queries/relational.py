@@ -4335,3 +4335,73 @@ def bfs_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return visited.groupBy(F.col("dist").cast("bigint").alias("hop")).agg(
         F.count(F.lit(1)).alias("n_nodes")
     )
+
+
+@register(
+    "basket_lift_pairs",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+    n AS (SELECT count(DISTINCT k) AS total FROM op),
+    item AS (SELECT p, count(*) AS c FROM op GROUP BY p),
+    pair AS (
+        SELECT a.p AS pa, b.p AS pb, count(*) AS cab
+        FROM op a JOIN op b ON a.k = b.k AND a.p < b.p
+        GROUP BY 1, 2
+    )
+    SELECT pa, pb, CAST(cab AS BIGINT) AS n_both,
+           CAST(cab AS DOUBLE) * (SELECT total FROM n)
+               / (ia.c * ib.c) AS lift
+    FROM pair
+    JOIN item ia ON ia.p = pa
+    JOIN item ib ON ib.p = pb
+    WHERE cab >= 2
+    ORDER BY lift DESC, pa, pb LIMIT 20
+    """,
+    doc="Market-basket LIFT (P(a,b) / P(a)P(b)) for co-ordered part "
+    "pairs with support >= 2, top-20 — the statistical upgrade of "
+    "`part_affinity_pairs`' raw co-occurrence counts: lift > 1 means "
+    "genuinely associated, not merely both popular. Pair counts are "
+    "generated ORDER-LOCALLY (keyed self-join on l_orderkey — linear "
+    "in orders, never corpus²); item counts ride in as a broadcast "
+    "join; lift is one IEEE division of exact integer counts "
+    "(identical on both engines — no float accumulation). Top-20 via "
+    "TakeOrderedAndProject with a unique (pa, pb) tie-break.",
+    tags=("join", "aggregation", "topk", "analytics"),
+)
+def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    pair = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= 2)
+    )
+    item = op.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    total = op.agg(
+        F.count_distinct("l_orderkey").alias("total")
+    )
+    ia = item.select(F.col("p").alias("pa"), F.col("c").alias("ca"))
+    ib = item.select(F.col("p").alias("pb"), F.col("c").alias("cb"))
+    lift = (
+        F.col("cab").cast("double")
+        * F.col("total")
+        / (F.col("ca") * F.col("cb"))
+    )
+    return (
+        pair.join(F.broadcast(ia), "pa")
+        .join(F.broadcast(ib), "pb")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "pa", "pb",
+            F.col("cab").cast("bigint").alias("n_both"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "pa", "pb")
+        .limit(20)
+    )
