@@ -2908,12 +2908,15 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "candidates). On this corpus's fixed-format names the blocks are "
     "degenerate and the pair set is UNCHANGED — asserted by "
     "tests/test_skew_bucketing.py::"
-    "test_fuzzy_blocking_is_lossless_on_current_names. The probe side is repartitioned to the session's "
-    "shuffle width first: a single-file scan otherwise probes the "
-    "broadcast in ONE task, serializing every levenshtein eval "
-    "(measured 6.3s -> sub-second at sf0.1). Levenshtein <= 2 "
-    "verification runs JVM-side; per-block pair counts come back "
-    "exact.",
+    "test_fuzzy_blocking_is_lossless_on_current_names. The join is a "
+    "plain SHUFFLE equi-join on the four blocking keys: all four "
+    "predicates are equalities, so Catalyst extracts them as join "
+    "keys and both sides hash-partition on the block id — no side is "
+    "ever broadcast, so the plan survives a customer relation of any "
+    "size (an earlier revision broadcast the full relation, which is "
+    "a data-proportional broadcast that dies at plan time at scale). "
+    "Levenshtein <= 2 verification runs JVM-side on in-block "
+    "candidates only; per-block pair counts come back exact.",
     tags=("join", "text", "similarity"),
 )
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2923,15 +2926,11 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("c_name", 1, 4).alias("name_pfx"),
         "c_custkey", "c_name",
     )
-    try:
-        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        width = spark.sparkContext.defaultParallelism
-    a = cu.repartition(width, "c_custkey").alias("a")
+    a = cu.alias("a")
     b = cu.alias("b")
     pairs = (
         a.join(
-            F.broadcast(b),
+            b,
             (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
             & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
             & (F.col("a.name_len") == F.col("b.name_len"))
@@ -3832,8 +3831,10 @@ def concurrent_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "iterations, each ONE edge-keyed shuffle join + ONE dst-keyed "
     "aggregation — the textbook distributed PageRank plan; lineage "
     "is truncated every 4 rounds (localCheckpoint) so the plan "
-    "doesn't deepen with iterations. Dangling mass is redistributed "
-    "uniformly (rank sum stays = n, asserted in tests). Output: "
+    "doesn't deepen with iterations. The co-order graph is "
+    "bidirectional by construction, so every node has out-degree "
+    ">= 1 — there are NO dangling nodes and no redistribution term "
+    "is needed (a directed-graph variant would need one). Output: "
     "top-20 parts with unique tie-break.",
     tags=("sql", "graph", "iterative", "topk"),
 )
@@ -3896,6 +3897,63 @@ def pagerank_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# broadcast the node->pi orientation table only while it is provably
+# small; 10M (node, pi) int64 pairs ~ 160 MB, the edge of sane broadcast
+_TRI_BCAST_MAX_NODES = 10_000_000
+
+
+def _oriented_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-oriented edge list for the part co-order graph, PRE-
+    checkpoint (exposed so tests/test_plans.py can lock the join
+    strategy — the query itself checkpoints the result)."""
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("s"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("d"))
+    # canonical undirected edges (s < d), deduplicated; 2 consumers below
+    und = (
+        a.join(b, "k")
+        .filter(F.col("s") < F.col("d"))
+        .select("s", "d")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # total order pi(x) = (degree, id) packed into one int64 key
+    deg = (
+        und.select(F.col("s").alias("node"))
+        .unionAll(und.select(F.col("d").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(
+            "node",
+            (F.col("degree") * F.lit(10_000_000_000) + F.col("node")).alias("pi"),
+        )
+    )
+    # SIZE-GATED broadcast for the orientation joins: deg is NODE-sized
+    # (one row per part), fine to broadcast at sf0.1 (~20k parts) but a
+    # node table is data-proportional, so above the gate the orientation
+    # falls back to a shuffle join (r2 verdict item 5). The gate probe
+    # is a parquet-footer count of the part table (the node universe) —
+    # metadata-only, no scan.
+    pis = deg.select(F.col("node").alias("s"), F.col("pi").alias("pi_s"))
+    pid = deg.select(F.col("node").alias("d"), F.col("pi").alias("pi_d"))
+    n_nodes_max = load(spark, sf_dir, "part").count()
+    if n_nodes_max <= _TRI_BCAST_MAX_NODES:
+        pis, pid = F.broadcast(pis), F.broadcast(pid)
+    return (
+        und.join(pis, "s")
+        .join(pid, "d")
+        .select(
+            F.when(F.col("pi_s") < F.col("pi_d"), F.col("s"))
+            .otherwise(F.col("d"))
+            .alias("u"),
+            F.when(F.col("pi_s") < F.col("pi_d"), F.col("d"))
+            .otherwise(F.col("s"))
+            .alias("v"),
+        )
+    )
+
+
 @register(
     "triangle_count_part_graph",
     oracle="""
@@ -3940,43 +3998,8 @@ def pagerank_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sql", "graph", "join", "topk"),
 )
 def triangle_count_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("s"))
-    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("d"))
-    # canonical undirected edges (s < d), deduplicated; 2 consumers below
-    und = (
-        a.join(b, "k")
-        .filter(F.col("s") < F.col("d"))
-        .select("s", "d")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    # total order pi(x) = (degree, id) packed into one int64 key
-    deg = (
-        und.select(F.col("s").alias("node"))
-        .unionAll(und.select(F.col("d").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
-        .select(
-            "node",
-            (F.col("degree") * F.lit(10_000_000_000) + F.col("node")).alias("pi"),
-        )
-    )
-    pis = F.broadcast(deg.select(F.col("node").alias("s"), F.col("pi").alias("pi_s")))
-    pid = F.broadcast(deg.select(F.col("node").alias("d"), F.col("pi").alias("pi_d")))
-    oriented = (
-        und.join(pis, "s")
-        .join(pid, "d")
-        .select(
-            F.when(F.col("pi_s") < F.col("pi_d"), F.col("s"))
-            .otherwise(F.col("d"))
-            .alias("u"),
-            F.when(F.col("pi_s") < F.col("pi_d"), F.col("d"))
-            .otherwise(F.col("s"))
-            .alias("v"),
-        )
-        .localCheckpoint(eager=True)
+    oriented = _oriented_part_edges(spark, sf_dir).localCheckpoint(
+        eager=True
     )
     # out-adjacency (higher-pi neighbors only) as one sorted array per
     # node — list length bounded by the orientation, never hub-sized

@@ -243,6 +243,12 @@ def write_with_expectations(
     """
     from pyspark.sql import functions as F
 
+    if not expectations:
+        # any_viol below would stay None and ~None is a TypeError at
+        # plan build; an expectation-gated write with no expectations
+        # is a caller bug, not an all-pass write — fail loudly.
+        raise ValueError("expectations must be non-empty")
+
     # SQL three-valued logic: a NULL expectation result is a VIOLATION
     # (the row can't be shown valid) — coalescing here guarantees every
     # row lands in exactly one of target/quarantine; without it,

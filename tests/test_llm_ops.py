@@ -131,3 +131,53 @@ def test_ivfpq_recall_and_rank_contract(spark, sf_dir):
     # the bar reflects the probe budget, not the PQ stage (which alone
     # reaches ~0.8 with full-corpus ADC — see test_pq_ann_recall).
     assert recall >= 0.2, f"IVF-PQ recall {recall:.2f}"
+
+
+def test_near_dup_tau_sits_in_continuous_mass(spark, sf_dir):
+    """Empirical basis for embedding_near_dup_pairs being EXACT all-pairs
+    (r2 verdict finding #3 resolution): on this corpus the pairwise
+    cosine distribution is continuous straight through τ=0.45 — there
+    is no margin an LSH banding could exploit to be simultaneously
+    lossless and selective (per-hyperplane collision prob at sim 0.45
+    is ~0.648 vs ~0.625 at 0.35; separating those needs thousands of
+    bits, at which point every pair is a candidate). The approximate
+    path is embedding_near_dup_lsh with measured recall."""
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings").orderBy("vec_id").limit(500)
+    X = np.array([list(r.embedding) for r in emb.collect()], dtype=np.float64)
+    U = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sims = (U @ U.T)[np.triu_indices(len(U), 1)]
+    above = int((sims >= 0.45).sum())
+    shoulder = int(((sims >= 0.30) & (sims < 0.45)).sum())
+    assert above > 0, "corpus should contain pairs above τ"
+    assert sims.max() < 0.60, "no high-sim cluster: τ is in the tail"
+    # the shoulder dominates the above-τ set — no separating margin
+    assert shoulder > 10 * above, (above, shoulder)
+
+
+def test_near_dup_lsh_precision_and_recall(spark, sf_dir):
+    """embedding_near_dup_lsh must be a strict SUBSET of the exact op
+    (precision 1.0 — candidates are exact-verified) with identical
+    cos_sim values, and must find a nontrivial share of the true pairs
+    even in this adversarial no-margin regime (analytically ~0.54
+    per-pair at sim exactly 0.45 with 4 OR-ed 4-bit bands; higher for
+    higher sims)."""
+    exact = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in catalog.REGISTRY["embedding_near_dup_pairs"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    lsh = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in catalog.REGISTRY["embedding_near_dup_lsh"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert exact, "corpus should contain near-dup pairs"
+    assert set(lsh) <= set(exact), "LSH emitted a non-pair (precision < 1)"
+    for k, v in lsh.items():
+        assert v == exact[k], (k, v, exact[k])
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.3, f"near-dup LSH recall {recall:.2f}"

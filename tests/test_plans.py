@@ -8,6 +8,8 @@ accidental cartesian products.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import pytest
 
 from forex_data_pipeline_spark import catalog
@@ -25,6 +27,18 @@ def plan_of(df) -> str:
 
 def run(name: str, spark, sf_dir):
     return catalog.REGISTRY[name].fn(spark, sf_dir)
+
+
+@contextmanager
+def _no_auto_broadcast(spark):
+    """Disable statistics-based broadcast selection so the only way a
+    BroadcastHashJoin can appear in the plan is an explicit hint."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
 
 
 def test_small_dim_joins_are_broadcast(spark, sf_dir):
@@ -275,14 +289,68 @@ def test_parquet_aggregate_pushdown_reaches_footer(spark, sf_dir):
             spark.conf.set("spark.sql.sources.useV1SourceList", saved)
 
 
-def test_incremental_dedup_broadcasts_delta_band_index(spark, sf_dir):
-    """incremental_minhash_dedup's whole point is that the corpus-sized
-    band table is NEVER shuffled: the (small) delta batch must be the
-    broadcast side of the band join, and no sort-merge join may appear."""
-    plan = plan_of(run("incremental_minhash_dedup", spark, sf_dir))
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+def test_incremental_dedup_band_join_is_shuffle(spark, sf_dir):
+    """incremental_minhash_dedup's delta is a fixed FRACTION of the
+    corpus (top decile of doc_id) — data-proportional, so it must NOT
+    carry a broadcast hint (a hinted broadcast of an unbounded relation
+    dies at plan time at scale; r2 verdict finding #1). The (band, hash)
+    join must be a shuffle join; the only nested-loop allowed is the
+    1-row cutoff scalar. AQE may still pick a runtime broadcast from
+    ACTUAL sizes — that is the correct mechanism, the hint was not.
+    autoBroadcastJoinThreshold is disabled inside the test so a
+    statistics-chosen small-table broadcast (legitimate at test SF)
+    cannot mask a re-added hint: with the threshold off, only a HINT
+    can produce a BroadcastHashJoin."""
+    with _no_auto_broadcast(spark):
+        plan = plan_of(run("incremental_minhash_dedup", spark, sf_dir))
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_name_pairs_join_is_shuffle(spark, sf_dir):
+    """fuzzy_name_pairs must equi-join on the four blocking keys with a
+    SHUFFLE join — broadcasting the full customer relation is a
+    data-proportional broadcast (r2 verdict finding #2). Threshold off
+    for the same only-a-hint-can-broadcast reason as above."""
+    with _no_auto_broadcast(spark):
+        plan = plan_of(run("fuzzy_name_pairs", spark, sf_dir))
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangle_orientation_broadcast_is_size_gated(
+    spark, sf_dir, monkeypatch
+):
+    """The node->pi orientation table is NODE-sized (data-proportional),
+    so its broadcast must be size-gated (r2 verdict item 5): broadcast
+    below _TRI_BCAST_MAX_NODES, shuffle join above — and both
+    strategies must produce the identical triangle set."""
+    from forex_data_pipeline_spark.queries import relational
+
+    # the orientation is localCheckpoint-ed inside the query, so the
+    # join strategy is only visible on the pre-checkpoint helper
+    assert "BroadcastHashJoin" in plan_of(
+        relational._oriented_part_edges(spark, sf_dir)
+    )
+    rows_bcast = sorted(
+        map(tuple, run("triangle_count_part_graph", spark, sf_dir).collect())
+    )
+
+    monkeypatch.setattr(relational, "_TRI_BCAST_MAX_NODES", 0)
+    with _no_auto_broadcast(spark):
+        plan = plan_of(relational._oriented_part_edges(spark, sf_dir))
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "BroadcastHashJoin" not in plan
+        rows_shuffle = sorted(
+            map(
+                tuple,
+                run("triangle_count_part_graph", spark, sf_dir).collect(),
+            )
+        )
+    assert rows_bcast == rows_shuffle
 
 
 def test_triangle_wedge_join_has_no_cartesian(spark, sf_dir):
