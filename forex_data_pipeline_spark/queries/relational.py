@@ -2909,25 +2909,47 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "degenerate and the pair set is UNCHANGED — asserted by "
     "tests/test_skew_bucketing.py::"
     "test_fuzzy_blocking_is_lossless_on_current_names. The join is a "
-    "plain SHUFFLE equi-join on the four blocking keys: all four "
-    "predicates are equalities, so Catalyst extracts them as join "
-    "keys and both sides hash-partition on the block id — no side is "
-    "ever broadcast, so the plan survives a customer relation of any "
-    "size (an earlier revision broadcast the full relation, which is "
-    "a data-proportional broadcast that dies at plan time at scale). "
+    "SALTED shuffle equi-join on the four blocking keys plus a "
+    "deterministic sub-block salt: side a carries "
+    "pmod(xxhash64(c_custkey), S); side b is replicated S times with "
+    "an exploded salt column, so each candidate pair still meets "
+    "EXACTLY once (a's salt selects one replica of b) while a "
+    "degenerate block — the business keys alone are ~125 blocks "
+    "forever — spreads its quadratic verify work over S reducers "
+    "instead of one. No side is ever broadcast by hint (an earlier "
+    "revision broadcast the full relation, a data-proportional "
+    "broadcast that dies at plan time at scale); the probe side is "
+    "repartitioned by c_custkey first because the customer scan is a "
+    "single file at bench SF — without it, AQE's runtime broadcast of "
+    "the small build side leaves a SINGLE-TASK probe stage doing every "
+    "levenshtein eval on one core (the round-3 7x regression). "
     "Levenshtein <= 2 verification runs JVM-side on in-block "
     "candidates only; per-block pair counts come back exact.",
     tags=("join", "text", "similarity"),
 )
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _SALTS = 4
     cu = load(spark, sf_dir, "customer").select(
         "c_nationkey", "c_mktsegment",
         F.length("c_name").alias("name_len"),
         F.substring("c_name", 1, 4).alias("name_pfx"),
         "c_custkey", "c_name",
     )
-    a = cu.alias("a")
-    b = cu.alias("b")
+    try:
+        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        width = spark.sparkContext.defaultParallelism
+    a = (
+        cu.repartition(width, "c_custkey")
+        .withColumn("_salt", F.pmod(F.xxhash64("c_custkey"), F.lit(_SALTS)))
+        .alias("a")
+    )
+    b = cu.withColumn(
+        "_salt",
+        F.explode(
+            F.array(*[F.lit(i).cast("bigint") for i in range(_SALTS)])
+        ),
+    ).alias("b")
     pairs = (
         a.join(
             b,
@@ -2935,6 +2957,7 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
             & (F.col("a.name_len") == F.col("b.name_len"))
             & (F.col("a.name_pfx") == F.col("b.name_pfx"))
+            & (F.col("a._salt") == F.col("b._salt"))
             & (F.col("a.c_custkey") < F.col("b.c_custkey")),
         )
         # compute the edit distance ONCE per candidate pair; filter and

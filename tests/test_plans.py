@@ -312,13 +312,32 @@ def test_fuzzy_name_pairs_join_is_shuffle(spark, sf_dir):
     """fuzzy_name_pairs must equi-join on the four blocking keys with a
     SHUFFLE join — broadcasting the full customer relation is a
     data-proportional broadcast (r2 verdict finding #2). Threshold off
-    for the same only-a-hint-can-broadcast reason as above."""
+    for the same only-a-hint-can-broadcast reason as above. The salt
+    must be a join key (r3 verdict item 5): without it a degenerate
+    block's quadratic verify work lands on one reducer."""
     with _no_auto_broadcast(spark):
         plan = plan_of(run("fuzzy_name_pairs", spark, sf_dir))
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "_salt" in plan  # salted sub-block key rides the join
+
+
+def test_fuzzy_probe_side_is_parallel_under_aqe(spark, sf_dir):
+    """Lock against the r3 verdict's 7.1x regression: with
+    auto-broadcast LEFT ON (the plan that actually runs at bench time),
+    AQE converts the shuffle join to a runtime BroadcastHashJoin whose
+    probe side is the raw SINGLE-FILE customer scan — one task doing
+    every levenshtein eval. The probe side must therefore carry an
+    explicit repartition by c_custkey so the verify stage is parallel
+    under EITHER physical join strategy. Asserted on the EXECUTED
+    adaptive plan (the earlier lock disabled auto-broadcast and so
+    tested a plan that never runs)."""
+    df = run("fuzzy_name_pairs", spark, sf_dir)
+    df.collect()  # materialize so the AQE final plan exists
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(c_custkey" in executed
 
 
 def test_triangle_orientation_broadcast_is_size_gated(
