@@ -1,10 +1,14 @@
 #!/usr/bin/env python
 """Per-query bench regression check against a baseline bench JSON.
 
-The reference publishes no benchmark numbers (BASELINE.md), so the
-previous round's BENCH_r{N}.json is the de-facto baseline. Runs
-`bench.py`, compares each query's wall time against the baseline file,
-and flags regressions beyond the threshold (default 1.5x).
+The reference publishes no benchmark numbers (BASELINE.md), so prior
+rounds' BENCH_r{N}.json are the de-facto baseline. With no explicit
+baseline argument, the baseline for each query is its PREVIOUS BEST
+across every recorded round — comparing only against a fixed early
+round masked the round-3 fuzzy_name_pairs regression, because that
+query happened to be slow in round 1 too (r3 verdict finding #2).
+Runs `bench.py`, compares each query's wall time, and flags
+regressions beyond the threshold (default 1.5x).
 
 Usage:
     python scripts/bench_compare.py [baseline.json] [threshold]
@@ -16,6 +20,7 @@ small absolute deltas are reported but never flagged.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import subprocess
@@ -24,18 +29,41 @@ import sys
 ABS_NOISE_SEC = 0.5  # deltas below this are scheduler noise, never flagged
 
 
-def main() -> int:
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    baseline_path = (
-        sys.argv[1] if len(sys.argv) > 1 else os.path.join(repo, "BENCH_r01.json")
-    )
-    threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 1.5
-
-    with open(baseline_path) as f:
+def _load_bench(path: str) -> dict:
+    with open(path) as f:
         base = json.load(f)
     # driver-recorded BENCH_r{N}.json wraps the bench line under "parsed"
     if "queries" not in base and isinstance(base.get("parsed"), dict):
         base = base["parsed"]
+    return base
+
+
+def _best_of_rounds(repo: str) -> dict:
+    """Synthetic baseline: per-query minimum over all BENCH_r*.json."""
+    paths = sorted(glob.glob(os.path.join(repo, "BENCH_r*.json")))
+    if not paths:
+        raise SystemExit("no BENCH_r*.json baseline found")
+    queries: dict[str, float] = {}
+    total = None
+    for p in paths:
+        b = _load_bench(p)
+        for name, t in b.get("queries", {}).items():
+            if name not in queries or t < queries[name]:
+                queries[name] = t
+        total = b.get("value", total)  # latest round's total for context
+    print(f"baseline: per-query best over {len(paths)} round(s): "
+          f"{', '.join(os.path.basename(p) for p in paths)}")
+    return {"queries": queries, "value": total}
+
+
+def main() -> int:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 1.5
+
+    if len(sys.argv) > 1:
+        base = _load_bench(sys.argv[1])
+    else:
+        base = _best_of_rounds(repo)
 
     out = subprocess.run(
         [sys.executable, os.path.join(repo, "bench.py")],
