@@ -38,6 +38,33 @@ OUTPUT_SCHEMA = (
 )
 
 
+def fold_stats(
+    state: tuple[int, float], batches: Iterator[pd.DataFrame]
+) -> tuple[int, float]:
+    """Pure per-key state transition: fold one micro-batch's Arrow
+    batches into the running (n, total) moment state. Factored out of
+    the processor so the recurrence is unit-testable without a
+    streaming query (the integration test needs protobuf, absent in
+    this container — see tests/test_streaming.py's documented skip)."""
+    n, total = state
+    for pdf in batches:
+        n += int(len(pdf))
+        total += float(pdf["value"].sum())
+    return n, total
+
+
+def stats_output_row(key, n: int, total: float) -> pd.DataFrame:
+    """Pure emit step: the one-row Update-mode output for a key."""
+    return pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_events": [n],
+            "total_value": [total],
+            "mean_value": [total / n if n else None],
+        }
+    )
+
+
 class RunningStatsProcessor(StatefulProcessor):
     """Per-key running (count, sum) → mean, folded across micro-batches."""
 
@@ -49,19 +76,10 @@ class RunningStatsProcessor(StatefulProcessor):
     def handleInputRows(
         self, key, rows: Iterator[pd.DataFrame], timerValues
     ) -> Iterator[pd.DataFrame]:
-        n, total = self._stats.get() if self._stats.exists() else (0, 0.0)
-        for pdf in rows:
-            n += int(len(pdf))
-            total += float(pdf["value"].sum())
+        prev = self._stats.get() if self._stats.exists() else (0, 0.0)
+        n, total = fold_stats((int(prev[0]), float(prev[1])), rows)
         self._stats.update((n, total))
-        yield pd.DataFrame(
-            {
-                "event_type": [key[0]],
-                "n_events": [n],
-                "total_value": [total],
-                "mean_value": [total / n if n else None],
-            }
-        )
+        yield stats_output_row(key, n, total)
 
     def close(self) -> None:
         pass

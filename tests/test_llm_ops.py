@@ -177,7 +177,10 @@ def test_near_dup_lsh_precision_and_recall(spark, sf_dir):
     }
     assert exact, "corpus should contain near-dup pairs"
     assert set(lsh) <= set(exact), "LSH emitted a non-pair (precision < 1)"
+    # 1 ulp at 6 dp, not ==: the exact op's numpy BLAS kernel (half-even
+    # round, blocked summation) and the LSH op's Catalyst fold (HALF_UP,
+    # sequential) may land a cosine within an ulp of a rounding boundary
     for k, v in lsh.items():
-        assert v == exact[k], (k, v, exact[k])
+        assert abs(v - exact[k]) <= 1e-6, (k, v, exact[k])
     recall = len(lsh) / len(exact)
     assert recall >= 0.3, f"near-dup LSH recall {recall:.2f}"
