@@ -40,6 +40,10 @@ class QuerySpec:
     oracle: str | None = None
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # a 0-row oracle proves nothing about the operator (both sides
+    # vacuously hash-equal), so the harness FAILS empty oracles unless
+    # the query is a violation detector where 0 rows IS the pass state
+    empty_ok: bool = False
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -50,6 +54,7 @@ def register(
     oracle: str | None = None,
     doc: str = "",
     tags: tuple[str, ...] = (),
+    empty_ok: bool = False,
 ) -> Callable:
     """Decorator: register fn(spark, sf_dir) -> DataFrame under ``name``."""
 
@@ -60,7 +65,9 @@ def register(
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
-        REGISTRY[name] = QuerySpec(name, wrapped, oracle, doc or (fn.__doc__ or ""), tags)
+        REGISTRY[name] = QuerySpec(
+            name, wrapped, oracle, doc or (fn.__doc__ or ""), tags, empty_ok
+        )
         return wrapped
 
     return deco

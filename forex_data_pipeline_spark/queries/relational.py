@@ -2461,20 +2461,23 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey,
            CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_day,
-           CAST(CAST(round(o_totalprice * 100) AS BIGINT) / 100.0
-                AS DOUBLE) AS total_price,
            CAST(count(*) AS BIGINT) AS n_duplicates,
-           CAST(min(o_orderkey) AS BIGINT) AS first_orderkey
+           CAST(min(o_orderkey) AS BIGINT) AS first_orderkey,
+           CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS BIGINT) AS total_cents
     FROM orders
-    GROUP BY o_custkey, CAST(o_orderdate AS DATE),
-             CAST(round(o_totalprice * 100) AS BIGINT)
+    GROUP BY o_custkey, CAST(o_orderdate AS DATE)
     HAVING count(*) > 1
     """,
-    doc="Double-submission detection: orders sharing (customer, day, "
-    "exact-cents amount) — the business-level duplicate the row-level "
-    "dedup operators (D1/D2) cannot see, caught by grouping on the "
-    "natural duplicate key with a HAVING filter. Exact cents in the "
-    "group key avoid float-equality grouping; one hash-agg shuffle.",
+    doc="Double-submission detection: multiple orders by the same "
+    "customer on the same calendar day — the business-level duplicate "
+    "the row-level dedup operators (D1/D2) cannot see, caught by "
+    "grouping on the natural duplicate key with a HAVING filter. "
+    "(An earlier revision also keyed on the exact-cents amount; with "
+    "continuous synthetic prices that key matches nothing at any test "
+    "SF, making the oracle vacuously green — the day-level key yields "
+    "rows at sf0.001/0.01/0.1: 1/32/355.) Money folded as exact "
+    "integer cents; one hash-agg shuffle, no join.",
     tags=("aggregation", "quality", "dedup"),
 )
 def suspicious_duplicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2484,19 +2487,19 @@ def suspicious_duplicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(
             "o_custkey",
             F.col("o_orderdate").cast("date").alias("_day"),
-            cents.alias("_cents"),
         )
         .agg(
             F.count(F.lit(1)).alias("n_duplicates"),
             F.min("o_orderkey").alias("first_orderkey"),
+            F.sum(cents).alias("total_cents"),
         )
         .filter(F.col("n_duplicates") > 1)
         .select(
             "o_custkey",
             F.col("_day").cast("string").alias("order_day"),
-            (F.col("_cents") / 100.0).cast("double").alias("total_price"),
             "n_duplicates",
             "first_orderkey",
+            "total_cents",
         )
     )
 
@@ -2847,7 +2850,8 @@ _SQL_DORMANT_RICH = """
     FROM customer c CROSS JOIN t
     WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * t.n > t.total_c
       AND NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey)
+                      WHERE o.o_custkey = c.c_custkey
+                        AND CAST(o.o_orderdate AS DATE) >= DATE '2000-01-01')
     GROUP BY c.c_mktsegment
 """
 
@@ -2855,14 +2859,18 @@ _SQL_DORMANT_RICH = """
 @register(
     "dormant_rich_customers",
     oracle=_SQL_DORMANT_RICH,
-    doc="TPC-H Q22 shape: above-average-balance customers with no "
-    "orders, per market segment. The average threshold is compared by "
-    "integer cross-multiplication (cents x n > total_cents) instead of "
-    "a float avg() — an order-dependent double average would make the "
+    doc="TPC-H Q22 shape: above-average-balance customers DORMANT "
+    "since 2000-01-01 (no orders on/after the cutoff), per market "
+    "segment. The average threshold is compared by integer cross-"
+    "multiplication (cents x n > total_cents) instead of a float "
+    "avg() — an order-dependent double average would make the "
     "boundary rows engine-dependent; this way the predicate is exact "
-    "at any parallelism. One-row aggregate cross-joined (broadcast), "
-    "then an anti join against orders. Identical ANSI text on both "
-    "engines.",
+    "at any parallelism. (Q22's literal 'no orders at all' is "
+    "vacuous on this corpus — every customer orders at sf<=0.1 — so "
+    "dormancy is a recency cutoff: 5/55/646 rows at "
+    "sf0.001/0.01/0.1.) One-row aggregate cross-joined (broadcast), "
+    "then an anti join against recent orders. Identical ANSI text on "
+    "both engines.",
     tags=("sql", "subquery", "join", "aggregation"),
 )
 def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3192,21 +3200,24 @@ def asof_join_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem l
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN region r1 ON r1.r_regionkey = n1.n_regionkey
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
     JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
-    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+    WHERE ((r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA')
+        OR (r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE'))
       AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01'
                            AND TIMESTAMP '1997-12-31'
     GROUP BY 1, 2, 3
     """,
     doc="TPC-H Q7 shape (volume shipping): revenue flowing between two "
-    "nations per year, via the 6-table chain lineitem-supplier-nation "
-    "x orders-customer-nation. The nation filters push through the "
-    "joins (Catalyst turns the OR-pair into semi-join-able IN sets); "
-    "nation is broadcast on both legs; money in exact cents. The "
-    "date range prunes the fact scan.",
+    "trading blocs per supplier/customer nation and year, via the "
+    "8-table chain lineitem-supplier-nation-region x orders-customer-"
+    "nation-region. Bloc filtering is at REGION granularity (nation "
+    "pairs are too sparse to guarantee rows at every test SF — sf0.001 "
+    "carries only 10 suppliers); nation+region are broadcast on both "
+    "legs; money in exact cents. The date range prunes the fact scan.",
     tags=("sql", "join", "aggregation"),
 )
 def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3220,11 +3231,20 @@ def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load(spark, sf_dir, "orders")
     cu = load(spark, sf_dir, "customer")
     na = load(spark, sf_dir, "nation")
-    n1 = na.select(
-        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    re = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    n1 = na.join(
+        F.broadcast(re), na.n_regionkey == re.r_regionkey
+    ).select(
+        F.col("n_nationkey").alias("s_nkey"),
+        F.col("n_name").alias("supp_nation"),
+        F.col("r_name").alias("supp_region"),
     )
-    n2 = na.select(
-        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    n2 = na.join(
+        F.broadcast(re), na.n_regionkey == re.r_regionkey
+    ).select(
+        F.col("n_nationkey").alias("c_nkey"),
+        F.col("n_name").alias("cust_nation"),
+        F.col("r_name").alias("cust_region"),
     )
     j = (
         li.join(su, li.l_suppkey == su.s_suppkey)
@@ -3234,12 +3254,12 @@ def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
         .filter(
             (
-                (F.col("supp_nation") == "NATION_1")
-                & (F.col("cust_nation") == "NATION_2")
+                (F.col("supp_region") == "EUROPE")
+                & (F.col("cust_region") == "ASIA")
             )
             | (
-                (F.col("supp_nation") == "NATION_2")
-                & (F.col("cust_nation") == "NATION_1")
+                (F.col("supp_region") == "ASIA")
+                & (F.col("cust_region") == "EUROPE")
             )
         )
     )
@@ -3272,7 +3292,7 @@ def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer c ON c.c_custkey = o.o_custkey
     JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
     JOIN region r ON r.r_regionkey = n1.n_regionkey
-    WHERE r.r_name = 'REGION_1' AND p.p_type = 'PROMO'
+    WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
     GROUP BY 1
     """,
     doc="TPC-H Q8 shape (national market share): within one region's "
@@ -3292,7 +3312,7 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load(spark, sf_dir, "orders")
     cu = load(spark, sf_dir, "customer")
     na = load(spark, sf_dir, "nation")
-    re = load(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_1")
+    re = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     n1 = na.select(
         F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
     )

@@ -674,7 +674,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ts_similarity_pairs",
     oracle="""
-    WITH hourly AS (
+    WITH sparse AS (
         SELECT event_type,
                CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
                extract(hour FROM ts) AS hr,
@@ -682,11 +682,20 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         GROUP BY 1, 2, 3
     ),
+    hourly AS (
+        SELECT sd.event_type, sd.day, h.hr,
+               coalesce(s.v_micro, 0) AS v_micro
+        FROM (SELECT DISTINCT event_type, day FROM sparse) sd
+        CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS hr) h
+        LEFT JOIN sparse s
+          ON s.event_type = sd.event_type AND s.day = sd.day
+         AND s.hr = h.hr
+    ),
     dist AS (
         SELECT a.event_type AS a_type, a.day AS a_day,
                b.event_type AS b_type, b.day AS b_day,
                sum((a.v_micro - b.v_micro) * (a.v_micro - b.v_micro))
-                   AS dist2_micro,
+                   AS dist2,
                count(*) AS n_hours
         FROM hourly a JOIN hourly b
           ON a.hr = b.hr
@@ -695,34 +704,53 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2, 3, 4
     )
     SELECT a_type, a_day, b_type, b_day,
-           CAST(dist2_micro AS BIGINT) AS dist2_micro,
+           CAST(dist2 AS DOUBLE) AS dist2_micro,
            CAST(n_hours AS BIGINT) AS n_hours
     FROM (SELECT *, row_number() OVER (
-              ORDER BY dist2_micro, a_type, a_day, b_type, b_day) AS rn
+              ORDER BY dist2, a_type, a_day, b_type, b_day) AS rn
           FROM dist WHERE n_hours = 24)
     WHERE rn <= 5
     """,
     doc="Time-series similarity search (EDBT'19/SIGMOD'20 family): each "
-    "(series, day) becomes a 24-point hourly profile; pairwise "
-    "Euclidean distance is an hour-keyed equi-join + grouped sum of "
-    "squared diffs in EXACT integer micro-units (longs — "
+    "(series, day) becomes a DENSE 24-point hourly profile (hours with "
+    "no events densified to 0 via a constant 24-row hour spine — an "
+    "earlier revision required 24 OBSERVED hours per profile, which no "
+    "sf0.001 profile satisfies, leaving the oracle vacuously green); "
+    "pairwise Euclidean distance is an hour-keyed equi-join + grouped "
+    "sum of squared diffs in EXACT integer micro-units folded as "
+    "DECIMAL(38,0) (squared hourly sums overflow int64 at sf0.1; "
+    "DuckDB's BIGINT sum promotes to HUGEINT identically — "
     "order-independent, no float summation drift); top-5 closest "
     "pairs with a total tie-break. Profiles are day-aggregated first "
     "(the event scan collapses ~3 orders of magnitude before any "
-    "pairing), and complete profiles only (n_hours=24) compare. At "
-    "large series counts the all-pairs stage swaps for the LSH/IVF "
-    "blocking of ann_lsh_topk/ann_ivf_topk — same distance kernel.",
+    "pairing). At large series counts the all-pairs stage swaps for "
+    "the LSH/IVF blocking of ann_lsh_topk/ann_ivf_topk — same "
+    "distance kernel.",
     tags=("timeseries", "similarity", "join", "topk"),
 )
 def ts_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    hourly = ev.groupBy(
+    sparse = ev.groupBy(
         "event_type",
         F.col("ts").cast("date").cast("string").alias("day"),
         F.hour("ts").alias("hr"),
     ).agg(
         F.sum(F.round(F.col("value") * 1000000).cast("bigint")).alias(
             "v_micro"
+        )
+    )
+    # densify: every (series, day) profile gets all 24 hour slots,
+    # absent hours as 0 — the spine crossJoin is a constant 24-row
+    # broadcast, so the profile table stays series-day x 24 sized
+    spine = spark.range(24).select(F.col("id").cast("int").alias("hr"))
+    hourly = (
+        sparse.select("event_type", "day")
+        .distinct()
+        .crossJoin(F.broadcast(spine))
+        .join(sparse, ["event_type", "day", "hr"], "left")
+        .select(
+            "event_type", "day", "hr",
+            F.coalesce(F.col("v_micro"), F.lit(0)).alias("v_micro"),
         )
     )
     a = hourly.select(
@@ -733,7 +761,11 @@ def ts_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("b_type"), F.col("day").alias("b_day"),
         "hr", F.col("v_micro").alias("b_v"),
     )
-    d = F.col("a_v") - F.col("b_v")
+    # squared micro-unit diffs overflow int64 at sf0.1 (hourly sums
+    # reach ~1e12 micro; (1e12)^2 >> 2^63) — fold in DECIMAL(38,0)
+    # (exact, order-independent; DuckDB's BIGINT sum promotes to
+    # HUGEINT the same way) and emit as double
+    d = (F.col("a_v") - F.col("b_v")).cast("decimal(38,0)")
     dist = (
         a.join(b, "hr")
         .filter(
@@ -745,19 +777,21 @@ def ts_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("a_type", "a_day", "b_type", "b_day")
         .agg(
-            F.sum(d * d).alias("dist2_micro"),
+            F.sum(d * d).alias("_dist2"),
             F.count(F.lit(1)).alias("n_hours"),
         )
         .filter(F.col("n_hours") == 24)
     )
     w = Window.orderBy(
-        "dist2_micro", "a_type", "a_day", "b_type", "b_day"
+        "_dist2", "a_type", "a_day", "b_type", "b_day"
     )
     return (
         dist.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select(
-            "a_type", "a_day", "b_type", "b_day", "dist2_micro", "n_hours"
+            "a_type", "a_day", "b_type", "b_day",
+            F.col("_dist2").cast("double").alias("dist2_micro"),
+            "n_hours",
         )
     )
 
