@@ -337,7 +337,27 @@ def test_fuzzy_probe_side_is_parallel_under_aqe(spark, sf_dir):
     df = run("fuzzy_name_pairs", spark, sf_dir)
     df.collect()  # materialize so the AQE final plan exists
     executed = df._jdf.queryExecution().executedPlan().toString()
-    assert "hashpartitioning(c_custkey" in executed
+    final = executed.split("== Initial Plan ==")[0]
+    assert "hashpartitioning(c_custkey" in final
+    # r4 advice: the exchange existing SOMEWHERE is not enough — if join
+    # selection ever built on the repartitioned side (BuildLeft), the
+    # probe would again be the raw single-file scan while the assertion
+    # above still passed (a's exchange sits under the BroadcastExchange).
+    # Lock the build-side identity ...
+    for line in final.splitlines():
+        if "BroadcastHashJoin" in line:
+            assert "BuildRight" in line, line
+    # ... and that no c_custkey repartition hides inside a broadcast
+    # subtree (deeper-indented lines below the BroadcastExchange node)
+    lines = final.splitlines()
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        depth = line.index("+-")
+        for sub in lines[i + 1:]:
+            if "+-" in sub and sub.index("+-") <= depth:
+                break
+            assert "hashpartitioning(c_custkey" not in sub, sub
 
 
 def test_triangle_orientation_broadcast_is_size_gated(

@@ -461,3 +461,55 @@ def test_streaming_session_windows_merge_and_split(spark, tmp_path):
         [1, "2024-01-01 00:02:00", "2024-01-01 00:02:30", 1],
         [2, "2024-01-01 00:00:10", "2024-01-01 00:00:40", 1],
     ]
+
+
+# ------------------------- fold_stats state transition, driver-free
+
+def test_fold_stats_multi_batch_fold():
+    """The (n, total) moment fold across several simulated micro-batches
+    must equal the batch aggregate over their concatenation — the pure
+    state transition behind RunningStatsProcessor, exercised without a
+    streaming query (the integration path needs protobuf, absent here)."""
+    import pandas as pd
+
+    from forex_data_pipeline_spark.streaming.stateful_v2 import fold_stats
+
+    batches = [
+        [pd.DataFrame({"value": [1.0, 2.5]})],
+        [pd.DataFrame({"value": [4.0]}), pd.DataFrame({"value": [0.5, 2.0]})],
+        [pd.DataFrame({"value": []})],
+    ]
+    state = (0, 0.0)
+    for arrow_batches in batches:
+        state = fold_stats(state, iter(arrow_batches))
+    assert state == (5, 10.0)
+
+
+def test_fold_stats_empty_batch_is_identity():
+    from forex_data_pipeline_spark.streaming.stateful_v2 import fold_stats
+
+    assert fold_stats((7, 3.25), iter([])) == (7, 3.25)
+
+
+def test_fold_stats_first_batch_no_state():
+    """First micro-batch for a key starts from the zero state (the
+    processor's `exists()` miss path)."""
+    import pandas as pd
+
+    from forex_data_pipeline_spark.streaming.stateful_v2 import fold_stats
+
+    n, total = fold_stats((0, 0.0), iter([pd.DataFrame({"value": [3.0]})]))
+    assert (n, total) == (1, 3.0)
+
+
+def test_stats_output_row_mean_and_empty_key():
+    from forex_data_pipeline_spark.streaming.stateful_v2 import (
+        stats_output_row,
+    )
+
+    row = stats_output_row(("click",), 4, 10.0)
+    assert row.iloc[0].tolist() == ["click", 4, 10.0, 2.5]
+    # n=0 (a key whose only batches were empty): mean must be NULL, not
+    # a ZeroDivisionError
+    zero = stats_output_row(("view",), 0, 0.0)
+    assert zero["mean_value"].isna().all()
