@@ -513,3 +513,62 @@ def test_stats_output_row_mean_and_empty_key():
     # a ZeroDivisionError
     zero = stats_output_row(("view",), 0, 0.0)
     assert zero["mean_value"].isna().all()
+
+
+def test_versioned_stream_merge_restart_is_time_travel_auditable(
+    spark, tmp_path
+):
+    """run_stream_merge_versioned: every micro-batch commit is a NEW
+    copy-on-write version, so restart recovery leaves an auditable
+    ledger — v0 holds the pre-restart snapshot, v1 the post-restart
+    merge, and a no-new-data restart mints NO version (the empty-batch
+    guard), keeping the ledger one-commit-per-real-batch."""
+    from forex_data_pipeline_spark.sources.writers import (
+        read_version,
+        table_versions,
+    )
+    from forex_data_pipeline_spark.streaming.candles_stream import (
+        run_stream_merge_versioned,
+    )
+
+    src = tmp_path / "vrestart_src"
+    src.mkdir()
+    tbl = str(tmp_path / "vrestart_tbl")
+    ckpt = str(tmp_path / "vrestart_ckpt")
+
+    b1 = pd.DataFrame(
+        {"k": [1, 2], "ts": pd.to_datetime(["2024-01-01"] * 2),
+         "v": [10, 20]}
+    )
+    sdf1 = spark.createDataFrame(b1).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    sdf1.coalesce(1).write.parquet(str(src / "f1"))
+
+    stream = spark.readStream.schema(sdf1.schema).parquet(str(src / "*"))
+    run_stream_merge_versioned(stream, tbl, ["k"], ckpt).awaitTermination()
+    assert table_versions(tbl) == [0]
+
+    # land an update file (k=2 -> 22, k=3 new), RESTART on the same
+    # checkpoint: only the new file is processed, committed as v1
+    b2 = pd.DataFrame(
+        {"k": [2, 3], "ts": pd.to_datetime(["2024-01-02"] * 2),
+         "v": [22, 30]}
+    )
+    spark.createDataFrame(b2).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).coalesce(1).write.parquet(str(src / "f2"))
+    stream2 = spark.readStream.schema(sdf1.schema).parquet(str(src / "*"))
+    run_stream_merge_versioned(stream2, tbl, ["k"], ckpt).awaitTermination()
+    assert table_versions(tbl) == [0, 1]
+
+    # time travel: the pre-restart snapshot is still readable as v0
+    v0 = read_version(spark, tbl, 0).orderBy("k").select("k", "v").toPandas()
+    assert v0.k.tolist() == [1, 2] and v0.v.tolist() == [10, 20]
+    v1 = read_version(spark, tbl, 1).orderBy("k").select("k", "v").toPandas()
+    assert v1.k.tolist() == [1, 2, 3] and v1.v.tolist() == [10, 22, 30]
+
+    # a restart with NOTHING new must not mint a version
+    stream3 = spark.readStream.schema(sdf1.schema).parquet(str(src / "*"))
+    run_stream_merge_versioned(stream3, tbl, ["k"], ckpt).awaitTermination()
+    assert table_versions(tbl) == [0, 1]
