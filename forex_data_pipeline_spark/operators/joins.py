@@ -106,6 +106,157 @@ def asof_join(
     return out.drop("_ts", "_src")
 
 
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    *,
+    suffix: str = "_asof",
+    strict: bool = False,
+    time_bucket: str = "1 day",
+) -> DataFrame:
+    """SKEW-AWARE backward as-of join: same semantics as
+    :func:`asof_join` (per value column, the latest NON-NULL right
+    value at-or-before — strictly-before when ``strict`` — each left
+    row), but the window partitions on ``(keys, time_bucket)`` instead
+    of keys alone, the same time-axis blocking ``range_join_bucketed``
+    applies to the value axis.
+
+    Why: ``asof_join`` sorts each key's ENTIRE history in one task —
+    correct, but a hot key (one symbol carrying 10% of a 100 TB feed)
+    becomes a single straggler task sorting billions of rows. Here a
+    key's rows spread across its time buckets (hot keys are hot because
+    they span/densely fill time), so no task ever sorts more than one
+    bucket of one key.
+
+    Cross-bucket lookback is restored by a CARRY-IN pass: per
+    ``(key, bucket)`` the latest non-null value of each column is
+    summarized (hash-agg, mergeable map-side), a bucket-ordered window
+    over those SUMMARY rows (keys x buckets — tiny) computes what each
+    bucket inherits from its past, and the carry rides into the
+    in-bucket window as a synthetic oldest row. Two shuffles
+    (bucket-keyed rows + summary window) instead of one, in exchange
+    for bounded task size; the per-column independence of the
+    ignorenulls fill is preserved exactly, so results are
+    row-identical to ``asof_join`` (property-tested).
+    """
+    on = list(on)
+    value_cols = list(value_cols)
+    # tags follow asof_join's backward convention: right first (0) for
+    # inclusive <=, left first for strict <
+    right_tag, left_tag = (1, 0) if strict else (0, 1)
+    carry_tag = -1  # sorts before every real row in the bucket
+
+    bucket = lambda ts: F.window(F.col(ts), time_bucket)["start"]  # noqa: E731
+
+    rb = right.withColumn("_bucket", bucket(right_ts))
+    # per (key, bucket): latest non-null value of EACH column
+    # independently (max_by skips rows whose ordering expr is NULL, so
+    # a trailing NULL value does not mask an older non-null one)
+    summary = rb.groupBy(*on, "_bucket").agg(
+        *[
+            F.max_by(
+                c, F.when(F.col(c).isNotNull(), F.col(right_ts))
+            ).alias(f"_s_{c}")
+            for c in value_cols
+        ]
+    )
+    # the carry spine must cover every bucket a LEFT row lands in, not
+    # just buckets where the right side has rows — a left-only bucket
+    # still inherits from its past (it just contributes no summary)
+    l_buckets = left.select(
+        *on, bucket(left_ts).alias("_bucket")
+    ).distinct()
+    spine = l_buckets.unionByName(
+        summary.select(*on, "_bucket")
+    ).distinct()
+    summary = spine.join(summary, [*on, "_bucket"], "left")
+    # what each bucket inherits from strictly-earlier buckets: per
+    # column, the most recent bucket's non-null summary
+    wc = (
+        Window.partitionBy(*on)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = summary.select(
+        *on,
+        "_bucket",
+        *[
+            F.last(f"_s_{c}", ignorenulls=True).over(wc).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    )
+
+    lcols = [c for c in left.columns]
+    l = left.select(
+        *on,
+        F.col(left_ts).alias("_ts"),
+        F.lit(left_tag).alias("_src"),
+        *[F.col(c) for c in lcols if c not in on and c != left_ts],
+        F.col(left_ts),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    ).withColumn("_bucket", bucket(left_ts))
+    r = rb.select(
+        *on,
+        "_bucket",
+        F.col(right_ts).alias("_ts"),
+        F.lit(right_tag).alias("_src"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+            if c not in on and c != left_ts
+        ],
+        F.lit(None).cast(left.schema[left_ts].dataType).alias(left_ts),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+    )
+    c_rows = carry.select(
+        *on,
+        "_bucket",
+        F.lit(None).cast(l.schema["_ts"].dataType).alias("_ts"),
+        F.lit(carry_tag).alias("_src"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+            if c not in on and c != left_ts
+        ],
+        F.lit(None).cast(left.schema[left_ts].dataType).alias(left_ts),
+        *[F.col(f"{c}{suffix}") for c in value_cols],
+    )
+    unioned = l.select(r.columns).unionByName(r).unionByName(c_rows)
+
+    # NULL _ts sorts first under asc_nulls_first: the carry row is the
+    # oldest thing in its bucket by construction
+    w = (
+        Window.partitionBy(*on, "_bucket")
+        .orderBy(F.col("_ts").asc_nulls_first(), "_src")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fill = [
+        F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"_f_{c}")
+        for c in value_cols
+    ]
+    filled = unioned.select(*unioned.columns, *fill)
+    out = filled.filter(F.col("_src") == left_tag)
+    for c in value_cols:
+        out = out.drop(f"{c}{suffix}").withColumnRenamed(
+            f"_f_{c}", f"{c}{suffix}"
+        )
+    # same column order as asof_join: keys, non-ts left cols, left ts,
+    # suffixed values
+    return out.drop("_ts", "_src", "_bucket").select(
+        *on,
+        *[c for c in lcols if c not in on and c != left_ts],
+        left_ts,
+        *[f"{c}{suffix}" for c in value_cols],
+    )
+
+
 def range_join(
     facts: DataFrame,
     bands: DataFrame,

@@ -278,6 +278,48 @@ def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_join_skew_bucketed",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, p.value AS purchase_value,
+           (SELECT arg_max(c.value, c.ts) FROM events c
+            WHERE c.event_type = 'click'
+              AND c.user_id = p.user_id
+              AND c.ts <= p.ts) AS value_last_click
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+    doc="SKEW-AWARE as-of join (operators/joins.py asof_join_bucketed): "
+    "identical semantics and oracle as asof_join_purchases, but the "
+    "alignment window partitions on (user_id, day-bucket) with a "
+    "carry-in pass restoring cross-bucket lookback — so a hot key's "
+    "history sort spreads over its time buckets instead of one "
+    "straggler task (the plain form's per-key sort is the scale risk "
+    "the r3/r4 verdicts flagged). Two bounded shuffles replace one "
+    "unbounded-task shuffle; row-parity with the plain form is "
+    "property-tested (tests/test_properties.py) and both hit the same "
+    "DuckDB oracle here.",
+    tags=("join", "timeseries", "window", "skew"),
+)
+def asof_join_skew_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import asof_join_bucketed
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join_bucketed(
+        purchases, clicks, ["user_id"], "ts", "ts", ["value"],
+        suffix="_last_click", time_bucket="1 day",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "purchase_value", "value_last_click"
+    )
+
+
+@register(
     "range_join_price_bands",
     oracle="""
     SELECT b.band, count(*) AS n_parts,

@@ -399,3 +399,23 @@ def test_triangle_wedge_join_has_no_cartesian(spark, sf_dir):
     plan = plan_of(run("triangle_count_part_graph", spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_bucketed_window_partitions_on_time_bucket(spark, sf_dir):
+    """The skew-aware as-of join's FILL window (the one sorting real
+    row history) must partition on (key, _bucket), not key alone —
+    key-only partitioning is exactly the hot-key straggler the variant
+    exists to remove. The key-only exchange that remains belongs to the
+    tiny per-bucket summary window (keys x buckets rows), which is the
+    intended shape."""
+    import re
+
+    df = run("asof_join_skew_bucketed", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    fill_windows = [
+        line for line in plan.splitlines()
+        if "windowspecdefinition" in line and "_ts" in line
+    ]
+    assert fill_windows, "fill window not found in plan"
+    for line in fill_windows:
+        assert re.search(r"windowspecdefinition\(user_id#\d+L?, _bucket#", line), line

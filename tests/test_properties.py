@@ -255,3 +255,64 @@ def test_l2sq_unrolled_is_bit_identical_to_fold(spark, vecs):
     ).collect()
     for r in rows:
         assert r.fold == r.unrolled  # bitwise, no tolerance
+
+
+@given(
+    left_rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=400000),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    right_rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=400000),
+            st.one_of(
+                st.none(), st.integers(min_value=-100, max_value=100)
+            ),
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    strict=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_asof_join_bucketed_matches_plain(
+    spark, left_rows, right_rows, strict
+):
+    """The skew-aware (key, time-bucket)-partitioned as-of join must be
+    row-identical to the plain keys-only form on arbitrary inputs —
+    equal timestamps, NULL right values (the per-column ignorenulls
+    carry), left rows before any right row, keys missing from one side,
+    and bucket boundaries crossing between a left row and its match (a
+    1-minute bucket over a ~4.6-day spread forces real carry-ins)."""
+    from forex_data_pipeline_spark.operators.joins import asof_join_bucketed
+
+    lpdf = pd.DataFrame(left_rows, columns=["k", "ts"])
+    lpdf["lts"] = pd.to_datetime(lpdf.pop("ts"), unit="s")
+    lpdf["lid"] = range(len(lpdf))
+    rpdf = pd.DataFrame(right_rows, columns=["k", "ts", "val"])
+    rpdf["rts"] = pd.to_datetime(rpdf.pop("ts"), unit="s")
+    rpdf["val"] = rpdf["val"].astype("float64")
+    l, r = spark.createDataFrame(lpdf), spark.createDataFrame(
+        rpdf[["k", "rts", "val"]]
+    )
+
+    kwargs = dict(
+        on=["k"], left_ts="lts", right_ts="rts",
+        value_cols=["val"], strict=strict,
+    )
+    base = asof_join(l, r, **kwargs).orderBy("lid").toPandas()
+    bucketed = (
+        asof_join_bucketed(l, r, time_bucket="1 minute", **kwargs)
+        .orderBy("lid")
+        .toPandas()
+    )
+    assert list(bucketed.columns) == list(base.columns)
+    b_vals = [None if pd.isna(v) else v for v in base["val_asof"]]
+    k_vals = [None if pd.isna(v) else v for v in bucketed["val_asof"]]
+    assert b_vals == k_vals
