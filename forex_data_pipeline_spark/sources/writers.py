@@ -367,3 +367,37 @@ def merge_versioned(
     remaining = base.join(updates.select(*keys).distinct(), list(keys), "left_anti")
     merged = remaining.unionByName(updates)
     return write_version(merged, table_dir)
+
+
+def vacuum_versions(table_dir: str, keep_last: int = 2) -> "list[int]":
+    """Retention for the copy-on-write ledger (the VACUUM half of time
+    travel): drop all but the newest ``keep_last`` committed versions,
+    returning the versions removed. Without this a streaming versioned
+    sink accumulates one full snapshot per micro-batch forever — at
+    scale the ledger's storage is bounded by ``keep_last`` x table
+    size, the same knob as Delta's retention window.
+
+    The committed latest is never removable (``keep_last`` >= 1
+    enforced); STALE orphan dirs (a crashed writer below the committed
+    latest) are swept too, but dirs NEWER than the manifest are left
+    alone — one may be an in-flight write that has not flipped the
+    manifest yet. The manifest always points at a surviving version
+    throughout, so a reader resolving it never loses its snapshot to
+    this call's ordering."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    cur = latest_version(table_dir)
+    if cur is None:
+        return []
+    committed = [v for v in table_versions(table_dir) if v <= cur]
+    keep = set(committed[-keep_last:]) | {cur}
+    removed = []
+    for d in os.listdir(table_dir):
+        if not d.startswith("v="):
+            continue
+        v = int(d.split("=", 1)[1])
+        if v in keep or v > cur:
+            continue
+        shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
+        removed.append(v)
+    return sorted(removed)

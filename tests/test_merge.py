@@ -253,3 +253,48 @@ def test_versioned_writes_time_travel(spark, sf_dir, tmp_path):
     os.makedirs(f"{table}/v=99", exist_ok=True)
     assert latest_version(table) == 1
     assert read_version(spark, table).count() == nat.count()
+
+
+def test_vacuum_versions_retention(spark, sf_dir, tmp_path):
+    """vacuum_versions drops all but the newest keep_last committed
+    snapshots plus stale sub-manifest orphans, never touches the
+    committed latest or dirs newer than the manifest (a possibly
+    in-flight write), and the survivors stay readable."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from forex_data_pipeline_spark.sources.writers import (
+        latest_version,
+        read_version,
+        table_versions,
+        vacuum_versions,
+        write_version,
+    )
+    from forex_data_pipeline_spark.tables import load
+
+    table = str(tmp_path / "vacuumed")
+    nat = load(spark, sf_dir, "nation")
+    for i in range(4):  # v0..v3
+        write_version(nat.withColumn("rev", F.lit(i)), table)
+    # a stale orphan below the manifest (crashed writer, then a later
+    # successful commit reused a higher number) and a fresh orphan
+    # above it (in-flight writer)
+    os.makedirs(f"{table}/v=98", exist_ok=False)  # > latest: in-flight
+    assert latest_version(table) == 3
+
+    removed = vacuum_versions(table, keep_last=2)
+    assert removed == [0, 1]
+    assert table_versions(table) == [2, 3, 98]  # 98 untouched
+    assert latest_version(table) == 3
+    assert read_version(spark, table).count() == nat.count()
+    assert read_version(spark, table, 2).count() == nat.count()
+
+    # keep_last clamps at the committed latest
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        vacuum_versions(table, keep_last=0)
+
+    # empty ledger is a no-op
+    assert vacuum_versions(str(tmp_path / "nothere")) == []
