@@ -62,6 +62,9 @@ HEADLINE: tuple[str, ...] = (
     "ann_pq_topk",
     "incremental_minhash_dedup",
     "triangle_count_part_graph",
+    # round-5 additions: skew-aware as-of + corpus boilerplate dedup
+    "asof_join_skew_bucketed",
+    "boilerplate_prefix_groups",
 )
 
 #: The round-1 headline set (BENCH_r01.json) — emitted as a separate
