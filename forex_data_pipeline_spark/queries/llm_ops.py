@@ -1786,10 +1786,11 @@ def ngram_lm_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(list_filter(embedding, e -> e > 0)) AS BIGINT)
                AS n_positive,
            CAST(list_aggregate(list_transform(embedding,
-               e -> abs(CAST(round(e * 1000) AS BIGINT))), 'sum') AS BIGINT)
-               AS l1_milli,
+               e -> abs(CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT))),
+               'sum') AS BIGINT) AS l1_milli,
            list_aggregate(list_transform(embedding,
-               e -> CAST(round(e * 1000) AS BIGINT)), 'max') AS max_milli,
+               e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)),
+               'max') AS max_milli,
            len(list_filter(embedding, e -> abs(e) > 0.15)) > 0
                AS has_large_component
     FROM embeddings
@@ -1805,8 +1806,13 @@ def ngram_lm_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def array_higher_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load(spark, sf_dir, "embeddings")
+    # the element is float32: BOTH engines must promote to double
+    # BEFORE the x1000 — DuckDB otherwise multiplies in float where
+    # 0.3195f*1000 is exactly 319.5f (rounds 320) while double math
+    # gives 319.4999... (rounds 319); one sf0.1 vector hits this
     milli = F.transform(
-        F.col("embedding"), lambda e: F.round(e * 1000).cast("bigint")
+        F.col("embedding"),
+        lambda e: F.round(e.cast("double") * 1000).cast("bigint"),
     )
     return em.select(
         "vec_id",

@@ -55,12 +55,19 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from pyspark.sql import SparkSession
 
-    spark = (
+    builder = (
         SparkSession.builder.master("local[16]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # The driver-faithful session keeps Spark's 1g default heap — right
+    # for the driver's sf0.01 runs. Full-catalog runs at sf0.1 need
+    # more (1g across 16 threads is ~64 MB/task; triangle counting
+    # OOMs): SPARK_SIM_MEM=4g lifts it without touching anything else.
+    mem = os.environ.get("SPARK_SIM_MEM")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    spark = builder.getOrCreate()
     import __spark_entry__ as ent
 
     n = len(ent.entry(spark).collect())
