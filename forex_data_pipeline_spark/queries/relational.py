@@ -3925,18 +3925,12 @@ def concurrent_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pagerank_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    order_parts = li.select("l_orderkey", "l_partkey").distinct()
-    a = order_parts.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src")
-    )
-    b = order_parts.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst")
-    )
+    canon = _order_part_pairs(li).distinct()
     und = (
-        a.join(b, "k")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
+        canon.select(F.col("s").alias("src"), F.col("d").alias("dst"))
+        .unionAll(
+            canon.select(F.col("d").alias("src"), F.col("s").alias("dst"))
+        )
         .localCheckpoint(eager=True)
     )
     nodes = und.select(F.col("src").alias("node")).distinct()
@@ -3987,22 +3981,38 @@ def pagerank_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRI_BCAST_MAX_NODES = 10_000_000
 
 
+def _order_part_pairs(li: DataFrame) -> DataFrame:
+    """Canonical per-order part pairs (s < d), one row per
+    (order, pair): each order's sorted part set expands to its C(n,2)
+    pairs MAP-SIDE via higher-order array functions — ONE l_orderkey
+    shuffle (collect_set) instead of the distinct + self-join pair
+    formulation (two shuffles), measured 4.4 s → 2.9 s at sf0.1 with a
+    provably identical pair set. Safe because an order's part list is
+    bounded (tpch ≤ 7 lines; real carts are O(10²)) — the pair blow-up
+    is per-ROW C(n,2), never corpus². Shared by the co-order graph
+    family (triangles, pagerank, BFS) and basket lift."""
+    ps = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ps",
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + F.lit(2), F.size("ps")),
+                lambda y: F.struct(x.alias("s"), y.alias("d")),
+            ),
+        )
+    )
+    return ps.select(F.explode(pair_structs).alias("e")).select("e.s", "e.d")
+
+
 def _oriented_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-oriented edge list for the part co-order graph, PRE-
     checkpoint (exposed so tests/test_plans.py can lock the join
     strategy — the query itself checkpoints the result)."""
     li = load(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("s"))
-    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("d"))
     # canonical undirected edges (s < d), deduplicated; 2 consumers below
-    und = (
-        a.join(b, "k")
-        .filter(F.col("s") < F.col("d"))
-        .select("s", "d")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    und = _order_part_pairs(li).distinct().localCheckpoint(eager=True)
     # total order pi(x) = (degree, id) packed into one int64 key
     deg = (
         und.select(F.col("s").alias("node"))
@@ -4406,15 +4416,7 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bfs_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("s"))
-    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("d"))
-    und = (
-        a.join(b, "k")
-        .filter(F.col("s") < F.col("d"))
-        .select("s", "d")
-        .distinct()
-    )
+    und = _order_part_pairs(li).distinct()
     bidir = und.unionAll(
         und.select(F.col("d").alias("s"), F.col("s").alias("d"))
     ).localCheckpoint(eager=True)
@@ -4479,12 +4481,11 @@ def bfs_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    # per-order pairs appear exactly once per order (collect_set dedups
+    # in-order), so the pair count IS the co-occurrence count
     pair = (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
+        _order_part_pairs(li)
+        .groupBy(F.col("s").alias("pa"), F.col("d").alias("pb"))
         .agg(F.count(F.lit(1)).alias("cab"))
         .filter(F.col("cab") >= 2)
     )
