@@ -3512,3 +3512,161 @@ def boilerplate_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@register(
+    "embedding_covariance_moments",
+    oracle="""
+    WITH el AS (
+        SELECT vec_id, u.idx, u.m FROM (
+            SELECT vec_id,
+                   unnest(list_transform(embedding, (e, i) -> struct_pack(
+                       idx := CAST(i AS BIGINT) - 1,
+                       m := CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)
+                   ))) AS u
+            FROM embeddings)
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+    s AS (SELECT idx, CAST(CAST(sum(m) AS BIGINT) AS BIGINT) AS sm
+          FROM el GROUP BY idx),
+    cr AS (SELECT a.idx AS i, b.idx AS j,
+                  CAST(CAST(sum(a.m * b.m) AS BIGINT) AS BIGINT) AS s_ij
+           FROM el a JOIN el b
+             ON a.vec_id = b.vec_id AND a.idx <= b.idx
+           GROUP BY 1, 2)
+    SELECT cr.i, cr.j, cr.s_ij,
+           si.sm AS s_i, sj.sm AS s_j, nn.n,
+           CAST(CAST(nn.n * cr.s_ij - si.sm * sj.sm AS BIGINT) AS DOUBLE)
+               / (CAST(nn.n AS DOUBLE) * nn.n) AS cov_milli2
+    FROM cr
+    JOIN s si ON si.idx = cr.i
+    JOIN s sj ON sj.idx = cr.j
+    CROSS JOIN nn
+    """,
+    doc="Distributed covariance of the embedding corpus as EXACT "
+    "integer moments - the aggregation half of scalable PCA/whitening "
+    "(compute XtX + column sums in one pass; eigendecompose the tiny "
+    "dim x dim result driver-side). Each vector expands to its "
+    "upper-triangle outer-product cells MAP-SIDE (same higher-order "
+    "array expansion as the co-order pair family - no self-join, no "
+    "explode x explode shuffle); the only shuffle carries dim(dim+1)/2 "
+    "= 2080 partial-sum cells per partition. Elements are double-"
+    "promoted then milli-quantized (float32 corpus; integer products "
+    "sum exactly, order-independent - n*s_ij and s_i*s_j stay under "
+    "2^63 here; DECIMAL(38) is the drop-in at 100 TB). cov_milli2 = "
+    "(n*s_ij - s_i*s_j)/n^2 is ONE exact-int-to-double cast and one "
+    "correctly-rounded division - bit-identical on both engines.",
+    tags=("llm", "vector", "aggregation", "stats"),
+)
+def embedding_covariance_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    milli = F.transform(
+        "embedding",
+        lambda e: F.round(e.cast("double") * 1000).cast("bigint"),
+    )
+    mv = emb.select(milli.alias("m"))
+    # upper-triangle outer product, map-side per vector
+    cells = F.flatten(
+        F.transform(
+            "m",
+            lambda x, i: F.transform(
+                F.slice(F.col("m"), i + F.lit(1), F.size("m")),
+                lambda y, j: F.struct(
+                    i.cast("bigint").alias("i"),
+                    (i + j).cast("bigint").alias("j"),
+                    (x * y).alias("p"),
+                ),
+            ),
+        )
+    )
+    cr = (
+        mv.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+        .agg(F.sum("c.p").alias("s_ij"))
+    )
+    el = emb.select(F.posexplode(milli).alias("idx", "m"))
+    s = el.groupBy(F.col("idx").cast("bigint").alias("idx")).agg(
+        F.sum("m").alias("sm")
+    )
+    nn = emb.agg(F.count(F.lit(1)).alias("n"))
+    si = s.select(F.col("idx").alias("i"), F.col("sm").alias("s_i"))
+    sj = s.select(F.col("idx").alias("j"), F.col("sm").alias("s_j"))
+    out = (
+        cr.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .crossJoin(F.broadcast(nn))
+    )
+    cov = (
+        (F.col("n") * F.col("s_ij") - F.col("s_i") * F.col("s_j"))
+        .cast("bigint")
+        .cast("double")
+        / (F.col("n").cast("double") * F.col("n"))
+    )
+    return out.select(
+        "i", "j", "s_ij", "s_i", "s_j", "n", cov.alias("cov_milli2")
+    )
+
+
+@register(
+    "embedding_pca_project",
+    # No oracle: eigendecomposition has no DuckDB twin. Rows-only here;
+    # tests/test_llm_ops.py cross-checks the projection against a pure
+    # numpy PCA on the same corpus.
+    doc="Scalable PCA projection (the dimensionality-reduction / "
+    "whitening stage of an embedding pipeline): the exact integer "
+    "moment cells of embedding_covariance_moments collapse to the "
+    "dim x dim covariance DRIVER-side (2080 cells - constant, "
+    "data-independent), numpy.linalg.eigh extracts the top-2 "
+    "components (sign-fixed: largest-|coefficient| coordinate "
+    "positive), and the projection matrix rides back as a BROADCAST "
+    "literal evaluated with zip_with/aggregate folds - one map-side "
+    "pass over the corpus, no shuffle, no Python on executors. At "
+    "100 TB only the moment aggregation sees data; the eigh input "
+    "never grows.",
+    tags=("llm", "vector", "similarity"),
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..catalog import REGISTRY
+
+    cells = REGISTRY["embedding_covariance_moments"].fn(
+        spark, sf_dir
+    ).toPandas()
+    d = int(max(cells.i.max(), cells.j.max())) + 1
+    n = float(cells.n.iloc[0])
+    cov = np.zeros((d, d))
+    cov[cells.i, cells.j] = cells.cov_milli2
+    cov[cells.j, cells.i] = cells.cov_milli2
+    mean_milli = np.zeros(d)
+    diag = cells[cells.i == cells.j]
+    mean_milli[diag.i] = diag.s_i / n
+    _, vecs = np.linalg.eigh(cov)
+    top = vecs[:, ::-1][:, :2].copy()
+    for k in range(2):
+        m = int(np.argmax(np.abs(top[:, k])))
+        if top[m, k] < 0:
+            top[:, k] = -top[:, k]
+
+    emb = load(spark, sf_dir, "embeddings")
+    centered = F.zip_with(
+        F.transform(
+            "embedding",
+            lambda e: F.round(e.cast("double") * 1000).cast("double"),
+        ),
+        F.array(*[F.lit(float(v)) for v in mean_milli]),
+        lambda m, mu: m - mu,
+    )
+    with_c = emb.select("vec_id", centered.alias("c"))
+
+    def proj(k: int):
+        comp = F.array(*[F.lit(float(v)) for v in top[:, k]])
+        return F.aggregate(
+            F.zip_with(F.col("c"), comp, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return with_c.select(
+        "vec_id", proj(0).alias("pc1"), proj(1).alias("pc2")
+    )

@@ -184,3 +184,41 @@ def test_near_dup_lsh_precision_and_recall(spark, sf_dir):
         assert abs(v - exact[k]) <= 1e-6, (k, v, exact[k])
     recall = len(lsh) / len(exact)
     assert recall >= 0.3, f"near-dup LSH recall {recall:.2f}"
+
+
+def test_pca_projection_matches_numpy(spark, sf_dir):
+    """embedding_pca_project must agree with a straight numpy PCA on
+    the same milli-quantized corpus: identical covariance (exact
+    moments), same top-2 subspace, and per-vector coordinates equal to
+    tight tolerance (the Spark fold and numpy dot differ only in float
+    summation order)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    X = np.round(
+        np.stack(emb.sort_values("vec_id").embedding.to_numpy()).astype(
+            np.float64
+        ) * 1000
+    )
+    Xc = X - X.mean(axis=0)
+    cov = (Xc.T @ Xc) / len(X)  # population covariance, milli^2
+    _, vecs = np.linalg.eigh(cov)
+    top = vecs[:, ::-1][:, :2].copy()
+    for k in range(2):
+        m = int(np.argmax(np.abs(top[:, k])))
+        if top[m, k] < 0:
+            top[:, k] = -top[:, k]
+    expected = Xc @ top
+
+    got = (
+        catalog.REGISTRY["embedding_pca_project"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(X)
+    np.testing.assert_allclose(
+        got[["pc1", "pc2"]].to_numpy(), expected, rtol=1e-9, atol=1e-6
+    )
