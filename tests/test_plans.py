@@ -419,3 +419,18 @@ def test_asof_bucketed_window_partitions_on_time_bucket(spark, sf_dir):
     assert fill_windows, "fill window not found in plan"
     for line in fill_windows:
         assert re.search(r"windowspecdefinition\(user_id#\d+L?, _bucket#", line), line
+
+
+def test_covariance_moments_shuffles_cells_not_vectors(spark, sf_dir):
+    """embedding_covariance_moments must keep the outer-product
+    expansion map-side: no join before the cell aggregation (the cells
+    come from a per-row array expansion, not an explode x explode
+    self-join), partial aggregation before the one data shuffle, and
+    every post-agg join (per-dim sums, corpus count) broadcast — the
+    plan whose shuffle carries dim(dim+1)/2 cells, not the corpus."""
+    plan = plan_of(run("embedding_covariance_moments", spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan        # dim sums + n ride broadcasts
+    assert plan.count("HashAggregate") >= 2   # partial + final on cells
