@@ -3670,3 +3670,92 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_c.select(
         "vec_id", proj(0).alias("pc1"), proj(1).alias("pc2")
     )
+
+
+@register(
+    "embedding_quality_checks",
+    oracle="""
+    WITH mode_dim AS (
+        SELECT len(embedding) AS d FROM embeddings
+        GROUP BY 1 ORDER BY count(*) DESC, d LIMIT 1
+    ),
+    per_vec AS (
+        SELECT vec_id,
+               len(embedding) AS dim,
+               len(list_filter(embedding, e -> isnan(e))) > 0 AS has_nan,
+               len(list_filter(embedding,
+                   e -> abs(e) = CAST('Infinity' AS DOUBLE))) > 0 AS has_inf,
+               len(list_filter(embedding, e -> e != 0.0)) = 0 AS zero_vec
+        FROM embeddings
+    )
+    SELECT check_name, n_violations FROM (
+        SELECT 'wrong_dim' AS check_name,
+               CAST(count(*) FILTER (dim != (SELECT d FROM mode_dim))
+                    AS BIGINT) AS n_violations, 0 AS ord
+        FROM per_vec
+        UNION ALL
+        SELECT 'has_nan', CAST(count(*) FILTER (has_nan) AS BIGINT), 1
+        FROM per_vec
+        UNION ALL
+        SELECT 'has_inf', CAST(count(*) FILTER (has_inf) AS BIGINT), 2
+        FROM per_vec
+        UNION ALL
+        SELECT 'zero_vector', CAST(count(*) FILTER (zero_vec) AS BIGINT), 3
+        FROM per_vec
+        UNION ALL
+        SELECT '__n_vectors', CAST(count(*) AS BIGINT), 4 FROM per_vec
+    ) ORDER BY ord
+    """,
+    doc="Data-quality gate for the embedding corpus — the dbt-test "
+    "discipline (SURVEY §2.12) extended to the vector column the ANN/"
+    "dedup family consumes: dimension drift vs the corpus mode, NaN / "
+    "Infinity elements (which silently poison every cosine and L2 "
+    "kernel downstream), and zero vectors (undefined cosine). One "
+    "map-side pass with higher-order predicates folded into ONE "
+    "aggregation — no explode, no shuffle before the 5-row rollup. "
+    "The __n_vectors row keeps the oracle non-vacuous when a clean "
+    "corpus yields zero violations.",
+    tags=("llm", "vector", "quality"),
+)
+def embedding_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    inf = F.lit(float("inf"))
+    per = emb.select(
+        F.size("embedding").alias("dim"),
+        F.exists("embedding", lambda e: F.isnan(e)).alias("has_nan"),
+        F.exists("embedding", lambda e: F.abs(e) == inf).alias("has_inf"),
+        (~F.exists("embedding", lambda e: e != 0.0)).alias("zero_vec"),
+    )
+    mode_dim = (
+        per.groupBy("dim")
+        .count()
+        .orderBy(F.col("count").desc(), "dim")
+        .limit(1)
+        .select(F.col("dim").alias("mode_d"))
+    )
+    agg = per.crossJoin(F.broadcast(mode_dim)).agg(
+        F.count_if(F.col("dim") != F.col("mode_d")).alias("wrong_dim"),
+        F.count_if("has_nan").alias("has_nan"),
+        F.count_if("has_inf").alias("has_inf"),
+        F.count_if("zero_vec").alias("zero_vector"),
+        F.count(F.lit(1)).alias("__n_vectors"),
+    )
+    rows = [
+        ("wrong_dim", "wrong_dim"),
+        ("has_nan", "has_nan"),
+        ("has_inf", "has_inf"),
+        ("zero_vector", "zero_vector"),
+        ("__n_vectors", "__n_vectors"),
+    ]
+    stacked = agg.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(name).alias("check_name"),
+                    F.col(col).cast("bigint").alias("n_violations"),
+                )
+                for name, col in rows
+            ])
+        ).alias("r")
+    )
+    return stacked.select("r.check_name", "r.n_violations")
