@@ -3759,3 +3759,84 @@ def embedding_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     )
     return stacked.select("r.check_name", "r.n_violations")
+
+
+@register(
+    "incremental_covariance_update",
+    oracle="""
+    WITH el AS (
+        SELECT vec_id, u.idx, u.m FROM (
+            SELECT vec_id,
+                   unnest(list_transform(embedding, (e, i) -> struct_pack(
+                       idx := CAST(i AS BIGINT) - 1,
+                       m := CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)
+                   ))) AS u
+            FROM embeddings)
+    )
+    SELECT a.idx AS i, b.idx AS j,
+           CAST(CAST(sum(a.m * b.m) AS BIGINT) AS BIGINT) AS s_ij,
+           CAST(count(DISTINCT a.vec_id) AS BIGINT) AS n
+    FROM el a JOIN el b
+      ON a.vec_id = b.vec_id AND a.idx <= b.idx
+    GROUP BY 1, 2
+    """,
+    doc="INCREMENTAL covariance maintenance - the moment cells are a "
+    "commutative monoid (n, s_i, s_ij add), so growing a training "
+    "corpus never recomputes the base: the corpus splits into a "
+    "'base' (vec_id hash-thinned ~90%) and a 'delta' batch, each side "
+    "aggregates its own cells INDEPENDENTLY, and the merged state is "
+    "a cell-wise SUM of the two constant-size states (4 krows each) - "
+    "the same never-reshuffle-the-corpus design as "
+    "incremental_minhash_dedup, and the maintenance story behind "
+    "embedding_pca_project (refresh PCA per ingest without a full "
+    "pass). The oracle computes the same cells over the WHOLE corpus "
+    "in one shot; hash-equality proves merge associativity "
+    "cross-engine (exact integers - float moments would drift under "
+    "reassociation).",
+    tags=("llm", "vector", "aggregation", "incremental"),
+)
+def incremental_covariance_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    milli = F.transform(
+        "embedding",
+        lambda e: F.round(e.cast("double") * 1000).cast("bigint"),
+    )
+    # deterministic split: ~90% base corpus, ~10% newly-arrived delta
+    is_delta = (F.col("vec_id") * F.lit(2654435761)) % 10 == 0
+
+    def cells_of(df: DataFrame) -> DataFrame:
+        mv = df.select(milli.alias("m"))
+        cells = F.flatten(
+            F.transform(
+                "m",
+                lambda x, i: F.transform(
+                    F.slice(F.col("m"), i + F.lit(1), F.size("m")),
+                    lambda y, j: F.struct(
+                        i.cast("bigint").alias("i"),
+                        (i + j).cast("bigint").alias("j"),
+                        (x * y).alias("p"),
+                    ),
+                ),
+            )
+        )
+        return (
+            mv.select(F.explode(cells).alias("c"))
+            .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+            .agg(
+                F.sum("c.p").alias("s_ij"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    base = cells_of(emb.filter(~is_delta))
+    delta = cells_of(emb.filter(is_delta))
+    # monoid merge: cell-wise addition of the two independent states
+    merged = (
+        base.unionByName(delta)
+        .groupBy("i", "j")
+        .agg(
+            F.sum("s_ij").alias("s_ij"),
+            F.sum("n").alias("n"),
+        )
+    )
+    return merged.select("i", "j", "s_ij", "n")
