@@ -3761,6 +3761,41 @@ def embedding_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stacked.select("r.check_name", "r.n_violations")
 
 
+def _moment_cells(df: DataFrame) -> DataFrame:
+    """The mergeable covariance moment state of an embedding frame:
+    upper-triangle outer-product cells (i, j, s_ij, n) in exact milli
+    units, expanded map-side per vector (no self-join) and aggregated
+    behind one dim(dim+1)/2-cell shuffle. States from disjoint batches
+    merge by cell-wise addition — the monoid the incremental and
+    streaming covariance paths rely on."""
+    milli = F.transform(
+        "embedding",
+        lambda e: F.round(e.cast("double") * 1000).cast("bigint"),
+    )
+    mv = df.select(milli.alias("m"))
+    cells = F.flatten(
+        F.transform(
+            "m",
+            lambda x, i: F.transform(
+                F.slice(F.col("m"), i + F.lit(1), F.size("m")),
+                lambda y, j: F.struct(
+                    i.cast("bigint").alias("i"),
+                    (i + j).cast("bigint").alias("j"),
+                    (x * y).alias("p"),
+                ),
+            ),
+        )
+    )
+    return (
+        mv.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+        .agg(
+            F.sum("c.p").alias("s_ij"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 @register(
     "incremental_covariance_update",
     oracle="""
@@ -3797,39 +3832,11 @@ def embedding_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def incremental_covariance_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    milli = F.transform(
-        "embedding",
-        lambda e: F.round(e.cast("double") * 1000).cast("bigint"),
-    )
     # deterministic split: ~90% base corpus, ~10% newly-arrived delta
     is_delta = (F.col("vec_id") * F.lit(2654435761)) % 10 == 0
 
-    def cells_of(df: DataFrame) -> DataFrame:
-        mv = df.select(milli.alias("m"))
-        cells = F.flatten(
-            F.transform(
-                "m",
-                lambda x, i: F.transform(
-                    F.slice(F.col("m"), i + F.lit(1), F.size("m")),
-                    lambda y, j: F.struct(
-                        i.cast("bigint").alias("i"),
-                        (i + j).cast("bigint").alias("j"),
-                        (x * y).alias("p"),
-                    ),
-                ),
-            )
-        )
-        return (
-            mv.select(F.explode(cells).alias("c"))
-            .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
-            .agg(
-                F.sum("c.p").alias("s_ij"),
-                F.count(F.lit(1)).alias("n"),
-            )
-        )
-
-    base = cells_of(emb.filter(~is_delta))
-    delta = cells_of(emb.filter(is_delta))
+    base = _moment_cells(emb.filter(~is_delta))
+    delta = _moment_cells(emb.filter(is_delta))
     # monoid merge: cell-wise addition of the two independent states
     merged = (
         base.unionByName(delta)
@@ -3840,3 +3847,106 @@ def incremental_covariance_update(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return merged.select("i", "j", "s_ij", "n")
+
+
+@register(
+    "streaming_covariance_maintenance",
+    oracle="""
+    WITH el AS (
+        SELECT vec_id, u.idx, u.m FROM (
+            SELECT vec_id,
+                   unnest(list_transform(embedding, (e, i) -> struct_pack(
+                       idx := CAST(i AS BIGINT) - 1,
+                       m := CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)
+                   ))) AS u
+            FROM embeddings)
+    )
+    SELECT a.idx AS i, b.idx AS j,
+           CAST(CAST(sum(a.m * b.m) AS BIGINT) AS BIGINT) AS s_ij,
+           CAST(count(DISTINCT a.vec_id) AS BIGINT) AS n
+    FROM el a JOIN el b
+      ON a.vec_id = b.vec_id AND a.idx <= b.idx
+    GROUP BY 1, 2
+    """,
+    doc="STREAMING covariance maintenance: the embedding corpus is "
+    "staged as three parquet chunks and consumed as a real file-source "
+    "stream (maxFilesPerTrigger=1 -> three micro-batches, "
+    "AvailableNow); each micro-batch computes its own constant-size "
+    "moment-cell state (_moment_cells) and a foreachBatch sink folds "
+    "it into the persisted state by cell-wise ADDITION (read + union + "
+    "re-aggregate + atomic temp-swap - a 4 krow rewrite regardless of "
+    "corpus size). Because the state is a commutative monoid, the "
+    "arrival ORDER of micro-batches cannot change the final table - "
+    "which is exactly what makes a streaming job's output "
+    "strict-oracle-checkable against the one-shot whole-corpus DuckDB "
+    "aggregation. The streaming twin of incremental_covariance_update "
+    "and the live-refresh path for embedding_pca_project.",
+    tags=("streaming", "llm", "vector", "aggregation", "incremental"),
+)
+def streaming_covariance_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    schema = spark.read.parquet(emb_path).schema
+    src = tempfile.mkdtemp(prefix="fx_cov_src_")
+    # stage three deterministic hash-chunks as separate stream files
+    emb = load(spark, sf_dir, "embeddings")
+    for k in range(3):
+        chunk_dir = tempfile.mkdtemp(prefix=f"fx_cov_chunk{k}_")
+        (
+            emb.filter((F.col("vec_id") * F.lit(2654435761)) % 3 == k)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(chunk_dir)
+        )
+        part = next(
+            f for f in os.listdir(chunk_dir) if f.endswith(".parquet")
+        )
+        os.rename(
+            os.path.join(chunk_dir, part),
+            os.path.join(src, f"chunk_{k}.parquet"),
+        )
+
+    state = tempfile.mkdtemp(prefix="fx_cov_state_") + "/cells"
+
+    def fold(batch_df: DataFrame, _bid: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        cells = _moment_cells(batch_df)
+        try:
+            prev = sp.read.parquet(state)
+            cells = (
+                prev.unionByName(cells)
+                .groupBy("i", "j")
+                .agg(F.sum("s_ij").alias("s_ij"), F.sum("n").alias("n"))
+            )
+        except Exception:  # noqa: BLE001 - first batch, no state yet
+            pass
+        tmp = f"{state}__tmp_{uuid.uuid4().hex[:8]}"
+        cells.coalesce(1).write.parquet(tmp)
+        if os.path.isdir(state):
+            old = f"{state}__old_{uuid.uuid4().hex[:8]}"
+            os.rename(state, old)
+            os.rename(tmp, state)
+            import shutil
+
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.rename(tmp, state)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fx_cov_ck_"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(state).select("i", "j", "s_ij", "n")
