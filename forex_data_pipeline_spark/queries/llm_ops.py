@@ -3950,3 +3950,62 @@ def streaming_covariance_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
         .awaitTermination()
     )
     return spark.read.parquet(state).select("i", "j", "s_ij", "n")
+
+
+@register(
+    "embedding_norms_arrow",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           CAST(list_aggregate(list_transform(embedding, e ->
+               CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)
+               * CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)),
+               'sum') AS BIGINT) AS norm2_milli2
+    FROM embeddings
+    """,
+    doc="mapInArrow kernel (the remaining Arrow UDF shape after "
+    "pandas_udf / applyInPandas / mapInPandas / applyInPandasWithState "
+    "/ UDTF): per-vector squared L2 norm in exact integer milli^2 "
+    "units, computed on raw pyarrow RecordBatches - list offsets "
+    "sliced zero-copy into one numpy int64 vector op per batch, no "
+    "pandas materialization at all (the lowest-overhead Python hook "
+    "Spark offers). 1 batch in -> 1 batch out, map-side only; exact "
+    "integers make the kernel hash-match the DuckDB fold regardless "
+    "of batch boundaries.",
+    tags=("llm", "vector", "udf"),
+)
+def embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def norms(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            vec_id = batch.column("vec_id")
+            emb = batch.column("embedding")
+            # list<float>: values + offsets, sliced zero-copy
+            flat = emb.values.to_numpy(zero_copy_only=False)
+            offsets = emb.offsets.to_numpy(zero_copy_only=False)
+            prod = flat.astype(np.float64) * 1000
+            # DuckDB round() is half-AWAY-FROM-ZERO; np.rint is
+            # half-even — an exact .5 product would diverge, so spell
+            # the tie-break out (catalog determinism contract)
+            milli = (
+                np.sign(prod) * np.floor(np.abs(prod) + 0.5)
+            ).astype(np.int64)
+            sq = milli * milli
+            csum = np.concatenate(([0], np.cumsum(sq)))
+            norm2 = csum[offsets[1:]] - csum[offsets[:-1]]
+            dim = (offsets[1:] - offsets[:-1]).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    vec_id,
+                    pa.array(dim, type=pa.int64()),
+                    pa.array(norm2, type=pa.int64()),
+                ],
+                names=["vec_id", "dim", "norm2_milli2"],
+            )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.mapInArrow(
+        norms, "vec_id bigint, dim bigint, norm2_milli2 bigint"
+    )
