@@ -4009,3 +4009,58 @@ def embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.mapInArrow(
         norms, "vec_id bigint, dim bigint, norm2_milli2 bigint"
     )
+
+
+@register(
+    "source_char_moments_arrow",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(CAST(sum(n_chars) AS BIGINT) AS BIGINT) AS sum_chars,
+           CAST(CAST(sum(n_chars * n_chars) AS BIGINT) AS BIGINT)
+               AS sum_chars_sq,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY source
+    """,
+    doc="applyInArrow grouped-map kernel (completing the Arrow shape "
+    "matrix: scalar/grouped-agg pandas_udf, applyInPandas, "
+    "mapInPandas, applyInPandasWithState, UDTF, mapInArrow, and now "
+    "grouped applyInArrow): per-source exact integer moment stats of "
+    "document length (n, sum, sum-of-squares, min, max) computed "
+    "directly on the group's RecordBatches with numpy int64 - no "
+    "pandas, and the moment tuple is the re-aggregable state the "
+    "incremental/streaming rollups build on. In production the "
+    "built-in agg wins (this is the API-coverage proof); exact "
+    "integers keep it hash-matched to the DuckDB GROUP BY.",
+    tags=("llm", "text", "udf", "aggregation"),
+)
+def source_char_moments_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def moments(key, table):
+        import numpy as np
+        import pyarrow as pa
+
+        c = table.column("n_chars").to_numpy(zero_copy_only=False)
+        c = c.astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array([key[0].as_py()], type=pa.string()),
+                pa.array([len(c)], type=pa.int64()),
+                pa.array([int(c.sum())], type=pa.int64()),
+                pa.array([int((c * c).sum())], type=pa.int64()),
+                pa.array([int(c.min())], type=pa.int64()),
+                pa.array([int(c.max())], type=pa.int64()),
+            ],
+            names=[
+                "source", "n_docs", "sum_chars", "sum_chars_sq",
+                "min_chars", "max_chars",
+            ],
+        )
+
+    docs = load(spark, sf_dir, "documents").select("source", "n_chars")
+    return docs.groupBy("source").applyInArrow(
+        moments,
+        "source string, n_docs bigint, sum_chars bigint, "
+        "sum_chars_sq bigint, min_chars bigint, max_chars bigint",
+    )
