@@ -4064,3 +4064,120 @@ def source_char_moments_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source string, n_docs bigint, sum_chars bigint, "
         "sum_chars_sq bigint, min_chars bigint, max_chars bigint",
     )
+
+
+_SEMDEDUP_K = 16  # centroid count; production scales K with corpus size
+_SEMDEDUP_TAU = 0.45  # within-cluster cosine threshold ("1 - eps")
+
+
+@register(
+    "semdedup_prune",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS cell_id, embedding AS c_emb
+                  FROM embeddings WHERE vec_id < {_SEMDEDUP_K}),
+    scored AS (
+        SELECT e.vec_id, c.cell_id,
+               round({cosine_sql('e.embedding', 'c.c_emb')}, 6) AS csim
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    assign AS (
+        SELECT vec_id, cell_id, csim FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY csim DESC, cell_id) AS rn FROM scored) t
+        WHERE rn = 1
+    ),
+    assigned AS (
+        SELECT a.vec_id, a.cell_id, a.csim, e.embedding
+        FROM assign a JOIN embeddings e USING (vec_id)
+    ),
+    pairs AS (
+        SELECT b.vec_id, b.cell_id, b.csim
+        FROM assigned a JOIN assigned b
+          ON a.cell_id = b.cell_id
+         AND ((a.csim < b.csim)
+              OR (a.csim = b.csim AND a.vec_id < b.vec_id))
+        WHERE round({cosine_sql('a.embedding', 'b.embedding')}, 6)
+              >= {_SEMDEDUP_TAU}
+    )
+    SELECT vec_id, cell_id, csim AS centroid_sim,
+           CAST(count(*) AS BIGINT) AS n_witnesses
+    FROM pairs GROUP BY vec_id, cell_id, csim
+    """,
+    doc="SemDeDup-style semantic deduplication (Abbas et al. 2023): "
+    "cluster embeddings to a FIXED set of centroids (deterministic "
+    f"seeds vec_id < {_SEMDEDUP_K}, broadcast — assignment is a "
+    "map-side O(n*k) score + skinny max_by argmax, embeddings never "
+    "ride that shuffle), then WITHIN each cluster mark a vector as a "
+    "semantic duplicate iff some cluster-mate has cosine >= tau and "
+    "sits strictly closer to the centroid (ties to lower vec_id) — "
+    "the paper's keep-the-far-from-centroid rule, expressed as a "
+    "relational semi-structure rather than a greedy sequential scan "
+    "so it is order-independent and strictly oracle-able. Distinct "
+    "from embedding_near_dup_lsh: bucketing here is by LEARNED "
+    "centroid cells (data-adaptive, what SemDeDup actually does), "
+    "not random hyperplanes. Scale story: the only corpus-sized "
+    "shuffles are the argmax agg and the cell-id self-join; pair "
+    "rows exist only between the join and the map-side-combined "
+    "witness count, never materialized to disk. At 100 TB the paper "
+    "scales K proportionally to n (50k clusters for LAION), keeping "
+    "per-cell pair cost bounded; K is a constant here only because "
+    "the test corpus is small.",
+    tags=("llm", "dedup", "similarity", "embedding"),
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = emb.filter(F.col("vec_id") < _SEMDEDUP_K).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    )
+    assign = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "cell_id",
+            F.round(cosine(F.col("embedding"), F.col("c_emb")), 6).alias(
+                "csim"
+            ),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("cell_id", "csim"),
+                F.struct(F.col("csim"), (-F.col("cell_id")).alias("nid")),
+            ).alias("best")
+        )
+        .select("vec_id", "best.cell_id", "best.csim")
+    )
+    assigned = assign.join(emb, "vec_id")
+    a = assigned.select(
+        F.col("cell_id").alias("a_cell"),
+        F.col("csim").alias("a_csim"),
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+    )
+    b = assigned.select(
+        F.col("cell_id").alias("b_cell"),
+        F.col("csim").alias("b_csim"),
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("a_cell") == F.col("b_cell"))
+        & (
+            (F.col("a_csim") < F.col("b_csim"))
+            | (
+                (F.col("a_csim") == F.col("b_csim"))
+                & (F.col("a_id") < F.col("b_id"))
+            )
+        ),
+    ).filter(
+        F.round(cosine(F.col("a_emb"), F.col("b_emb")), 6) >= _SEMDEDUP_TAU
+    )
+    return (
+        pairs.groupBy(
+            F.col("b_id").alias("vec_id"),
+            F.col("b_cell").alias("cell_id"),
+            F.col("b_csim").alias("centroid_sim"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_witnesses"))
+    )
