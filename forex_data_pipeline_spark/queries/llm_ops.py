@@ -4181,3 +4181,76 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_witnesses"))
     )
+
+
+_KANON_K = 5  # minimum group size for release
+
+
+@register(
+    "k_anonymity_release",
+    oracle=f"""
+    WITH g AS (
+        SELECT n.n_name AS nation_name, c.c_mktsegment AS mktsegment,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS acctbal_cents
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2)
+    SELECT nation_name, mktsegment, n_customers, acctbal_cents
+    FROM g WHERE n_customers >= {_KANON_K}
+    UNION ALL
+    SELECT '*' AS nation_name, '*' AS mktsegment,
+           CAST(sum(n_customers) AS BIGINT) AS n_customers,
+           CAST(sum(acctbal_cents) AS BIGINT) AS acctbal_cents
+    FROM g WHERE n_customers < {_KANON_K} HAVING count(*) > 0
+    """,
+    doc="k-anonymity release: aggregate over the quasi-identifier "
+    "(nation, market segment) and publish a cell only when it covers "
+    f">= k={_KANON_K} individuals; every smaller cell is suppressed "
+    "into a single '*' remainder bucket so no released row can "
+    "re-identify a small population — the privacy gate a training-"
+    "data pipeline runs before exporting per-slice stats (complements "
+    "pii_redaction, which scrubs record contents; this protects the "
+    "AGGREGATE release). Relational, order-independent, exact integer "
+    "cents. Scale: nation dim broadcast, the groupBy is map-side "
+    "combinable over ~|nations×segments| cells, and the suppression "
+    "pass runs on the already-aggregated cell table (constant-size), "
+    "so the corpus is read exactly once at any scale. sf0.001 "
+    "exercises both branches (3 released cells + remainder); at "
+    "larger SFs every cell clears k and the remainder row vanishes "
+    "(HAVING guard keeps both engines consistent on that edge).",
+    tags=("llm", "privacy", "aggregation"),
+)
+def k_anonymity_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    g = (
+        cust.join(
+            F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"]
+        )
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(cents).alias("acctbal_cents"),
+        )
+    )
+    released = g.filter(F.col("n_customers") >= _KANON_K)
+    remainder = (
+        g.filter(F.col("n_customers") < _KANON_K)
+        .agg(
+            F.sum("n_customers").alias("n_customers"),
+            F.sum("acctbal_cents").alias("acctbal_cents"),
+        )
+        .select(
+            F.lit("*").alias("nation_name"),
+            F.lit("*").alias("mktsegment"),
+            "n_customers",
+            "acctbal_cents",
+        )
+        .filter(F.col("n_customers").isNotNull())
+    )
+    return released.unionByName(remainder)
