@@ -4254,3 +4254,85 @@ def k_anonymity_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_customers").isNotNull())
     )
     return released.unionByName(remainder)
+
+
+_SPAN_W = 8  # exact-substring window width, in tokens
+
+
+@register(
+    "exact_substring_spans",
+    oracle=f"""
+    WITH pos AS (
+        SELECT doc_id, s.pos AS pos, s.sh AS sh
+        FROM (SELECT doc_id,
+                     unnest(list_transform({shingles_sql('toks', _SPAN_W)},
+                         (g, i) -> struct_pack(sh := g, pos := i))) AS s
+              FROM ({_TOK_CTE}))),
+    dup AS (SELECT sh FROM pos GROUP BY sh
+            HAVING count(DISTINCT doc_id) >= 2),
+    flagged AS (SELECT doc_id, pos FROM pos
+                WHERE sh IN (SELECT sh FROM dup)),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER
+                        (PARTITION BY doc_id ORDER BY pos) <= {_SPAN_W}
+                    THEN 0 ELSE 1 END AS brk
+        FROM flagged),
+    grp AS (SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+            FROM isl)
+    SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + {_SPAN_W - 1} AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM grp GROUP BY doc_id, g
+    """,
+    doc="Exact-substring duplicate SPANS (Lee et al. 2022, 'Deduplicating "
+    "Training Data Makes Language Models Better' — the suffix-array "
+    "ExactSubstr dedup, re-expressed relationally): every width-8 token "
+    "window that also occurs in another document is flagged, and "
+    "overlapping flagged windows are merged per doc into maximal "
+    "[span_start, span_end] token ranges (gaps-and-islands) — the spans "
+    "a dedup pass would CUT, versus doc-level kill lists. Finds the "
+    "seeded 64-char boilerplate prefixes and full near-dup bodies at "
+    "every SF. Scale: the window table is shingle-keyed (map-side "
+    "explode, no self-join); duplicated shingles come from one "
+    "count-distinct agg; the flag join is a semi-join on the shingle "
+    "key (AQE broadcasts it when the dup set is small, stays a shuffle "
+    "join when duplication is corpus-scale); the islands pass is a "
+    "doc-keyed window — every shuffle is keyed by high-cardinality "
+    "shingle or doc_id, nothing pairwise. Reference analogue: the "
+    "pipeline's dedup stage (extract_forex.py:214 drop_duplicates) "
+    "generalized to sub-document granularity.",
+    tags=("llm", "dedup", "text"),
+)
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(load(spark, sf_dir, "documents"))
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(shingles(tokens(F.col("text")), _SPAN_W)).alias(
+            "pos0", "sh"
+        ),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "sh")
+    dup = (
+        pos.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("sh")
+    )
+    flagged = pos.join(dup, "sh", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = flagged.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= _SPAN_W, F.lit(0))
+        .otherwise(F.lit(1)),
+    )
+    grp = isl.withColumn("g", F.sum("brk").over(w))
+    return (
+        grp.groupBy("doc_id", "g")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + (_SPAN_W - 1)).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_windows")
+    )
