@@ -4336,3 +4336,58 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "span_start", "span_end", "n_windows")
     )
+
+
+@register(
+    "alpha_mixture_weights",
+    oracle="""
+    WITH per AS (
+        SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM documents GROUP BY lang),
+    tot AS (
+        SELECT lang, n_chars,
+               CAST(n_chars AS DOUBLE)
+                   / CAST(sum(n_chars) OVER () AS DOUBLE) AS share,
+               sqrt(CAST(n_chars AS DOUBLE)
+                    / CAST(sum(n_chars) OVER () AS DOUBLE)) AS aw
+        FROM per)
+    SELECT lang, n_chars, share,
+           aw / max(aw) OVER () AS alpha_weight_rel,
+           (aw / max(aw) OVER ()) / share AS boost
+    FROM tot
+    """,
+    doc="Temperature-based multilingual mixture weights (the XLM-R/mT5 "
+    "alpha-sampling step, alpha = 0.5): per-language corpus share "
+    "p_l, unnormalized weight p_l^alpha, and the low-resource BOOST "
+    "factor (relative up-sampling each language receives vs its "
+    "natural frequency) — the step that DERIVES the sampling targets "
+    "weighted_mixture_sample then APPLIES. Determinism: every float "
+    "is a chain of correctly-rounded IEEE ops (double divide, sqrt, "
+    "divide) on identical integer inputs, so no rounding is needed; "
+    "normalization is by the MAX weight (order-independent), never a "
+    "float sum. Scale: one map-side-combinable groupBy over the "
+    "corpus; the window pass runs on the |languages|-row aggregate "
+    "(constant size), so the corpus is read exactly once.",
+    tags=("llm", "curation", "sampling"),
+)
+def alpha_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.sum("n_chars").cast("bigint").alias("n_chars"))
+    )
+    w = Window.partitionBy()
+    share = F.col("n_chars").cast("double") / F.sum("n_chars").over(w).cast(
+        "double"
+    )
+    tot = per.select(
+        "lang", "n_chars", share.alias("share"), F.sqrt(share).alias("aw")
+    )
+    rel = F.col("aw") / F.max("aw").over(w)
+    return tot.select(
+        "lang",
+        "n_chars",
+        "share",
+        rel.alias("alpha_weight_rel"),
+        (rel / F.col("share")).alias("boost"),
+    )
