@@ -4391,3 +4391,88 @@ def alpha_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         rel.alias("alpha_weight_rel"),
         (rel / F.col("share")).alias("boost"),
     )
+
+
+#: hand-set stand-ins for trained fastText-style coefficients —
+#: broadcast literals; swap in learned weights without a plan change
+_QC_BIAS, _QC_W_SW, _QC_W_MTL, _QC_W_DR, _QC_W_LEN = 0.2, 8.0, -0.4, 2.0, 1.5
+
+
+@register(
+    "quality_classifier_logit",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {tokens_sql('text')} AS toks
+               FROM documents),
+    f AS (SELECT doc_id,
+            CAST({stopword_hits_sql('toks')} AS DOUBLE) / len(toks)
+                AS sw_ratio,
+            CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks)
+                AS mean_tok_len,
+            CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                AS distinct_ratio,
+            CAST(least(len(toks), 400) AS DOUBLE) / 400.0 AS len_norm
+          FROM t)
+    SELECT doc_id, sw_ratio, mean_tok_len, distinct_ratio, len_norm,
+           (((({_QC_BIAS} + {_QC_W_SW}*sw_ratio)
+               + {_QC_W_MTL}*mean_tok_len)
+               + {_QC_W_DR}*distinct_ratio)
+               + {_QC_W_LEN}*len_norm) AS logit,
+           CAST((((({_QC_BIAS} + {_QC_W_SW}*sw_ratio)
+               + {_QC_W_MTL}*mean_tok_len)
+               + {_QC_W_DR}*distinct_ratio)
+               + {_QC_W_LEN}*len_norm) > 0 AS BOOLEAN) AS keep
+    FROM f
+    """,
+    doc="Model-based quality scoring (the CCNet/LLaMA fastText-filter "
+    "step, linearized): per-doc interpretable features (stopword "
+    "ratio, mean token length, distinct-token ratio, capped length) "
+    "dotted with a broadcast weight vector; emits the raw LOGIT and "
+    "the keep verdict (~55% keep at every test SF, a real decision "
+    "boundary). Unlike quality_filter's hard rules this is the "
+    "learned-scoring surface: weights are literals standing in for "
+    "trained coefficients — swapping in a real model changes no "
+    "plan. Determinism: every feature is an int/int division "
+    "(correctly rounded) and the dot product is a FIXED-association "
+    "multiply/add chain of identical doubles, so all floats are "
+    "bit-identical across engines with no rounding; sigmoid is "
+    "deliberately not applied (exp is transcendental and "
+    "monotone — the verdict only needs the logit's sign). Pure "
+    "map-side: no shuffle at any scale.",
+    tags=("llm", "text", "quality"),
+)
+def quality_classifier_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    feats = docs.select(
+        "doc_id",
+        (stopword_hits(toks).cast("double") / n).alias("sw_ratio"),
+        (
+            F.length(F.translate(F.col("text"), " ", "")).cast("double") / n
+        ).alias("mean_tok_len"),
+        (F.size(F.array_distinct(toks)).cast("double") / n).alias(
+            "distinct_ratio"
+        ),
+        (F.least(n, F.lit(400)).cast("double") / F.lit(400.0)).alias(
+            "len_norm"
+        ),
+    )
+    logit = (
+        (
+            (
+                (F.lit(_QC_BIAS) + F.lit(_QC_W_SW) * F.col("sw_ratio"))
+                + F.lit(_QC_W_MTL) * F.col("mean_tok_len")
+            )
+            + F.lit(_QC_W_DR) * F.col("distinct_ratio")
+        )
+        + F.lit(_QC_W_LEN) * F.col("len_norm")
+    )
+    return feats.select(
+        "doc_id",
+        "sw_ratio",
+        "mean_tok_len",
+        "distinct_ratio",
+        "len_norm",
+        logit.alias("logit"),
+        (logit > 0).alias("keep"),
+    )
