@@ -4476,3 +4476,109 @@ def quality_classifier_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
         logit.alias("logit"),
         (logit > 0).alias("keep"),
     )
+
+
+_DSIR_B = 256  # hashed-feature buckets (the DSIR paper hashes n-grams)
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest({{toks}}) AS term
+        FROM documents),
+    clean AS (
+        SELECT doc_id, ({{mh}} % {_DSIR_B}) AS f,
+               CAST(lang = 'en' AS INT) AS is_t
+        FROM tok WHERE term != ''),
+    fc AS (
+        SELECT f, CAST(sum(is_t) AS BIGINT) AS ct,
+               CAST(count(*) AS BIGINT) AS cr
+        FROM clean GROUP BY f),
+    tot AS (SELECT f, ct, cr,
+                   CAST(sum(ct) OVER () AS BIGINT) AS nt,
+                   CAST(sum(cr) OVER () AS BIGINT) AS nr
+            FROM fc),
+    scored AS (
+        SELECT f,
+               CAST(round((ln(CAST(ct + 1 AS DOUBLE)
+                              / CAST(nt + {_DSIR_B} AS DOUBLE))
+                         - ln(CAST(cr + 1 AS DOUBLE)
+                              / CAST(nr + {_DSIR_B} AS DOUBLE)))
+                         * 1000000) AS BIGINT) AS lr_micro
+        FROM tot)
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(CAST(sum(s.lr_micro) AS BIGINT) AS BIGINT) AS logw_micro,
+           CAST(CAST(sum(s.lr_micro) AS BIGINT) AS DOUBLE)
+               / (count(*) * 1000000) AS nats_per_token
+    FROM clean c JOIN scored s ON c.f = s.f
+    GROUP BY c.doc_id
+    """.format(
+        toks=tokens_sql("text"), mh=minhash_value_sql("term", 11)
+    ),
+    doc="DSIR importance weights (Xie et al. 2023, 'Data Selection for "
+    "Language Models via Importance Resampling'): hashed unigram "
+    "features (md5-affine bucket, B=256), Laplace-smoothed "
+    "bag-of-buckets log-likelihood ratio between the TARGET domain "
+    "(lang='en' slice) and the RAW corpus, summed per document — the "
+    "importance weight that resamples raw data toward the target "
+    "distribution. Determinism: the transcendental ln is rounded ONCE "
+    "per feature BUCKET to integer micro-nats (the sanctioned "
+    "unigram_surprisal pattern), then per-doc accumulation is an "
+    "exact BIGINT sum — order-independent at any corpus size. Scale: "
+    "the feature table is constant-size (B rows → broadcast to the "
+    "per-token join); totals come from a window over that B-row "
+    "aggregate, never a driver collect; the corpus is tokenized once "
+    "(localCheckpoint shared by the count and the join passes).",
+    tags=("llm", "curation", "quality"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(load(spark, sf_dir, "documents"))
+    tok = (
+        docs.select(
+            "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .select(
+            "doc_id",
+            (minhash_value(F.col("term"), 11) % _DSIR_B).alias("f"),
+            (F.col("lang") == "en").cast("int").alias("is_t"),
+        )
+        # two consumers (bucket counts, per-doc join) — tokenize once
+        .localCheckpoint(eager=True)
+    )
+    fc = tok.groupBy("f").agg(
+        F.sum("is_t").cast("bigint").alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
+    )
+    w0 = Window.partitionBy()
+    tot = fc.select(
+        "f",
+        "ct",
+        "cr",
+        F.sum("ct").over(w0).cast("bigint").alias("nt"),
+        F.sum("cr").over(w0).cast("bigint").alias("nr"),
+    )
+    lr = F.log(
+        (F.col("ct") + 1).cast("double")
+        / (F.col("nt") + _DSIR_B).cast("double")
+    ) - F.log(
+        (F.col("cr") + 1).cast("double")
+        / (F.col("nr") + _DSIR_B).cast("double")
+    )
+    scored = tot.select(
+        "f", F.round(lr * 1000000).cast("bigint").alias("lr_micro")
+    )
+    return (
+        tok.join(F.broadcast(scored), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr_micro").cast("bigint").alias("logw_micro"),
+            (
+                F.sum("lr_micro").cast("double")
+                / (F.count(F.lit(1)) * 1000000)
+            ).alias("nats_per_token"),
+        )
+    )
