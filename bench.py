@@ -65,6 +65,8 @@ HEADLINE: tuple[str, ...] = (
     # round-5 additions: skew-aware as-of + corpus boilerplate dedup
     "asof_join_skew_bucketed",
     "boilerplate_prefix_groups",
+    # round-5 late addition: sub-document exact-substring dedup spans
+    "exact_substring_spans",
 )
 
 #: The round-1 headline set (BENCH_r01.json) — emitted as a separate
