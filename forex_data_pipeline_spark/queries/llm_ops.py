@@ -4582,3 +4582,57 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nats_per_token"),
         )
     )
+
+
+_N_SHARDS = 16
+
+
+@register(
+    "training_shard_layout",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               ({minhash_value_sql("CAST(doc_id AS VARCHAR)", 9)}) AS h
+        FROM documents)
+    SELECT doc_id, CAST(h % {_N_SHARDS} AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY h % {_N_SHARDS}
+                ORDER BY h, doc_id) AS BIGINT) AS pos,
+           CAST(coalesce(sum(n_chars) OVER (PARTITION BY h % {_N_SHARDS}
+                ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), 0) AS BIGINT) AS byte_off
+    FROM keyed
+    """,
+    doc="Training-shard layout (the WebDataset/tar-writer step of corpus "
+    "assembly): every document gets a DETERMINISTIC global-shuffle "
+    "position — shard = keyed-hash mod 16, intra-shard order by "
+    "(hash, doc_id), and the running byte offset the writer would "
+    "place the record at (exclusive prefix sum of n_chars). "
+    "Hash-ordering IS the global shuffle LLM training needs "
+    "(sequential readers see a random document order), and it is "
+    "rerun/retry-idempotent where rand() is not — identical layout "
+    "on every engine and every retry. Scale: one shuffle keyed by "
+    "shard; each shard sorts locally (the exact work a distributed "
+    "tar writer does); offsets are exact BIGINT prefix sums, no "
+    "floats anywhere. At 100 TB the mod constant widens to "
+    "thousands of shards, same plan.",
+    tags=("llm", "curation", "layout"),
+)
+def training_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        minhash_value(F.col("doc_id").cast("string"), 9).alias("h"),
+    ).withColumn("shard", (F.col("h") % _N_SHARDS).cast("bigint"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+        F.coalesce(
+            F.sum("n_chars").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("byte_off"),
+    )
