@@ -4636,3 +4636,73 @@ def training_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("byte_off"),
     )
+
+
+from ..catalog import REGISTRY as _REGISTRY  # noqa: E402 — spans oracle reuse
+
+
+@register(
+    "exact_substring_dedup_report",
+    oracle=f"""
+    WITH spans AS ({_REGISTRY['exact_substring_spans'].oracle}),
+    per_doc AS (
+        SELECT doc_id, CAST(sum(span_end - span_start + 1) AS BIGINT)
+               AS dup_tokens
+        FROM spans GROUP BY doc_id),
+    dt AS (SELECT doc_id, source,
+                  CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tokens
+           FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN p.dup_tokens IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_with_dups,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(coalesce(p.dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+           CAST(sum(coalesce(p.dup_tokens, 0)) AS DOUBLE) / sum(n_tokens)
+               AS dup_frac
+    FROM dt LEFT JOIN per_doc p USING (doc_id)
+    GROUP BY source
+    """,
+    doc="The APPLY half of ExactSubstr dedup: per-source accounting of "
+    "how many tokens span-cutting would remove (docs touched, dup "
+    "token mass, dup fraction) — the report a curation team reads "
+    "before committing a cut, and the regression metric tracked "
+    "across crawl snapshots. Composes the verified "
+    "exact_substring_spans pipeline (called as a function — one "
+    "definition, two consumers) with a doc-keyed LEFT join back to "
+    "the corpus and a source-keyed rollup. Exact BIGINT token "
+    "arithmetic; the single float is one int/int division per "
+    "source. Scale: adds only a doc-keyed aggregate (span table is "
+    "duplication-sized, far smaller than the corpus) and a "
+    "|sources|-cell rollup on top of the spans plan.",
+    tags=("llm", "dedup", "text"),
+)
+def exact_substring_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spans = exact_substring_spans(spark, sf_dir)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum(F.col("span_end") - F.col("span_start") + 1)
+        .cast("bigint")
+        .alias("dup_tokens")
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    joined = docs.join(per_doc, "doc_id", "left")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("dup_tokens").isNotNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("docs_with_dups"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(F.coalesce(F.col("dup_tokens"), F.lit(0)))
+        .cast("bigint")
+        .alias("dup_tokens"),
+        (
+            F.sum(F.coalesce(F.col("dup_tokens"), F.lit(0))).cast("double")
+            / F.sum("n_tokens")
+        ).alias("dup_frac"),
+    )
