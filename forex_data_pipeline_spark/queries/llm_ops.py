@@ -4706,3 +4706,46 @@ def exact_substring_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_tokens")
         ).alias("dup_frac"),
     )
+
+
+@register(
+    "leakage_safe_split",
+    oracle=f"""
+    WITH cl AS ({{cluster_oracle}})
+    SELECT doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size,
+           CASE WHEN ({{mh}} % 10) < 8 THEN 'train' ELSE 'eval' END
+               AS split
+    FROM cl
+    """.format(
+        cluster_oracle=_REGISTRY['dedup_clusters'].oracle,
+        mh=minhash_value_sql("CAST(cluster_id AS VARCHAR)", 8),
+    ),
+    doc="Dedup-aware train/eval SPLIT assignment: every document is "
+    "routed to a split by the deterministic hash of its near-dup "
+    "CLUSTER representative (from the verified dedup_clusters "
+    "connected components), not of the doc itself — so near-"
+    "duplicates can never straddle the boundary and leak eval "
+    "content into training (the split-level counterpart of "
+    "decontamination; verified: max one split per cluster at every "
+    "SF, ~80/20 at the corpus level). Hash thinning is rerun- and "
+    "engine-idempotent (md5-affine family, no rand()). Scale: adds "
+    "one cluster-keyed window (size audit) and a map-side hash to "
+    "the CC pipeline; the assignment join is on the already-"
+    "computed label table, never the corpus text.",
+    tags=("llm", "curation", "dedup"),
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    w = Window.partitionBy("cluster_id")
+    split = F.when(
+        minhash_value(F.col("cluster_id").cast("string"), 8) % 10 < 8,
+        F.lit("train"),
+    ).otherwise(F.lit("eval"))
+    return cl.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
+        split.alias("split"),
+    )
