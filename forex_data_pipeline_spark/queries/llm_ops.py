@@ -4749,3 +4749,67 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
         split.alias("split"),
     )
+
+
+@register(
+    "shard_mixture_audit",
+    oracle=f"""
+    WITH lay AS ({{lay}}),
+    cell AS (
+        SELECT l.shard, d.lang, CAST(count(*) AS BIGINT) AS n
+        FROM lay l JOIN documents d USING (doc_id)
+        GROUP BY l.shard, d.lang),
+    tot AS (
+        SELECT shard, lang, n,
+               CAST(sum(n) OVER (PARTITION BY shard) AS BIGINT) AS shard_n,
+               CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS lang_n,
+               CAST(sum(n) OVER () AS BIGINT) AS corpus_n
+        FROM cell)
+    SELECT shard, lang, n,
+           CAST((n * 1000000) // shard_n AS BIGINT) AS actual_ppm,
+           CAST((lang_n * 1000000) // corpus_n AS BIGINT) AS expected_ppm,
+           CAST((n * 1000000) // shard_n
+                - (lang_n * 1000000) // corpus_n AS BIGINT) AS deviation_ppm
+    FROM tot
+    """.format(lay=_REGISTRY['training_shard_layout'].oracle),
+    doc="Shard-writer QA: per-(shard, language) document counts vs the "
+    "corpus-level language mix, as exact integer ppm (floor division "
+    "— identical on positives in both engines) — the audit that "
+    "catches a broken shard hash before a training run sees "
+    "correlated batches (deviation shrinks with scale for a healthy "
+    "hash: ~24%→~5% max here from sf0.001→sf0.1). Composes the "
+    "verified training_shard_layout. Scale: the doc-keyed join and "
+    "the (shard, lang) groupBy are corpus-sized but map-side "
+    "combinable; every window runs on the |shards|x|langs| cell "
+    "table (constant size).",
+    tags=("llm", "curation", "quality"),
+)
+def shard_mixture_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lay = training_shard_layout(spark, sf_dir).select("doc_id", "shard")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    cell = (
+        lay.join(docs, "doc_id")
+        .groupBy("shard", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    shard_n = F.sum("n").over(Window.partitionBy("shard")).cast("bigint")
+    lang_n = F.sum("n").over(Window.partitionBy("lang")).cast("bigint")
+    corpus_n = F.sum("n").over(Window.partitionBy()).cast("bigint")
+    tot = cell.select(
+        "shard",
+        "lang",
+        "n",
+        shard_n.alias("shard_n"),
+        lang_n.alias("lang_n"),
+        corpus_n.alias("corpus_n"),
+    )
+    actual = F.expr("(n * 1000000) div shard_n").cast("bigint")
+    expected = F.expr("(lang_n * 1000000) div corpus_n").cast("bigint")
+    return tot.select(
+        "shard",
+        "lang",
+        "n",
+        actual.alias("actual_ppm"),
+        expected.alias("expected_ppm"),
+        (actual - expected).alias("deviation_ppm"),
+    )
