@@ -4813,3 +4813,57 @@ def shard_mixture_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         expected.alias("expected_ppm"),
         (actual - expected).alias("deviation_ppm"),
     )
+
+
+_BUCKET_CASE = (
+    "CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64 "
+    "WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512 "
+    "ELSE 1024 END"
+)
+
+
+@register(
+    "length_bucket_batching",
+    oracle=f"""
+    WITH t AS (SELECT CAST(len({tokens_sql('text')}) AS BIGINT) AS n
+               FROM documents),
+    b AS (SELECT n, CAST({_BUCKET_CASE} AS BIGINT) AS bucket_len FROM t)
+    SELECT bucket_len, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS real_tokens,
+           CAST(count(*) * bucket_len AS BIGINT) AS padded_tokens,
+           CAST(((count(*) * bucket_len - sum(n)) * 1000000)
+                // (count(*) * bucket_len) AS BIGINT) AS waste_ppm
+    FROM b GROUP BY bucket_len
+    """,
+    doc="Length-bucketed batching audit (the dynamic-batching planning "
+    "step of a training-data reader): documents are binned to power-"
+    "of-two sequence buckets via an integer CASE ladder (NOT "
+    "power(2, ceil(log2 n)) — transcendental log2 at exact powers "
+    "ceils differently across engines), and each bucket reports the "
+    "padding waste (padded minus real tokens, exact integer ppm) a "
+    "batcher would pay at that bucket granularity — the number that "
+    "decides whether to add finer buckets or pack sequences "
+    "(sequence_packing is the zero-waste alternative this audit "
+    "motivates). Pure map + one map-side-combinable groupBy over "
+    "~7 cells; no shuffle of document payloads at any scale.",
+    tags=("llm", "curation", "layout"),
+)
+def length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n")
+    )
+    b = t.select("n", F.expr(_BUCKET_CASE).cast("bigint").alias("bucket_len"))
+    return b.groupBy("bucket_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("bigint").alias("real_tokens"),
+        (F.count(F.lit(1)) * F.col("bucket_len"))
+        .cast("bigint")
+        .alias("padded_tokens"),
+        F.expr(
+            "((count(1) * bucket_len - sum(n)) * 1000000)"
+            " div (count(1) * bucket_len)"
+        )
+        .cast("bigint")
+        .alias("waste_ppm"),
+    )
