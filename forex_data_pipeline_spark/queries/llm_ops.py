@@ -4867,3 +4867,78 @@ def length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("waste_ppm"),
     )
+
+
+_VOCAB_SIZES = (8, 16, 32, 64)
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({tokens_sql('text')}) AS term
+                 FROM documents),
+    tf AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+           FROM tok WHERE term != '' GROUP BY term),
+    ranked AS (SELECT term, c,
+                      CAST(row_number() OVER (ORDER BY c DESC, term)
+                           AS BIGINT) AS rnk,
+                      CAST(sum(c) OVER () AS BIGINT) AS total
+               FROM tf)
+    SELECT v.vocab_size,
+           CAST(sum(CASE WHEN rnk <= v.vocab_size THEN c ELSE 0 END)
+                AS BIGINT) AS covered_tokens,
+           CAST(max(total) AS BIGINT) AS total_tokens,
+           CAST((sum(CASE WHEN rnk <= v.vocab_size THEN c ELSE 0 END)
+                 * 1000000) // max(total) AS BIGINT) AS coverage_ppm
+    FROM ranked CROSS JOIN
+         (VALUES {", ".join(f"({s})" for s in _VOCAB_SIZES)})
+         v(vocab_size)
+    GROUP BY v.vocab_size
+    """,
+    doc="Vocabulary-size selection curve (the tokenizer-design study "
+    "BPE training starts from): token mass covered by the top-N "
+    "terms at candidate vocab sizes, as exact integer ppm — the "
+    "curve's knee picks the vocab size; its complement is the "
+    "OOV/byte-fallback rate each size would pay. Frequency ranking "
+    "is totally ordered (count desc, term asc tie-break), so both "
+    "engines agree on every boundary term. Scale: the corpus "
+    "collapses to a VOCAB-sized frequency table before any window "
+    "(the rank sort is vocab-sized, same cost class as vocab_top20; "
+    "a 1e8-term web vocab would swap in a distributed sort + "
+    "cumulative partial sums, same curve); the candidate-size "
+    "expansion multiplies only that table, never the corpus.",
+    tags=("llm", "text", "topk"),
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(load(spark, sf_dir, "documents"))
+    tf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = tf.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), "term"))
+        .cast("bigint")
+        .alias("rnk"),
+        F.sum("c").over(Window.partitionBy()).cast("bigint").alias("total"),
+    )
+    sizes = F.explode(
+        F.array(*[F.lit(s) for s in _VOCAB_SIZES])
+    ).alias("vocab_size")
+    expanded = ranked.select("c", "rnk", "total", sizes)
+    covered = F.sum(
+        F.when(F.col("rnk") <= F.col("vocab_size"), F.col("c")).otherwise(0)
+    )
+    return expanded.groupBy("vocab_size").agg(
+        covered.cast("bigint").alias("covered_tokens"),
+        F.max("total").cast("bigint").alias("total_tokens"),
+        F.expr(
+            "(sum(CASE WHEN rnk <= vocab_size THEN c ELSE 0 END) * 1000000)"
+            " div max(total)"
+        )
+        .cast("bigint")
+        .alias("coverage_ppm"),
+    )
