@@ -4942,3 +4942,51 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("coverage_ppm"),
     )
+
+
+@register(
+    "dup_label_consistency",
+    oracle="""
+    WITH cl AS ({cluster_oracle}),
+    lab AS (
+        SELECT c.cluster_id, e.label
+        FROM cl c JOIN embeddings e ON e.vec_id = c.doc_id),
+    agg AS (
+        SELECT cluster_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT label) AS BIGINT) AS n_labels
+        FROM lab GROUP BY cluster_id)
+    SELECT cluster_id, n_docs, n_labels,
+           CAST(n_labels = 1 AS BOOLEAN) AS label_consistent
+    FROM agg WHERE n_docs >= 2
+    """.format(cluster_oracle=_REGISTRY['dedup_clusters'].oracle),
+    doc="Label-noise detection via duplicates (the confident-learning-"
+    "style audit a labeled-corpus pipeline runs before training a "
+    "classifier): near-duplicate documents SHOULD carry the same "
+    "label, so each multi-doc cluster from the verified "
+    "dedup_clusters CC is checked for label agreement against the "
+    "embeddings table's label column — disagreeing clusters "
+    "(the majority here, by construction of the synthetic labels) "
+    "are exactly the rows a relabeling queue would surface. Scale: "
+    "the label join is doc-keyed against the already-computed "
+    "cluster table; the consistency groupBy runs per cluster "
+    "(count-distinct over tiny groups); nothing touches document "
+    "text beyond the CC pipeline itself.",
+    tags=("llm", "dedup", "quality"),
+)
+def dup_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    lab = cl.join(emb, "doc_id")
+    agg = lab.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("label").cast("bigint").alias("n_labels"),
+    )
+    return agg.filter(F.col("n_docs") >= 2).select(
+        "cluster_id",
+        "n_docs",
+        "n_labels",
+        (F.col("n_labels") == 1).alias("label_consistent"),
+    )
