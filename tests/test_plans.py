@@ -434,3 +434,26 @@ def test_covariance_moments_shuffles_cells_not_vectors(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan        # dim sums + n ride broadcasts
     assert plan.count("HashAggregate") >= 2   # partial + final on cells
+
+
+def test_exact_substring_flag_join_is_semi(spark, sf_dir):
+    """exact_substring_spans flags duplicated windows with a LEFT SEMI
+    join on the shingle key — an inner join would duplicate a window
+    row per matching dup-shingle row, and any cartesian/NLJ means the
+    blocking regressed to pairwise. The dup-shingle side must stay an
+    aggregate (count-distinct), never a corpus self-join."""
+    plan = plan_of(run("exact_substring_spans", spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_feature_table_is_broadcast(spark, sf_dir):
+    """dsir_importance_weights joins every token against the B-row
+    scored feature table; that side is constant-size and must ride a
+    broadcast — a shuffle join here would reshuffle the whole token
+    stream at corpus scale."""
+    plan = plan_of(run("dsir_importance_weights", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
