@@ -4990,3 +4990,86 @@ def dup_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_labels",
         (F.col("n_labels") == 1).alias("label_consistent"),
     )
+
+
+@register(
+    "zipf_fit",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({tokens_sql('text')}) AS term
+                 FROM documents),
+    tf AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+           FROM tok WHERE term != '' GROUP BY term),
+    pts AS (SELECT
+              CAST(round(ln(CAST(row_number() OVER (ORDER BY c DESC, term)
+                   AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+              CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS y
+            FROM tf),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x*y) AS BIGINT) AS sxy,
+                 CAST(sum(x*x) AS BIGINT) AS sxx
+          FROM pts)
+    SELECT n,
+           CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+               AS zipf_slope,
+           (CAST(sy AS DOUBLE) - (CAST(n*sxy - sx*sy AS DOUBLE)
+                / CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+               / n / 1000000 AS intercept_ln
+    FROM s
+    """,
+    doc="Zipf's-law fit over the term-frequency table: OLS slope and "
+    "intercept of ln(count) vs ln(rank) — the corpus-health metric "
+    "that flags synthetic/templated text (natural language sits near "
+    "slope -1; this word-soup corpus measures ~-0.17, exactly what "
+    "the metric is for). Determinism: each transcendental ln is "
+    "rounded ONCE per vocabulary term to integer micro-nats "
+    "(unigram_surprisal's sanctioned pattern), the OLS normal "
+    "equations then run on exact BIGINT sums (order-independent), "
+    "and the final slope/intercept are fixed-association chains of "
+    "correctly-rounded double ops on identical integers. Scale: the "
+    "corpus collapses to the vocab-sized frequency table before the "
+    "rank window (same cost class as vocab_coverage_curve; a web-"
+    "scale vocab would need DECIMAL(38) sums — noted, not hit here); "
+    "the regression is one scalar aggregate.",
+    tags=("llm", "text", "quality"),
+)
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(load(spark, sf_dir, "documents"))
+    tf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rnk = F.row_number().over(Window.orderBy(F.col("c").desc(), "term"))
+    pts = tf.select(
+        F.round(F.log(rnk.cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.log(F.col("c").cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    slope = num / den
+    intercept = (
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / F.col("n")
+        / 1000000
+    )
+    return s.select(
+        "n", slope.alias("zipf_slope"), intercept.alias("intercept_ln")
+    )
