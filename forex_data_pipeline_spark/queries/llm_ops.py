@@ -5151,3 +5151,48 @@ def span_width_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dup_ppm"),
     )
+
+
+@register(
+    "lang_id_confusion",
+    oracle="""
+    WITH li AS ({lang_id_oracle}),
+    cell AS (SELECT lang, predicted_lang,
+                    CAST(count(*) AS BIGINT) AS n_docs
+             FROM li GROUP BY lang, predicted_lang)
+    SELECT lang, predicted_lang, n_docs,
+           CAST((n_docs * 1000000) //
+                sum(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+               AS row_ppm,
+           CAST(lang = predicted_lang AS BOOLEAN) AS correct
+    FROM cell
+    """.format(lang_id_oracle=_REGISTRY['lang_id'].oracle),
+    doc="Classifier-eval confusion matrix for the lang-ID heuristic "
+    "against the declared language column: per (true, predicted) "
+    "cell counts, row-normalized to exact integer ppm (recall per "
+    "true language reads straight off the diagonal) — the eval "
+    "table that shows the marker-lexicon heuristic's real quality "
+    "(~40% accuracy here; docs with zero marker hits tie-break to "
+    "the priority language) and that any upgraded classifier would "
+    "be graded by. Composes the verified lang_id query. Scale: the "
+    "corpus collapses to <=|langs|^2 cells in one map-side-"
+    "combinable groupBy; windows run on the cell table only.",
+    tags=("llm", "text", "quality"),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = lang_id(spark, sf_dir).select("lang", "predicted_lang")
+    cell = li.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return cell.select(
+        "lang",
+        "predicted_lang",
+        "n_docs",
+        F.expr(
+            "(n_docs * 1000000) div sum(n_docs)"
+            " OVER (PARTITION BY lang)"
+        )
+        .cast("bigint")
+        .alias("row_ppm"),
+        (F.col("lang") == F.col("predicted_lang")).alias("correct"),
+    )
