@@ -94,6 +94,7 @@ def _ensure_loaded() -> None:
     from .queries import (  # noqa: F401
         indicators_q,
         llm_ops,
+        ml_q,
         pipeline_q,
         relational,
         sources_q,

@@ -1,0 +1,565 @@
+"""Learned-model / retrieval analytics over the corpus tables: BM25
+lexical retrieval, reciprocal-rank-fusion of multiple rankers, exact
+rank-statistic AUC for the quality classifier, and distributed OLS via
+normal-equation moment aggregation.
+
+These are the "model-adjacent" operators a training-data pipeline runs
+beside dedup/filtering: scoring documents for retrieval-based data
+selection (BM25 / hybrid fusion), evaluating a filter model (AUC), and
+fitting cheap linear baselines over fact tables (OLS). All four are
+single-pass partial-aggregation plans — the model state (term stats,
+fused rank lists, score histogram, moment matrix) is tiny and
+broadcast/driver-sized while the corpus side streams map-side.
+
+Determinism follows the catalog contract: integer-domain moments
+(BIGINT / DECIMAL(38,0) vs DuckDB HUGEINT), fixed-association float
+chains over bit-identical inputs, round(6) only on transcendental
+(ln) outputs, unique tie-breaks on every top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import register
+from ..functions.text import (
+    TOKEN_SPLIT_RE,
+    stopword_hits,
+    stopword_hits_sql,
+    tokens,
+    tokens_sql,
+)
+from ..functions.vector import cosine, cosine_sql
+from ..tables import load
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+# ---------------------------------------------------------------------------
+
+#: fixed query — terms drawn from the synthetic corpus vocabulary so df
+#: varies; the engine treats it as one parameterized retrieval request
+_BM25_TERMS = ("hash", "merge", "vector", "slow")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 25
+
+
+def _bm25_contrib_sql(i: int) -> str:
+    """One query term's BM25 contribution — the SQL mirror of the Spark
+    expression below, same parenthesization so float ops associate
+    identically."""
+    k1, b = _BM25_K1, _BM25_B
+    idf = (
+        f"ln(1.0 + ((CAST(n - df{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df{i} AS DOUBLE) + 0.5)))"
+    )
+    return (
+        f"({idf} * ((CAST(tf{i} AS DOUBLE) * {k1 + 1.0})"
+        f" / (CAST(tf{i} AS DOUBLE)"
+        f" + ({k1} * ((1.0 - {b}) + ({b} * (CAST(dl AS DOUBLE) / avgdl)))))))"
+    )
+
+
+def _bm25_contrib(i: int):
+    """Spark twin of :func:`_bm25_contrib_sql` — identical op order."""
+    k1, b = _BM25_K1, _BM25_B
+    tf = F.col(f"tf{i}").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (
+            ((F.col("n") - F.col(f"df{i}")).cast("double") + F.lit(0.5))
+            / (F.col(f"df{i}").cast("double") + F.lit(0.5))
+        )
+    )
+    denom = tf + (
+        F.lit(k1)
+        * (
+            (F.lit(1.0) - F.lit(b))
+            + (F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl")))
+        )
+    )
+    return idf * ((tf * F.lit(k1 + 1.0)) / denom)
+
+
+_BM25_TF_SQL = ",\n           ".join(
+    f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+    for i, t in enumerate(_BM25_TERMS)
+)
+_BM25_DF_SQL = ",\n           ".join(
+    f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+    for i in range(len(_BM25_TERMS))
+)
+_BM25_SCORE_SQL = "(((c0 + c1) + c2) + c3)"
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
+    f AS (SELECT doc_id, len(toks) AS dl,
+           {_BM25_TF_SQL}
+          FROM t),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(dl) AS BIGINT) AS sdl,
+           {_BM25_DF_SQL}
+          FROM f),
+    j AS (SELECT f.*, s.*, CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl
+          FROM f CROSS JOIN s),
+    scored AS (
+        SELECT doc_id,
+               {_bm25_contrib_sql(0)} AS c0, {_bm25_contrib_sql(1)} AS c1,
+               {_bm25_contrib_sql(2)} AS c2, {_bm25_contrib_sql(3)} AS c3,
+               tf0 + tf1 + tf2 + tf3 AS tf_any
+        FROM j),
+    ranked AS (
+        SELECT doc_id, round({_BM25_SCORE_SQL}, 6) AS bm25,
+               row_number() OVER (ORDER BY round({_BM25_SCORE_SQL}, 6) DESC,
+                                  doc_id) AS rn
+        FROM scored WHERE tf_any > 0)
+    SELECT doc_id, bm25, CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= {_BM25_TOPK}
+    """,
+    doc="BM25 lexical retrieval (Okapi, k1=1.2, b=0.75) for a fixed "
+    "4-term query over the documents corpus — the retrieval-scoring "
+    "half of retrieval-based data selection. Plan: per-doc tf/dl are "
+    "pure map-side array ops; the corpus statistics (N, Σdl, per-term "
+    "df) collapse to ONE row that cross-joins back as a scalar "
+    "broadcast, so the only shuffle is the 1-row aggregate and the "
+    "final TakeOrderedAndProject(k=25) — no per-term explode, no "
+    "posting-list shuffle; at 100 TB the plan is a single corpus scan. "
+    "Determinism: df/tf/dl/N are exact integers on both engines; "
+    "avgdl and every tf-normalization is a fixed-association chain of "
+    "correctly-rounded double ops over identical integers, so only "
+    "ln() can differ by an ulp — hence round(score, 6), with doc_id "
+    "as the unique tie-break.",
+    tags=("llm", "text", "retrieval", "topk"),
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    per_doc = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[
+            # NB: a `lambda x, t=t:` default-arg closure would be seen
+            # by F.filter as the 2-arg (element, index) lambda form —
+            # build the 1-arg predicate through a factory instead
+            F.size(
+                F.filter(toks, (lambda term: lambda x: x == F.lit(term))(t))
+            ).alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int")).cast("bigint").alias(
+                f"df{i}"
+            )
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    j = per_doc.crossJoin(F.broadcast(stats)).withColumn(
+        "avgdl", F.col("sdl").cast("double") / F.col("n").cast("double")
+    )
+    score = F.round(
+        (
+            ((_bm25_contrib(0) + _bm25_contrib(1)) + _bm25_contrib(2))
+            + _bm25_contrib(3)
+        ),
+        6,
+    )
+    tf_any = sum(F.col(f"tf{i}") for i in range(len(_BM25_TERMS)))
+    scored = (
+        j.filter(tf_any > 0)
+        .select("doc_id", score.alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+    w = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).select("doc_id", "bm25", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of two cosine rankers (multi-query retrieval)
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # standard RRF damping constant
+_RRF_PER_RANKER = 100  # fuse the top-C list of each ranker, not the corpus
+_RRF_TOPK = 20
+
+
+@register(
+    "rrf_hybrid_retrieval",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS ranker, embedding AS q_emb
+               FROM embeddings WHERE vec_id < 2),
+    cand AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 2),
+    scored AS (
+        SELECT q.ranker, c.vec_id,
+               {cosine_sql('q.q_emb', 'c.embedding')} AS cos
+        FROM cand c CROSS JOIN q),
+    ranked AS (
+        SELECT ranker, vec_id,
+               row_number() OVER (PARTITION BY ranker
+                                  ORDER BY cos DESC, vec_id) AS rn
+        FROM scored),
+    top AS (SELECT * FROM ranked WHERE rn <= {_RRF_PER_RANKER}),
+    fused AS (
+        SELECT vec_id,
+               max(CASE WHEN ranker = 0 THEN rn END) AS r0,
+               max(CASE WHEN ranker = 1 THEN rn END) AS r1
+        FROM top GROUP BY vec_id),
+    rrf AS (
+        SELECT vec_id,
+               coalesce(1.0 / CAST({_RRF_K} + r0 AS DOUBLE), 0.0)
+             + coalesce(1.0 / CAST({_RRF_K} + r1 AS DOUBLE), 0.0)
+                 AS rrf_score,
+               CAST(r0 IS NOT NULL AND r1 IS NOT NULL AS BOOLEAN) AS in_both
+        FROM fused)
+    SELECT vec_id, rrf_score, in_both, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY rrf_score DESC, vec_id)
+              AS rn FROM rrf)
+    WHERE rn <= {_RRF_TOPK}
+    """,
+    doc="Reciprocal-rank fusion (k=60) of two retrieval rankers — the "
+    "multi-query RAG pattern: two query vectors (vec_id 0 and 1) each "
+    "rank the candidate corpus by cosine, the top-100 lists fuse via "
+    "Σ 1/(60+rank), top-20 fused results win. Plan: the 2-row query "
+    "set broadcasts, cosine scoring is map-side Catalyst fold, each "
+    "ranker's list is a window group-limit keyed by ranker (at 100 TB "
+    "you'd swap the window for a per-ranker TakeOrdered heap — the "
+    "fused stage only ever sees rankers×100 rows either way), and the "
+    "fusion group-by is over ≤200 rows. Determinism: cosine is "
+    "bit-identical across engines (sequential fold + correctly-rounded "
+    "sqrt/div), so ranks match exactly; the RRF score is a "
+    "fixed-order sum of two exact-input divisions — emitted UNROUNDED. "
+    "vec_id is the unique tie-break at both ranking stages.",
+    tags=("llm", "similarity", "retrieval", "topk"),
+)
+def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("ranker"), F.col("embedding").alias("q_emb")
+    )
+    cand = emb.filter(F.col("vec_id") >= 2).select("vec_id", "embedding")
+    scored = cand.crossJoin(F.broadcast(q)).select(
+        "ranker",
+        "vec_id",
+        cosine(F.col("q_emb"), F.col("embedding")).alias("cos"),
+    )
+    w_rank = Window.partitionBy("ranker").orderBy(
+        F.col("cos").desc(), "vec_id"
+    )
+    top = (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= _RRF_PER_RANKER)
+    )
+    fused = top.groupBy("vec_id").agg(
+        F.max(F.when(F.col("ranker") == 0, F.col("rn"))).alias("r0"),
+        F.max(F.when(F.col("ranker") == 1, F.col("rn"))).alias("r1"),
+    )
+    rrf_score = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("r0")).cast("double"), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("r1")).cast("double"), F.lit(0.0)
+    )
+    in_both = (F.col("r0").isNotNull() & F.col("r1").isNotNull()).alias(
+        "in_both"
+    )
+    w_final = Window.orderBy(F.col("rrf_score").desc(), "vec_id")
+    return (
+        fused.select("vec_id", rrf_score.alias("rrf_score"), in_both)
+        .withColumn("rank", F.row_number().over(w_final).cast("bigint"))
+        .filter(F.col("rank") <= _RRF_TOPK)
+        .select("vec_id", "rrf_score", "in_both", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact AUC of the quality classifier via the Mann–Whitney rank statistic
+# ---------------------------------------------------------------------------
+
+# the linearized quality-classifier weights — shared with
+# queries/llm_ops.py::quality_classifier_logit (same model surface)
+_QC_BIAS, _QC_W_SW, _QC_W_MTL, _QC_W_DR, _QC_W_LEN = 0.2, 8.0, -0.4, 2.0, 1.5
+
+
+@register(
+    "classifier_auc_exact",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, text, {tokens_sql('text')} AS toks
+               FROM documents),
+    f AS (SELECT CAST(lang = 'en' AS INT) AS pos,
+            CAST({stopword_hits_sql('toks')} AS DOUBLE) / len(toks)
+                AS sw_ratio,
+            CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks)
+                AS mean_tok_len,
+            CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                AS distinct_ratio,
+            CAST(least(len(toks), 400) AS DOUBLE) / 400.0 AS len_norm
+          FROM t),
+    scored AS (SELECT pos,
+           (((({_QC_BIAS} + {_QC_W_SW}*sw_ratio)
+               + {_QC_W_MTL}*mean_tok_len)
+               + {_QC_W_DR}*distinct_ratio)
+               + {_QC_W_LEN}*len_norm) AS score
+          FROM f),
+    hist AS (SELECT score,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(1 - pos) AS BIGINT) AS n_neg
+          FROM scored GROUP BY score),
+    cum AS (SELECT n_pos, n_neg,
+           CAST(coalesce(sum(n_neg) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_neg
+          FROM hist),
+    u AS (SELECT
+           CAST(sum(n_pos * (2 * cum_neg + n_neg)) AS BIGINT) AS u2,
+           CAST(sum(n_pos) AS BIGINT) AS pos_total,
+           CAST(sum(n_neg) AS BIGINT) AS neg_total,
+           CAST(count(*) AS BIGINT) AS n_distinct_scores
+          FROM cum)
+    SELECT CAST(u2 AS DOUBLE) / CAST(2 * pos_total * neg_total AS DOUBLE)
+               AS auc,
+           (2.0 * (CAST(u2 AS DOUBLE)
+               / CAST(2 * pos_total * neg_total AS DOUBLE))) - 1.0 AS gini,
+           pos_total, neg_total, n_distinct_scores
+    FROM u
+    """,
+    doc="Exact ROC-AUC of the linearized quality classifier "
+    "(label: lang='en') via the Mann–Whitney U rank statistic — the "
+    "filter-model evaluation step of a data pipeline, computed "
+    "distributed WITHOUT materializing per-pair comparisons: group "
+    "docs by exact score into a (score → pos/neg count) histogram, "
+    "one ordered cumulative pass over DISTINCT scores, then "
+    "2U = Σ n_pos·(2·cum_neg_below + n_neg) handles ties as ½ credit "
+    "entirely in INTEGER arithmetic; AUC = 2U / (2·P·N) is a single "
+    "exact-integer division → bit-identical across engines, no "
+    "rounding anywhere. Plan: one corpus scan + partial agg to the "
+    "score histogram (≤ distinct feature vectors, tiny after text "
+    "dedup); the ordered scan runs over the histogram, not the "
+    "corpus — at 100 TB you'd quantize scores into fixed bins to "
+    "bound the histogram, same plan shape. Scores are bit-identical "
+    "across engines (fixed-association chain over exact int/int "
+    "divisions) so grouping keys and tie-groups match exactly.",
+    tags=("llm", "quality", "eval"),
+)
+def classifier_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    feats = docs.select(
+        (F.col("lang") == "en").cast("int").alias("pos"),
+        (stopword_hits(toks).cast("double") / n).alias("sw_ratio"),
+        (
+            F.length(F.translate(F.col("text"), " ", "")).cast("double") / n
+        ).alias("mean_tok_len"),
+        (F.size(F.array_distinct(toks)).cast("double") / n).alias(
+            "distinct_ratio"
+        ),
+        (F.least(n, F.lit(400)).cast("double") / F.lit(400.0)).alias(
+            "len_norm"
+        ),
+    )
+    score = (
+        (
+            (
+                (F.lit(_QC_BIAS) + F.lit(_QC_W_SW) * F.col("sw_ratio"))
+                + F.lit(_QC_W_MTL) * F.col("mean_tok_len")
+            )
+            + F.lit(_QC_W_DR) * F.col("distinct_ratio")
+        )
+        + F.lit(_QC_W_LEN) * F.col("len_norm")
+    )
+    hist = (
+        feats.select("pos", score.alias("score"))
+        .groupBy("score")
+        .agg(
+            F.sum("pos").alias("n_pos"),
+            F.sum(F.lit(1) - F.col("pos")).alias("n_neg"),
+        )
+    )
+    w = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = hist.select(
+        "n_pos",
+        "n_neg",
+        F.coalesce(F.sum("n_neg").over(w), F.lit(0)).alias("cum_neg"),
+    )
+    u = cum.agg(
+        F.sum(
+            F.col("n_pos") * (2 * F.col("cum_neg") + F.col("n_neg"))
+        ).alias("u2"),
+        F.sum("n_pos").alias("pos_total"),
+        F.sum("n_neg").alias("neg_total"),
+        F.count(F.lit(1)).alias("n_distinct_scores"),
+    )
+    auc = F.col("u2").cast("double") / (
+        2 * F.col("pos_total") * F.col("neg_total")
+    ).cast("double")
+    return u.select(
+        auc.alias("auc"),
+        ((F.lit(2.0) * auc) - F.lit(1.0)).alias("gini"),
+        "pos_total",
+        "neg_total",
+        "n_distinct_scores",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed OLS: two-feature regression via exact normal equations
+# ---------------------------------------------------------------------------
+
+_DEC = "decimal(38,0)"
+
+
+@register(
+    "ols_normal_equations",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(round(l_quantity) AS BIGINT) AS x1,
+               CAST(round(l_discount * 100) AS BIGINT) AS x2,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem),
+    m AS (SELECT
+           CAST(count(*) AS HUGEINT) AS n,
+           CAST(sum(x1) AS HUGEINT) AS s1,
+           CAST(sum(x2) AS HUGEINT) AS s2,
+           CAST(sum(y)  AS HUGEINT) AS sy,
+           CAST(sum(x1 * x1) AS HUGEINT) AS s11,
+           CAST(sum(x2 * x2) AS HUGEINT) AS s22,
+           CAST(sum(x1 * x2) AS HUGEINT) AS s12,
+           CAST(sum(x1 * y) AS HUGEINT) AS s1y,
+           CAST(sum(x2 * y) AS HUGEINT) AS s2y,
+           CAST(sum(y * y) AS HUGEINT) AS syy
+          FROM base),
+    c AS (SELECT n,
+           n * s11 - s1 * s1 AS c11,
+           n * s22 - s2 * s2 AS c22,
+           n * s12 - s1 * s2 AS c12,
+           n * s1y - s1 * sy AS c1y,
+           n * s2y - s2 * sy AS c2y,
+           n * syy - sy * sy AS cyy,
+           s1, s2, sy FROM m),
+    d AS (SELECT *,
+           c11 * c22 - c12 * c12 AS det,
+           c22 * c1y - c12 * c2y AS b1_num,
+           c11 * c2y - c12 * c1y AS b2_num
+          FROM c),
+    b AS (SELECT *,
+           CAST(b1_num AS DOUBLE) / CAST(det AS DOUBLE) AS beta_qty,
+           CAST(b2_num AS DOUBLE) / CAST(det AS DOUBLE) AS beta_disc
+          FROM d)
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           ((CAST(sy AS DOUBLE) - (beta_qty * CAST(s1 AS DOUBLE)))
+             - (beta_disc * CAST(s2 AS DOUBLE))) / CAST(n AS DOUBLE)
+               AS beta0_cents,
+           beta_qty, beta_disc,
+           ((beta_qty * CAST(c1y AS DOUBLE))
+             + (beta_disc * CAST(c2y AS DOUBLE))) / CAST(cyy AS DOUBLE)
+               AS r2
+    FROM b
+    """,
+    doc="Distributed two-feature OLS (extendedprice-cents on quantity "
+    "and discount-hundredths) via exact normal equations — the "
+    "classic one-pass distributed linear regression: a single "
+    "map-side partial aggregation produces the 10 sufficient moments "
+    "(n, Σx, Σx², Σxy, …), the centered 2×2 system solves in closed "
+    "form by Cramer's rule, and the corpus is never touched again. "
+    "At 100 TB this is ONE scan with a 10-cell combine — the moment "
+    "matrix is O(features²) regardless of row count, the textbook "
+    "scale shape. Determinism: inputs are exact integers (cents / "
+    "hundredths); every moment, centered cross-moment, determinant, "
+    "and Cramer numerator stays in EXACT integer arithmetic "
+    "(Spark DECIMAL(38,0) vs DuckDB HUGEINT — BIGINT would overflow: "
+    "n·Σx1y ≈ 5e19 at sf0.1), and only the final Cramer divisions "
+    "leave the integer domain: decimal→double casts are correctly "
+    "rounded on both engines and the division/β₀/R² chains are "
+    "fixed-association over those identical doubles → bit-identical, "
+    "no rounding anywhere.",
+    tags=("relational", "ml", "aggregate"),
+)
+def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.round(F.col("l_quantity")).cast("bigint").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    d = lambda c: F.col(c).cast(_DEC)  # noqa: E731 — exact-domain lift
+    m = base.select(
+        d("x1").alias("x1"), d("x2").alias("x2"), d("y").alias("y")
+    ).agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum("x1").cast(_DEC).alias("s1"),
+        F.sum("x2").cast(_DEC).alias("s2"),
+        F.sum("y").cast(_DEC).alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast(_DEC).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast(_DEC).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).cast(_DEC).alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).cast(_DEC).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast(_DEC).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).cast(_DEC).alias("syy"),
+    )
+    c = m.select(
+        "n",
+        "s1",
+        "s2",
+        "sy",
+        (F.col("n") * F.col("s11") - F.col("s1") * F.col("s1")).alias("c11"),
+        (F.col("n") * F.col("s22") - F.col("s2") * F.col("s2")).alias("c22"),
+        (F.col("n") * F.col("s12") - F.col("s1") * F.col("s2")).alias("c12"),
+        (F.col("n") * F.col("s1y") - F.col("s1") * F.col("sy")).alias("c1y"),
+        (F.col("n") * F.col("s2y") - F.col("s2") * F.col("sy")).alias("c2y"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("cyy"),
+    )
+    dd = c.select(
+        "*",
+        (F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")).alias(
+            "det"
+        ),
+        (F.col("c22") * F.col("c1y") - F.col("c12") * F.col("c2y")).alias(
+            "b1_num"
+        ),
+        (F.col("c11") * F.col("c2y") - F.col("c12") * F.col("c1y")).alias(
+            "b2_num"
+        ),
+    )
+    b = dd.select(
+        "*",
+        (F.col("b1_num").cast("double") / F.col("det").cast("double")).alias(
+            "beta_qty"
+        ),
+        (F.col("b2_num").cast("double") / F.col("det").cast("double")).alias(
+            "beta_disc"
+        ),
+    )
+    return b.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        (
+            (
+                (
+                    F.col("sy").cast("double")
+                    - (F.col("beta_qty") * F.col("s1").cast("double"))
+                )
+                - (F.col("beta_disc") * F.col("s2").cast("double"))
+            )
+            / F.col("n").cast("double")
+        ).alias("beta0_cents"),
+        "beta_qty",
+        "beta_disc",
+        (
+            (
+                (F.col("beta_qty") * F.col("c1y").cast("double"))
+                + (F.col("beta_disc") * F.col("c2y").cast("double"))
+            )
+            / F.col("cyy").cast("double")
+        ).alias("r2"),
+    )
