@@ -563,3 +563,338 @@ def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("cyy").cast("double")
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN classifier evaluation over the embeddings table
+# ---------------------------------------------------------------------------
+
+_KNN_QUERIES = 100  # leave-one-out eval subset: vec_id < 100
+_KNN_K = 5
+
+
+@register(
+    "knn_label_eval",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb, label AS true_label
+               FROM embeddings WHERE vec_id < {_KNN_QUERIES}),
+    scored AS (
+        SELECT q.query_id, q.true_label, e.label,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {cosine_sql('q.q_emb', 'e.embedding')} DESC,
+                            e.vec_id) AS rn
+        FROM q JOIN embeddings e ON e.vec_id != q.query_id),
+    votes AS (
+        SELECT query_id, true_label, label,
+               CAST(count(*) AS BIGINT) AS n_votes
+        FROM scored WHERE rn <= {_KNN_K}
+        GROUP BY query_id, true_label, label),
+    pred AS (
+        SELECT query_id, true_label, label AS pred_label
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY n_votes DESC, label) AS pr FROM votes)
+        WHERE pr = 1)
+    SELECT true_label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_correct,
+           CAST((CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0
+               END) AS BIGINT) * 1000000) // count(*) AS BIGINT) AS acc_ppm
+    FROM pred GROUP BY true_label
+    """,
+    doc="Leave-one-out kNN (k=5, cosine) classification accuracy per "
+    "true label over the embeddings table — the embedding-quality "
+    "eval a curation pipeline runs before trusting vectors for "
+    "semantic dedup or search (on this synthetic corpus labels are "
+    "chance-level w.r.t. the geometry ≈ 100000 ppm — the operator "
+    "measures exactly that, like lang_id_confusion does for the "
+    "lang-ID heuristic). Plan: the query subset broadcasts, scoring "
+    "is one map-side cosine fold over the corpus, per-query top-k is "
+    "a window group-limit keyed by query_id (parallel across "
+    "queries), and voting/accuracy aggregate k·|Q| → |labels| rows. "
+    "Determinism: cosine ranks are bit-identical (sequential fold), "
+    "votes are integers, argmax vote breaks ties by smallest label, "
+    "accuracy is floor-division integer ppm.",
+    tags=("llm", "similarity", "eval"),
+)
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("true_label"),
+    )
+    scored = emb.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "true_label",
+        "label",
+        "vec_id",
+        cosine(F.col("q_emb"), F.col("embedding")).alias("cos"),
+    )
+    w_nn = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), "vec_id"
+    )
+    votes = (
+        scored.withColumn("rn", F.row_number().over(w_nn))
+        .filter(F.col("rn") <= _KNN_K)
+        .groupBy("query_id", "true_label", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w_vote = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), "label"
+    )
+    pred = (
+        votes.withColumn("pr", F.row_number().over(w_vote))
+        .filter(F.col("pr") == 1)
+        .select("query_id", "true_label", F.col("label").alias("pred_label"))
+    )
+    correct = F.sum(
+        (F.col("pred_label") == F.col("true_label")).cast("int")
+    ).cast("bigint")
+    return pred.groupBy("true_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        correct.alias("n_correct"),
+        F.expr(
+            "CAST((CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0"
+            " END) AS BIGINT) * 1000000) div count(*) AS BIGINT)"
+        ).alias("acc_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classifier calibration (reliability table) over logit bins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "classifier_calibration_bins",
+    oracle=f"""
+    WITH t AS (SELECT lang, text, {tokens_sql('text')} AS toks
+               FROM documents),
+    f AS (SELECT CAST(lang = 'en' AS INT) AS pos,
+            CAST({stopword_hits_sql('toks')} AS DOUBLE) / len(toks)
+                AS sw_ratio,
+            CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks)
+                AS mean_tok_len,
+            CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                AS distinct_ratio,
+            CAST(least(len(toks), 400) AS DOUBLE) / 400.0 AS len_norm
+          FROM t),
+    scored AS (SELECT pos,
+           (((({_QC_BIAS} + {_QC_W_SW}*sw_ratio)
+               + {_QC_W_MTL}*mean_tok_len)
+               + {_QC_W_DR}*distinct_ratio)
+               + {_QC_W_LEN}*len_norm) AS score
+          FROM f)
+    SELECT CAST(floor(score * 2.0) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST((CAST(sum(pos) AS BIGINT) * 1000000) // count(*)
+               AS BIGINT) AS pos_rate_ppm,
+           min(score) AS min_logit,
+           max(score) AS max_logit
+    FROM scored GROUP BY 1
+    """,
+    doc="Reliability table for the linearized quality classifier: dock "
+    "each doc's logit into a half-unit bin (floor(logit·2) — floor of "
+    "a bit-identical double is bit-identical) and emit per-bin count, "
+    "positive count (label: lang='en'), integer-ppm positive rate, "
+    "and min/max logit. This is the calibration-curve input "
+    "(predicted-score bin vs empirical rate) that decides whether the "
+    "filter's threshold is trustworthy — pair it with "
+    "classifier_auc_exact for the full filter-model eval. Plan: one "
+    "corpus scan, partial agg into a handful of bins — map-side "
+    "combine does all the work at any scale. No mean-of-doubles "
+    "anywhere (order-dependent): rates are integer ppm, the bin "
+    "bounds are min/max which are order-independent.",
+    tags=("llm", "quality", "eval"),
+)
+def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    feats = docs.select(
+        (F.col("lang") == "en").cast("int").alias("pos"),
+        (stopword_hits(toks).cast("double") / n).alias("sw_ratio"),
+        (
+            F.length(F.translate(F.col("text"), " ", "")).cast("double") / n
+        ).alias("mean_tok_len"),
+        (F.size(F.array_distinct(toks)).cast("double") / n).alias(
+            "distinct_ratio"
+        ),
+        (F.least(n, F.lit(400)).cast("double") / F.lit(400.0)).alias(
+            "len_norm"
+        ),
+    )
+    score = (
+        (
+            (
+                (F.lit(_QC_BIAS) + F.lit(_QC_W_SW) * F.col("sw_ratio"))
+                + F.lit(_QC_W_MTL) * F.col("mean_tok_len")
+            )
+            + F.lit(_QC_W_DR) * F.col("distinct_ratio")
+        )
+        + F.lit(_QC_W_LEN) * F.col("len_norm")
+    )
+    return (
+        feats.select("pos", score.alias("score"))
+        .groupBy(
+            F.floor(F.col("score") * F.lit(2.0)).cast("bigint").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+            F.expr(
+                "CAST((CAST(sum(pos) AS BIGINT) * 1000000) div count(*)"
+                " AS BIGINT)"
+            ).alias("pos_rate_ppm"),
+            F.min("score").alias("min_logit"),
+            F.max("score").alias("max_logit"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified rerank (greedy maximal-marginal-relevance over a shortlist)
+# ---------------------------------------------------------------------------
+
+_MMR_C = 50  # shortlist size (from the relevance ranker)
+_MMR_K = 10  # diversified picks
+_MMR_LAMBDA = 0.7
+
+
+def _mmr_kernel(pdf):
+    """Greedy MMR over ONE shortlist group. Rows are (ai, bi, val):
+    bi = -1 carries ai's relevance-to-query; bi >= 0 carries the
+    pairwise shortlist similarity sim(ai, bi). The float ops per step
+    are exactly the oracle's `(λ·rel) − ((1−λ)·max_sim)` — two
+    multiplies and a subtract over bit-identical doubles — and `max`
+    over identical values, so the pick sequence and scores match the
+    DuckDB RECURSIVE CTE bit-for-bit."""
+    import pandas as pd
+
+    rel = {
+        int(r.ai): float(r.val)
+        for r in pdf[pdf["bi"] < 0].itertuples()
+    }
+    sim = {
+        (int(r.ai), int(r.bi)): float(r.val)
+        for r in pdf[pdf["bi"] >= 0].itertuples()
+    }
+    first = min(rel, key=lambda v: (-rel[v], v))
+    picked, out = [first], [(1, first, rel[first])]
+    for step in range(2, _MMR_K + 1):
+        best = None
+        for c in rel:
+            if c in picked:
+                continue
+            score = (_MMR_LAMBDA * rel[c]) - (
+                (1.0 - _MMR_LAMBDA) * max(sim[(c, p)] for p in picked)
+            )
+            if best is None or (-score, c) < best[0]:
+                best = ((-score, c), score)
+        (_, c), score = best
+        picked.append(c)
+        out.append((step, c, score))
+    return pd.DataFrame(out, columns=["step", "vec_id", "mmr_score"])
+
+
+@register(
+    "mmr_diversified_rerank",
+    oracle=f"""
+    WITH RECURSIVE
+    q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    cand AS (
+        SELECT vec_id, embedding,
+               {cosine_sql('q.q_emb', 'e.embedding')} AS rel
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 1
+        ORDER BY rel DESC, vec_id LIMIT {_MMR_C}),
+    sim AS (
+        SELECT a.vec_id AS ai, b.vec_id AS bi,
+               {cosine_sql('a.embedding', 'b.embedding')} AS s
+        FROM cand a JOIN cand b ON a.vec_id != b.vec_id),
+    first AS (SELECT vec_id, rel FROM cand
+              ORDER BY rel DESC, vec_id LIMIT 1),
+    mmr AS (
+        SELECT 1 AS step, CAST(vec_id AS BIGINT) AS vec_id,
+               [CAST(vec_id AS BIGINT)] AS picked, rel AS mmr_score
+        FROM first
+        UNION ALL
+        SELECT m.step + 1, p.vec_id, list_append(m.picked, p.vec_id),
+               p.score
+        FROM mmr m, LATERAL (
+            SELECT CAST(c.vec_id AS BIGINT) AS vec_id,
+                   ({_MMR_LAMBDA} * c.rel) - ({1.0 - _MMR_LAMBDA} * (
+                       SELECT max(s) FROM sim
+                       WHERE sim.ai = c.vec_id
+                         AND list_contains(m.picked, sim.bi))) AS score
+            FROM cand c
+            WHERE NOT list_contains(m.picked, CAST(c.vec_id AS BIGINT))
+            ORDER BY score DESC, c.vec_id LIMIT 1) p
+        WHERE m.step < {_MMR_K})
+    SELECT CAST(step AS BIGINT) AS step, vec_id, mmr_score FROM mmr
+    """,
+    doc="Maximal-marginal-relevance diversified rerank (λ=0.7, k=10 "
+    "over a C=50 shortlist): the retrieval-diversity operator used to "
+    "de-redundify RAG contexts and curation batches — greedily pick "
+    "argmax λ·rel(d) − (1−λ)·max_{{s∈picked}} sim(d, s). Plan: the "
+    "corpus is touched ONCE (map-side cosine fold → TakeOrdered "
+    "shortlist, localCheckpointed so the C×C similarity self-join "
+    "reuses it); the inherently sequential greedy loop runs in a "
+    "single applyInPandas task over C + C·(C−1) precomputed rows — "
+    "constant-size work independent of corpus scale (at 100 TB the "
+    "shortlist comes from the ANN index instead; rerank cost is "
+    "unchanged). Oracle: a DuckDB RECURSIVE CTE with a LATERAL "
+    "argmax replays the same greedy sequence; every float is either "
+    "the shared sequential-fold cosine or the same 2-multiply-1-"
+    "subtract chain, so scores match bit-for-bit with no rounding.",
+    tags=("llm", "similarity", "retrieval"),
+)
+def mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cand = (
+        emb.filter(F.col("vec_id") >= 1)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            cosine(F.col("q_emb"), F.col("embedding")).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(_MMR_C)
+        .localCheckpoint()  # 50 rows; both self-join branches reuse it
+    )
+    a = cand.select(
+        F.col("vec_id").alias("ai"),
+        F.col("embedding").alias("a_emb"),
+    )
+    b = cand.select(
+        F.col("vec_id").alias("bi"),
+        F.col("embedding").alias("b_emb"),
+    )
+    sim_rows = (
+        a.join(b, F.col("ai") != F.col("bi"))
+        .select(
+            "ai",
+            "bi",
+            cosine(F.col("a_emb"), F.col("b_emb")).alias("val"),
+        )
+    )
+    rel_rows = cand.select(
+        F.col("vec_id").alias("ai"),
+        F.lit(-1).cast("bigint").alias("bi"),
+        F.col("rel").alias("val"),
+    )
+    return (
+        rel_rows.unionByName(sim_rows.select("ai", "bi", "val"))
+        .withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            _mmr_kernel, "step bigint, vec_id bigint, mmr_score double"
+        )
+    )
