@@ -67,6 +67,9 @@ HEADLINE: tuple[str, ...] = (
     "boilerplate_prefix_groups",
     # round-5 late addition: sub-document exact-substring dedup spans
     "exact_substring_spans",
+    # round-5 retrieval family: lexical scoring + diversified rerank
+    "bm25_topk",
+    "mmr_diversified_rerank",
 )
 
 #: The round-1 headline set (BENCH_r01.json) — emitted as a separate

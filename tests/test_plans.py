@@ -457,3 +457,47 @@ def test_dsir_feature_table_is_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_corpus_stats_ride_a_scalar_broadcast(spark, sf_dir):
+    """bm25_topk joins every doc against the ONE-row corpus-stats
+    aggregate. That must be a broadcast (BNLJ over a single row), the
+    global top-k must be TakeOrderedAndProject (per-partition heaps),
+    and nothing may sort-merge or cartesian the corpus."""
+    plan = plan_of(run("bm25_topk", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ols_is_one_scan_one_aggregate(spark, sf_dir):
+    """ols_normal_equations must be a single lineitem scan feeding one
+    partial+final aggregate — no join anywhere, and only the one
+    aggregate exchange. Any extra exchange/join means the moment
+    matrix stopped being a map-side combine."""
+    plan = plan_of(run("ols_normal_equations", spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # partial->final single-row agg
+    assert "HashAggregate" in plan
+
+
+def test_knn_query_set_is_broadcast_against_corpus(spark, sf_dir):
+    """knn_label_eval scores corpus x query-subset via a non-equi
+    broadcast join: the 100-row query side must broadcast; the corpus
+    must never be the build side of anything, and no cartesian."""
+    plan = plan_of(run("knn_label_eval", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mmr_greedy_runs_in_single_pandas_group(spark, sf_dir):
+    """mmr_diversified_rerank's sequential greedy must reach Spark as
+    exactly one FlatMapGroupsInPandas over the checkpointed shortlist;
+    the C x C similarity self-join is shortlist-sized and must not
+    regress to a cartesian over anything larger."""
+    plan = plan_of(run("mmr_diversified_rerank", spark, sf_dir))
+    # formatted plans print each node twice (tree line + detail block)
+    assert plan.count("FlatMapGroupsInPandas (") == 1
+    assert "CartesianProduct" not in plan
