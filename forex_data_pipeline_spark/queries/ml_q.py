@@ -783,9 +783,13 @@ def _mmr_kernel(pdf):
         (int(r.ai), int(r.bi)): float(r.val)
         for r in pdf[pdf["bi"] >= 0].itertuples()
     }
+    if not rel:  # degenerate shortlist → empty, schema-correct result
+        return pd.DataFrame(columns=["step", "vec_id", "mmr_score"])
     first = min(rel, key=lambda v: (-rel[v], v))
     picked, out = [first], [(1, first, rel[first])]
-    for step in range(2, _MMR_K + 1):
+    # stop at k picks OR when the shortlist runs dry (matches the
+    # recursive oracle, whose LATERAL argmax yields no row then)
+    for step in range(2, min(_MMR_K, len(rel)) + 1):
         best = None
         for c in rel:
             if c in picked:

@@ -105,3 +105,27 @@ def test_bm25_score_matches_pure_python(spark, sf_dir):
     ).head(25)
     assert got["doc_id"].tolist() == ref["doc_id"].tolist()
     assert np.allclose(got["bm25"], ref["bm25"], rtol=0, atol=2e-6)
+
+
+def test_mmr_kernel_degenerate_shortlists():
+    """Pure-pandas: the greedy kernel must survive shortlists smaller
+    than k (stop when dry) and empty ones (empty result)."""
+    import pandas as pd
+
+    from forex_data_pipeline_spark.queries.ml_q import _mmr_kernel
+
+    empty = _mmr_kernel(pd.DataFrame({"ai": [], "bi": [], "val": []}))
+    assert len(empty) == 0 and list(empty.columns) == [
+        "step", "vec_id", "mmr_score",
+    ]
+    # 3 candidates, k=10: picks exactly 3 in greedy order
+    rel = pd.DataFrame({"ai": [1, 2, 3], "bi": [-1] * 3,
+                        "val": [0.9, 0.8, 0.7]})
+    sims = [(a, b, 0.5) for a in (1, 2, 3) for b in (1, 2, 3) if a != b]
+    sim = pd.DataFrame(sims, columns=["ai", "bi", "val"])
+    out = _mmr_kernel(pd.concat([rel, sim], ignore_index=True))
+    assert out["step"].tolist() == [1, 2, 3]
+    assert out["vec_id"].tolist() == [1, 2, 3]
+    # step-1 score is raw relevance; later steps are penalized
+    assert out["mmr_score"].iloc[0] == 0.9
+    assert (out["mmr_score"].iloc[1:] < out["mmr_score"].iloc[0]).all()
