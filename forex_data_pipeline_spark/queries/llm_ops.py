@@ -5196,3 +5196,148 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("row_ppm"),
         (F.col("lang") == F.col("predicted_lang")).alias("correct"),
     )
+
+
+# --- LSH band-configuration sensitivity ------------------------------------
+
+#: (bands, rows) splits of the SAME K=8 signature — the S-curve knob:
+#: collision threshold ≈ (1/b)^(1/r) sweeps 1.0 → ~0.07
+_BAND_SENS_CONFIGS = ((1, 8), (2, 4), (4, 2), (8, 1))
+
+
+def _band_sens_stats_sql(b: int, r: int) -> str:
+    """One config's oracle block: DISTINCT candidate pairs over the
+    b-band join, then agreement counts against the signature table."""
+    bands = ", ".join(
+        f"md5(concat_ws('|', {', '.join(f'm{i * r + j}' for j in range(r))}))"
+        f" AS bh{i}"
+        for i in range(b)
+    )
+    on = " OR ".join(f"a.bh{i} = b.bh{i}" for i in range(b))
+    agree = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)"
+        for i in range(MINHASH_K)
+    )
+    return f"""
+    SELECT CAST({b} AS BIGINT) AS band_count,
+           CAST({r} AS BIGINT) AS row_count,
+           round(pow(1.0/{b}, 1.0/{r}), 6) AS threshold_est,
+           CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+           CAST(coalesce(sum(CASE WHEN ({agree}) >= {MINHASH_K // 2}
+               THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_est_dups
+    FROM (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM (SELECT doc_id, {bands} FROM sig) a
+          JOIN (SELECT doc_id, {bands} FROM sig) b
+            ON a.doc_id < b.doc_id AND ({on})) c
+    JOIN sig sa ON sa.doc_id = c.a_id
+    JOIN sig sb ON sb.doc_id = c.b_id
+    """
+
+
+@register(
+    "lsh_band_sensitivity",
+    oracle=f"""
+    WITH sig AS ({_SIG_WIDE_CTE}),
+    st AS ({" UNION ALL ".join(_band_sens_stats_sql(b, r)
+                               for b, r in _BAND_SENS_CONFIGS)})
+    SELECT band_count, row_count, threshold_est, n_candidate_pairs,
+           n_est_dups,
+           CASE WHEN n_candidate_pairs = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST((n_est_dups * 1000000) // n_candidate_pairs
+                          AS BIGINT) END AS precision_ppm
+    FROM st
+    """,
+    doc="LSH banding S-curve tuning table: every (bands × rows) split "
+    "of the SAME K=8 MinHash signature — (1×8, 2×4, 4×2, 8×1), "
+    "collision threshold (1/b)^(1/r) sweeping ~1.0 → ~0.07 — with "
+    "measured candidate-pair volume, how many candidates clear the "
+    "est-Jaccard ≥ 0.5 gate (integer agreement ≥ K/2, no float), and "
+    "candidate precision in integer ppm. This is the table that "
+    "justifies minhash_lsh_pairs' production (2 × 4) choice, the "
+    "band analogue of span_width_sensitivity. Plan: ONE signature "
+    "pass (checkpointed), then per config a first-shared-band "
+    "posexplode equi-join — the same exactly-once trick as the "
+    "production query, so no candidate×band DISTINCT blow-up at any "
+    "scale; each config's result is a single row. round() only on "
+    "the transcendental pow threshold.",
+    tags=("llm", "dedup", "eval"),
+)
+def lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _sig_wide(spark, sf_dir).localCheckpoint(eager=True)
+    outs = []
+    for b, r in _BAND_SENS_CONFIGS:
+        bhs = F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        "|", *[f"m{i * r + j}" for j in range(r)]
+                    )
+                )
+                for i in range(b)
+            ]
+        )
+        e = sig.select(
+            "doc_id",
+            *[f"m{i}" for i in range(MINHASH_K)],
+            bhs.alias("bhs"),
+            F.posexplode(bhs).alias("bk", "h"),
+        )
+
+        def side(p: str) -> DataFrame:
+            return e.select(
+                F.col("doc_id").alias(f"{p}_id"),
+                *[
+                    F.col(f"m{i}").alias(f"{p}_m{i}")
+                    for i in range(MINHASH_K)
+                ],
+                F.col("bhs").alias(f"{p}_bhs"),
+                "bk",
+                "h",
+            )
+
+        first_band = F.lit(True)
+        for j in range(b - 1):
+            first_band = first_band & ~(
+                (F.col("bk") > j) & (F.col("a_bhs")[j] == F.col("b_bhs")[j])
+            )
+        agreement = sum(
+            F.when(F.col(f"a_m{i}") == F.col(f"b_m{i}"), 1).otherwise(0)
+            for i in range(MINHASH_K)
+        )
+        stats = (
+            side("a")
+            .join(side("b"), ["bk", "h"])
+            .filter((F.col("a_id") < F.col("b_id")) & first_band)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
+                F.coalesce(
+                    F.sum(
+                        (agreement >= MINHASH_K // 2).cast("int")
+                    ),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("n_est_dups"),
+            )
+            .select(
+                F.lit(b).cast("bigint").alias("band_count"),
+                F.lit(r).cast("bigint").alias("row_count"),
+                F.round(F.pow(F.lit(1.0) / b, F.lit(1.0) / r), 6).alias(
+                    "threshold_est"
+                ),
+                "n_candidate_pairs",
+                "n_est_dups",
+            )
+        )
+        outs.append(stats)
+    merged = outs[0]
+    for o in outs[1:]:
+        merged = merged.unionByName(o)
+    return merged.select(
+        "*",
+        F.when(F.col("n_candidate_pairs") == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.expr("(n_est_dups * 1000000) div n_candidate_pairs")
+        )
+        .alias("precision_ppm"),
+    )
