@@ -902,3 +902,243 @@ def mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             _mmr_kernel, "step bigint, vec_id bigint, mmr_score double"
         )
     )
+
+
+def _qc_scored(spark: SparkSession, sf_dir: str, *keys: str) -> DataFrame:
+    """(keys..., pos, score) for the linearized quality classifier —
+    the shared Spark-side scoring pass behind classifier_auc_exact /
+    classifier_auc_by_source / classifier_calibration_bins (each
+    oracle repeats the same CTE chain textually)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    feats = docs.select(
+        *keys,
+        (F.col("lang") == "en").cast("int").alias("pos"),
+        (stopword_hits(toks).cast("double") / n).alias("sw_ratio"),
+        (
+            F.length(F.translate(F.col("text"), " ", "")).cast("double") / n
+        ).alias("mean_tok_len"),
+        (F.size(F.array_distinct(toks)).cast("double") / n).alias(
+            "distinct_ratio"
+        ),
+        (F.least(n, F.lit(400)).cast("double") / F.lit(400.0)).alias(
+            "len_norm"
+        ),
+    )
+    score = (
+        (
+            (
+                (F.lit(_QC_BIAS) + F.lit(_QC_W_SW) * F.col("sw_ratio"))
+                + F.lit(_QC_W_MTL) * F.col("mean_tok_len")
+            )
+            + F.lit(_QC_W_DR) * F.col("distinct_ratio")
+        )
+        + F.lit(_QC_W_LEN) * F.col("len_norm")
+    )
+    return feats.select(*keys, "pos", score.alias("score"))
+
+
+@register(
+    "classifier_auc_by_source",
+    oracle=f"""
+    WITH t AS (SELECT source, lang, text, {tokens_sql('text')} AS toks
+               FROM documents),
+    f AS (SELECT source, CAST(lang = 'en' AS INT) AS pos,
+            CAST({stopword_hits_sql('toks')} AS DOUBLE) / len(toks)
+                AS sw_ratio,
+            CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks)
+                AS mean_tok_len,
+            CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                AS distinct_ratio,
+            CAST(least(len(toks), 400) AS DOUBLE) / 400.0 AS len_norm
+          FROM t),
+    scored AS (SELECT source, pos,
+           (((({_QC_BIAS} + {_QC_W_SW}*sw_ratio)
+               + {_QC_W_MTL}*mean_tok_len)
+               + {_QC_W_DR}*distinct_ratio)
+               + {_QC_W_LEN}*len_norm) AS score
+          FROM f),
+    hist AS (SELECT source, score,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(1 - pos) AS BIGINT) AS n_neg
+          FROM scored GROUP BY source, score),
+    cum AS (SELECT source, n_pos, n_neg,
+           CAST(coalesce(sum(n_neg) OVER (PARTITION BY source
+               ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_neg
+          FROM hist),
+    u AS (SELECT source,
+           CAST(sum(n_pos * (2 * cum_neg + n_neg)) AS BIGINT) AS u2,
+           CAST(sum(n_pos) AS BIGINT) AS pos_total,
+           CAST(sum(n_neg) AS BIGINT) AS neg_total
+          FROM cum GROUP BY source
+          HAVING sum(n_pos) > 0 AND sum(n_neg) > 0)
+    SELECT source,
+           CAST(u2 AS DOUBLE) / CAST(2 * pos_total * neg_total AS DOUBLE)
+               AS auc,
+           pos_total, neg_total
+    FROM u
+    """,
+    doc="Per-source ROC-AUC of the quality classifier — the subgroup "
+    "(fairness/bias) eval: does the filter score one source's "
+    "documents systematically differently? Same all-integer "
+    "Mann–Whitney 2U machinery as classifier_auc_exact, but the "
+    "(score → pos/neg) histogram is keyed by source and the ordered "
+    "cumulative scan runs INSIDE each source partition — so unlike "
+    "the global AUC this parallelizes across sources at any scale "
+    "(the window is PARTITION BY source). Sources with a single "
+    "class are excluded (AUC undefined) by an exact HAVING guard.",
+    tags=("llm", "quality", "eval"),
+)
+def classifier_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _qc_scored(spark, sf_dir, "source")
+    hist = scored.groupBy("source", "score").agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("pos")).cast("bigint").alias("n_neg"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.select(
+        "source",
+        "n_pos",
+        "n_neg",
+        F.coalesce(F.sum("n_neg").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("cum_neg"),
+    )
+    u = (
+        cum.groupBy("source")
+        .agg(
+            F.sum(
+                F.col("n_pos") * (2 * F.col("cum_neg") + F.col("n_neg"))
+            )
+            .cast("bigint")
+            .alias("u2"),
+            F.sum("n_pos").cast("bigint").alias("pos_total"),
+            F.sum("n_neg").cast("bigint").alias("neg_total"),
+        )
+        .filter((F.col("pos_total") > 0) & (F.col("neg_total") > 0))
+    )
+    return u.select(
+        "source",
+        (
+            F.col("u2").cast("double")
+            / (2 * F.col("pos_total") * F.col("neg_total")).cast("double")
+        ).alias("auc"),
+        "pos_total",
+        "neg_total",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dirichlet-smoothed query-likelihood retrieval (the LM scorer next to BM25)
+# ---------------------------------------------------------------------------
+
+_QL_MU = 100.0  # Dirichlet prior mass (~1 typical doc length here)
+
+
+def _ql_contrib_sql(i: int) -> str:
+    """ln((tf + μ·cf/|C|) / (dl + μ)) — same parenthesization as the
+    Spark expression."""
+    mu = _QL_MU
+    p = f"(CAST(cf{i} AS DOUBLE) / CAST(total_tokens AS DOUBLE))"
+    return (
+        f"ln((CAST(tf{i} AS DOUBLE) + ({mu} * {p}))"
+        f" / (CAST(dl AS DOUBLE) + {mu}))"
+    )
+
+
+def _ql_contrib(i: int):
+    mu = _QL_MU
+    p = F.col(f"cf{i}").cast("double") / F.col("total_tokens").cast("double")
+    return F.log(
+        (F.col(f"tf{i}").cast("double") + (F.lit(mu) * p))
+        / (F.col("dl").cast("double") + F.lit(mu))
+    )
+
+
+_QL_CF_SQL = ",\n           ".join(
+    f"CAST(sum(tf{i}) AS BIGINT) AS cf{i}"
+    for i in range(len(_BM25_TERMS))
+)
+_QL_SCORE_SQL = "(((q0 + q1) + q2) + q3)"
+
+
+@register(
+    "query_likelihood_topk",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
+    f AS (SELECT doc_id, len(toks) AS dl,
+           {_BM25_TF_SQL}
+          FROM t),
+    s AS (SELECT CAST(sum(dl) AS BIGINT) AS total_tokens,
+           {_QL_CF_SQL}
+          FROM f),
+    j AS (SELECT f.*, s.* FROM f CROSS JOIN s),
+    scored AS (
+        SELECT doc_id,
+               {_ql_contrib_sql(0)} AS q0, {_ql_contrib_sql(1)} AS q1,
+               {_ql_contrib_sql(2)} AS q2, {_ql_contrib_sql(3)} AS q3
+        FROM j),
+    ranked AS (
+        SELECT doc_id, round({_QL_SCORE_SQL}, 6) AS ql_logprob,
+               row_number() OVER (
+                   ORDER BY round({_QL_SCORE_SQL}, 6) DESC, doc_id) AS rn
+        FROM scored)
+    SELECT doc_id, ql_logprob, CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= {_BM25_TOPK}
+    """,
+    doc="Dirichlet-smoothed query-likelihood retrieval (μ=100) for the "
+    "same fixed 4-term query as bm25_topk — the language-modeling "
+    "scorer of classic IR: score(d) = Σ_t ln((tf + μ·P(t|C)) / "
+    "(dl + μ)). Unlike BM25, EVERY document scores (smoothing gives "
+    "non-matching docs background mass), which is what makes the two "
+    "rankers disagree informatively. Plan: identical shape to "
+    "bm25_topk — map-side tf/dl, ONE-row collection-stats aggregate "
+    "(total tokens + per-term collection frequency) broadcast back, "
+    "TakeOrdered top-25; single corpus scan at any scale. "
+    "Determinism: all inputs exact integers, fixed-association "
+    "chains, ln is the only ulp risk → round(score, 6), doc_id "
+    "tie-break.",
+    tags=("llm", "text", "retrieval", "topk"),
+)
+def query_likelihood_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    per_doc = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[
+            F.size(
+                F.filter(toks, (lambda term: lambda x: x == F.lit(term))(t))
+            ).alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = per_doc.agg(
+        F.sum("dl").cast("bigint").alias("total_tokens"),
+        *[
+            F.sum(f"tf{i}").cast("bigint").alias(f"cf{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    j = per_doc.crossJoin(F.broadcast(stats))
+    score = F.round(
+        (((_ql_contrib(0) + _ql_contrib(1)) + _ql_contrib(2))
+         + _ql_contrib(3)),
+        6,
+    )
+    scored = (
+        j.select("doc_id", score.alias("ql_logprob"))
+        .orderBy(F.col("ql_logprob").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+    w = Window.orderBy(F.col("ql_logprob").desc(), "doc_id")
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).select("doc_id", "ql_logprob", "rank")
