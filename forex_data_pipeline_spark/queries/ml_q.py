@@ -25,7 +25,6 @@ from pyspark.sql.window import Window
 
 from ..catalog import register
 from ..functions.text import (
-    TOKEN_SPLIT_RE,
     stopword_hits,
     stopword_hits_sql,
     tokens,
@@ -351,34 +350,8 @@ _QC_BIAS, _QC_W_SW, _QC_W_MTL, _QC_W_DR, _QC_W_LEN = 0.2, 8.0, -0.4, 2.0, 1.5
     tags=("llm", "quality", "eval"),
 )
 def classifier_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    n = F.size(toks)
-    feats = docs.select(
-        (F.col("lang") == "en").cast("int").alias("pos"),
-        (stopword_hits(toks).cast("double") / n).alias("sw_ratio"),
-        (
-            F.length(F.translate(F.col("text"), " ", "")).cast("double") / n
-        ).alias("mean_tok_len"),
-        (F.size(F.array_distinct(toks)).cast("double") / n).alias(
-            "distinct_ratio"
-        ),
-        (F.least(n, F.lit(400)).cast("double") / F.lit(400.0)).alias(
-            "len_norm"
-        ),
-    )
-    score = (
-        (
-            (
-                (F.lit(_QC_BIAS) + F.lit(_QC_W_SW) * F.col("sw_ratio"))
-                + F.lit(_QC_W_MTL) * F.col("mean_tok_len")
-            )
-            + F.lit(_QC_W_DR) * F.col("distinct_ratio")
-        )
-        + F.lit(_QC_W_LEN) * F.col("len_norm")
-    )
     hist = (
-        feats.select("pos", score.alias("score"))
+        _qc_scored(spark, sf_dir)
         .groupBy("score")
         .agg(
             F.sum("pos").alias("n_pos"),
@@ -712,34 +685,8 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "quality", "eval"),
 )
 def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    n = F.size(toks)
-    feats = docs.select(
-        (F.col("lang") == "en").cast("int").alias("pos"),
-        (stopword_hits(toks).cast("double") / n).alias("sw_ratio"),
-        (
-            F.length(F.translate(F.col("text"), " ", "")).cast("double") / n
-        ).alias("mean_tok_len"),
-        (F.size(F.array_distinct(toks)).cast("double") / n).alias(
-            "distinct_ratio"
-        ),
-        (F.least(n, F.lit(400)).cast("double") / F.lit(400.0)).alias(
-            "len_norm"
-        ),
-    )
-    score = (
-        (
-            (
-                (F.lit(_QC_BIAS) + F.lit(_QC_W_SW) * F.col("sw_ratio"))
-                + F.lit(_QC_W_MTL) * F.col("mean_tok_len")
-            )
-            + F.lit(_QC_W_DR) * F.col("distinct_ratio")
-        )
-        + F.lit(_QC_W_LEN) * F.col("len_norm")
-    )
     return (
-        feats.select("pos", score.alias("score"))
+        _qc_scored(spark, sf_dir)
         .groupBy(
             F.floor(F.col("score") * F.lit(2.0)).cast("bigint").alias("bin")
         )
@@ -1142,3 +1089,126 @@ def query_likelihood_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("bigint")
     ).select("doc_id", "ql_logprob", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-relevance-feedback query expansion (Rocchio / RM3 term selection)
+# ---------------------------------------------------------------------------
+
+_PRF_FEEDBACK_DOCS = 10
+_PRF_TOPK_TERMS = 10
+
+
+@register(
+    "prf_expansion_terms",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
+    f AS (SELECT doc_id, len(toks) AS dl,
+           {_BM25_TF_SQL}
+          FROM t),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(dl) AS BIGINT) AS sdl,
+           {_BM25_DF_SQL}
+          FROM f),
+    j AS (SELECT f.*, s.*, CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl
+          FROM f CROSS JOIN s),
+    scored AS (
+        SELECT doc_id,
+               {_bm25_contrib_sql(0)} AS c0, {_bm25_contrib_sql(1)} AS c1,
+               {_bm25_contrib_sql(2)} AS c2, {_bm25_contrib_sql(3)} AS c3,
+               tf0 + tf1 + tf2 + tf3 AS tf_any
+        FROM j),
+    ranked AS (
+        SELECT doc_id, round({_BM25_SCORE_SQL}, 6) AS bm25,
+               row_number() OVER (ORDER BY round({_BM25_SCORE_SQL}, 6) DESC,
+                                  doc_id) AS rn
+        FROM scored WHERE tf_any > 0),
+    fb AS (SELECT doc_id FROM ranked WHERE rn <= {_PRF_FEEDBACK_DOCS}),
+    fbtok AS (
+        SELECT unnest(t.toks) AS term FROM t JOIN fb USING (doc_id)),
+    fbtf AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS fb_tf
+        FROM fbtok
+        WHERE term != ''
+          AND term NOT IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+        GROUP BY term),
+    dfs AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df
+        FROM (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM t)
+        WHERE term IN (SELECT term FROM fbtf)
+        GROUP BY term),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM t),
+    weighted AS (
+        SELECT fbtf.term, fb_tf, df,
+               round(CAST(fb_tf AS DOUBLE)
+                     * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+                   AS rocchio_weight
+        FROM fbtf JOIN dfs USING (term) CROSS JOIN n)
+    SELECT term, fb_tf, df, rocchio_weight, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (
+              ORDER BY rocchio_weight DESC, term) AS rn FROM weighted)
+    WHERE rn <= {_PRF_TOPK_TERMS}
+    """,
+    doc="Pseudo-relevance-feedback query expansion (Rocchio/RM3 term "
+    "selection): run the BM25 ranker, take its top-10 feedback docs, "
+    "and score every non-query term by feedback-tf × ln(N/df) — the "
+    "terms you would OR into the query on the second retrieval round. "
+    "Plan: the feedback doc-id set is 10 rows (broadcast semi-join "
+    "back to the corpus), the expansion-term stats table is "
+    "vocabulary-of-10-docs-sized, and the corpus df side is a "
+    "per-doc-distinct explode + count whose output is "
+    "vocabulary-sized — every post-scan stage is bounded; the corpus "
+    "is scanned twice (rank pass + df pass), same as any PRF "
+    "implementation. Determinism: tf/df/N exact integers, ln is the "
+    "only ulp risk → round(weight, 6), term as unique tie-break.",
+    tags=("llm", "text", "retrieval"),
+)
+def prf_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fb = (
+        bm25_topk(spark, sf_dir)
+        .filter(F.col("rank") <= _PRF_FEEDBACK_DOCS)
+        .select("doc_id")
+    )
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    fbtf = (
+        docs.join(F.broadcast(fb), "doc_id")
+        .select(F.explode(toks).alias("term"))
+        .filter(
+            (F.col("term") != "") & ~F.col("term").isin(*_BM25_TERMS)
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("fb_tf"))
+    )
+    dfs = (
+        docs.select(
+            F.explode(F.array_distinct(toks)).alias("term")
+        )
+        .join(F.broadcast(fbtf.select("term")), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    weighted = (
+        fbtf.join(dfs, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            "fb_tf",
+            "df",
+            F.round(
+                F.col("fb_tf").cast("double")
+                * F.log(
+                    F.col("n_docs").cast("double")
+                    / F.col("df").cast("double")
+                ),
+                6,
+            ).alias("rocchio_weight"),
+        )
+    )
+    w = Window.orderBy(F.col("rocchio_weight").desc(), "term")
+    return (
+        weighted.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _PRF_TOPK_TERMS)
+        .select("term", "fb_tf", "df", "rocchio_weight", "rank")
+    )
