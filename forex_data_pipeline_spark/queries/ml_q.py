@@ -1212,3 +1212,137 @@ def prf_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _PRF_TOPK_TERMS)
         .select("term", "fb_tf", "df", "rocchio_weight", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank agreement between the two lexical rankers (exact Spearman's rho)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ranker_rank_correlation",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
+    f AS (SELECT doc_id, len(toks) AS dl,
+           {_BM25_TF_SQL}
+          FROM t),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(dl) AS BIGINT) AS sdl,
+           CAST(sum(dl) AS BIGINT) AS total_tokens,
+           {_BM25_DF_SQL},
+           {_QL_CF_SQL}
+          FROM f),
+    j AS (SELECT f.*, s.*, CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl
+          FROM f CROSS JOIN s),
+    scored AS (
+        SELECT doc_id,
+               {_bm25_contrib_sql(0)} AS c0, {_bm25_contrib_sql(1)} AS c1,
+               {_bm25_contrib_sql(2)} AS c2, {_bm25_contrib_sql(3)} AS c3,
+               {_ql_contrib_sql(0)} AS q0, {_ql_contrib_sql(1)} AS q1,
+               {_ql_contrib_sql(2)} AS q2, {_ql_contrib_sql(3)} AS q3,
+               tf0 + tf1 + tf2 + tf3 AS tf_any
+        FROM j),
+    ranked AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY round({_BM25_SCORE_SQL}, 6) DESC,
+                                  doc_id) AS r_bm25,
+               row_number() OVER (ORDER BY round({_QL_SCORE_SQL}, 6) DESC,
+                                  doc_id) AS r_ql
+        FROM scored WHERE tf_any > 0)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum((r_bm25 - r_ql) * (r_bm25 - r_ql)) AS BIGINT) AS sum_d2,
+           CASE WHEN count(*) < 2 THEN NULL
+                ELSE 1.0 - (CAST(6 * CAST(sum((r_bm25 - r_ql)
+                         * (r_bm25 - r_ql)) AS BIGINT) AS DOUBLE)
+                     / CAST(CAST(count(*) AS BIGINT)
+                         * (CAST(count(*) AS BIGINT)
+                            * CAST(count(*) AS BIGINT) - 1) AS DOUBLE))
+           END AS spearman_rho
+    FROM ranked
+    """,
+    doc="Exact Spearman rank correlation between the BM25 and "
+    "query-likelihood rankers over the BM25-scorable docs (tf_any>0) "
+    "— the ranker-agreement diagnostic that tells you whether hybrid "
+    "fusion (rrf_hybrid_retrieval) can add anything: ρ=1 means the "
+    "rankers are redundant. Both scores come from ONE shared scan "
+    "(per-doc tf/dl + a single 1-row stats broadcast carrying N, Σdl, "
+    "df AND cf), ranks are permutations (doc_id tie-break — no "
+    "average-rank fractions), so Σd² and the classic "
+    "1 − 6Σd²/(n(n²−1)) are EXACT integers until the one final "
+    "division → bit-identical, no rounding. The two global "
+    "row_number windows are the scale caveat (rank = global sort); "
+    "at 100 TB you'd rank via zip-with-index over a range-partitioned "
+    "sort — same Σd² arithmetic. n³ stays double-exact below 2⁵³ "
+    "(~10⁸ docs); beyond that the quantized-rank variant applies.",
+    tags=("llm", "retrieval", "eval"),
+)
+def ranker_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    per_doc = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[
+            F.size(
+                F.filter(toks, (lambda term: lambda x: x == F.lit(term))(t))
+            ).alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sdl"),
+        F.sum("dl").cast("bigint").alias("total_tokens"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int")).cast("bigint").alias(
+                f"df{i}"
+            )
+            for i in range(len(_BM25_TERMS))
+        ],
+        *[
+            F.sum(f"tf{i}").cast("bigint").alias(f"cf{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    j = per_doc.crossJoin(F.broadcast(stats)).withColumn(
+        "avgdl", F.col("sdl").cast("double") / F.col("n").cast("double")
+    )
+    bm25 = F.round(
+        (((_bm25_contrib(0) + _bm25_contrib(1)) + _bm25_contrib(2))
+         + _bm25_contrib(3)),
+        6,
+    )
+    ql = F.round(
+        (((_ql_contrib(0) + _ql_contrib(1)) + _ql_contrib(2))
+         + _ql_contrib(3)),
+        6,
+    )
+    tf_any = sum(F.col(f"tf{i}") for i in range(len(_BM25_TERMS)))
+    scored = j.filter(tf_any > 0).select(
+        "doc_id", bm25.alias("bm25"), ql.alias("ql")
+    )
+    ranked = scored.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+        .alias("r_bm25"),
+        F.row_number()
+        .over(Window.orderBy(F.col("ql").desc(), "doc_id"))
+        .alias("r_ql"),
+    )
+    d2 = F.sum(
+        (F.col("r_bm25") - F.col("r_ql"))
+        * (F.col("r_bm25") - F.col("r_ql"))
+    ).cast("bigint")
+    n_docs = F.count(F.lit(1)).cast("bigint")
+    agg = ranked.agg(d2.alias("sum_d2"), n_docs.alias("n_docs"))
+    rho = F.when(F.col("n_docs") < 2, F.lit(None).cast("double")).otherwise(
+        F.lit(1.0)
+        - (
+            (F.lit(6) * F.col("sum_d2")).cast("double")
+            / (
+                F.col("n_docs")
+                * (F.col("n_docs") * F.col("n_docs") - 1)
+            ).cast("double")
+        )
+    )
+    return agg.select("n_docs", "sum_d2", rho.alias("spearman_rho"))
