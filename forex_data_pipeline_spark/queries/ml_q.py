@@ -1346,3 +1346,120 @@ def ranker_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return agg.select("n_docs", "sum_d2", rho.alias("spearman_rho"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental maintenance of the retrieval collection statistics
+# ---------------------------------------------------------------------------
+
+_RSTAT_SPLIT_FRAC = 0.8  # base = first 80% of doc_ids, delta = rest
+
+
+@register(
+    "incremental_retrieval_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
+    cut AS (SELECT CAST((max(doc_id) * 8) // 10 AS BIGINT) AS cutoff FROM t),
+    f AS (SELECT doc_id, len(toks) AS dl,
+           {_BM25_TF_SQL}
+          FROM t),
+    base AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(dl) AS BIGINT) AS sdl,
+           {_BM25_DF_SQL}
+          FROM f CROSS JOIN cut WHERE doc_id <= cutoff),
+    delta AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(dl) AS BIGINT) AS sdl,
+           {_BM25_DF_SQL}
+          FROM f CROSS JOIN cut WHERE doc_id > cutoff),
+    full_ AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(dl) AS BIGINT) AS sdl,
+           {_BM25_DF_SQL}
+          FROM f),
+    merged AS (
+        SELECT base.n + delta.n AS n, base.sdl + delta.sdl AS sdl,
+               {", ".join(f"base.df{i} + delta.df{i} AS df{i}"
+                          for i in range(len(_BM25_TERMS)))}
+        FROM base CROSS JOIN delta)
+    SELECT m.n AS n_docs, m.sdl AS total_tokens,
+           {", ".join(f"m.df{i} AS df{i}"
+                      for i in range(len(_BM25_TERMS)))},
+           CAST(m.n = f.n AND m.sdl = f.sdl AND
+                {" AND ".join(f"m.df{i} = f.df{i}"
+                              for i in range(len(_BM25_TERMS)))}
+               AS BOOLEAN) AS merge_consistent,
+           CAST(m.sdl AS DOUBLE) / CAST(m.n AS DOUBLE) AS avgdl
+    FROM merged m CROSS JOIN full_ f
+    """,
+    doc="Incremental maintenance of the BM25/QL collection statistics "
+    "(N, Σdl, per-term df) as a MERGEABLE MONOID: the stats of "
+    "base ⊎ delta are the cell-wise SUM of the two stats rows, so a "
+    "new document batch updates the ranker WITHOUT rescanning the "
+    "corpus — the retrieval analogue of incremental_covariance_update "
+    "and incremental_minhash_dedup's corpus-never-reshuffled design. "
+    "The query splits docs 80/20 by id, folds each side to one stats "
+    "row, merges by addition, and emits merge_consistent proving the "
+    "merge equals the full recompute (computed here for the audit; in "
+    "production the full pass never runs — that's the point). All "
+    "integers; avgdl is the single exact int/int division.",
+    tags=("llm", "retrieval", "incremental"),
+)
+def incremental_retrieval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    per_doc = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[
+            F.size(
+                F.filter(toks, (lambda term: lambda x: x == F.lit(term))(t))
+            ).alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    cut = per_doc.agg(
+        F.expr("CAST((max(doc_id) * 8) div 10 AS BIGINT)").alias("cutoff")
+    )
+    pd_cut = per_doc.crossJoin(F.broadcast(cut))
+
+    def fold(df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("dl").cast("bigint").alias("sdl"),
+            *[
+                F.sum((F.col(f"tf{i}") > 0).cast("int"))
+                .cast("bigint")
+                .alias(f"df{i}")
+                for i in range(len(_BM25_TERMS))
+            ],
+        )
+
+    base = fold(pd_cut.filter(F.col("doc_id") <= F.col("cutoff")))
+    delta = fold(pd_cut.filter(F.col("doc_id") > F.col("cutoff")))
+    full = fold(per_doc)
+    b, d = base.alias("b"), delta.alias("d")
+    merged = b.crossJoin(d).select(
+        (F.col("b.n") + F.col("d.n")).alias("n"),
+        (F.col("b.sdl") + F.col("d.sdl")).alias("sdl"),
+        *[
+            (F.col(f"b.df{i}") + F.col(f"d.df{i}")).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    m, f_ = merged.alias("m"), full.alias("f")
+    consistent = (F.col("m.n") == F.col("f.n")) & (
+        F.col("m.sdl") == F.col("f.sdl")
+    )
+    for i in range(len(_BM25_TERMS)):
+        consistent = consistent & (F.col(f"m.df{i}") == F.col(f"f.df{i}"))
+    return m.crossJoin(f_).select(
+        F.col("m.n").alias("n_docs"),
+        F.col("m.sdl").alias("total_tokens"),
+        *[
+            F.col(f"m.df{i}").alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+        consistent.alias("merge_consistent"),
+        (
+            F.col("m.sdl").cast("double") / F.col("m.n").cast("double")
+        ).alias("avgdl"),
+    )
