@@ -5341,3 +5341,52 @@ def lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("precision_ppm"),
     )
+
+
+# --- per-document novelty (marginal contribution) ---------------------------
+
+
+@register(
+    "doc_novelty_ppm",
+    oracle=f"""
+    WITH sh AS ({_SH_CTE}),
+    first AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_novel,
+           CAST((CAST(sum(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0
+               END) AS BIGINT) * 1000000) // count(*) AS BIGINT)
+               AS novelty_ppm
+    FROM sh s JOIN first f USING (sh)
+    GROUP BY s.doc_id
+    """,
+    doc="Per-document NOVELTY: the fraction of a doc's distinct 5-gram "
+    "shingles whose FIRST corpus occurrence (min doc_id — the "
+    "deterministic stand-in for ingestion order) is this doc — the "
+    "marginal-contribution metric behind greedy data selection and "
+    "the 'fraction of novel text' accounting in ExactSubstr-style "
+    "dedup papers: a doc that is 0 ppm novel adds nothing the corpus "
+    "hasn't seen. Plan: the shingle inverted index (doc_id, sh) "
+    "shuffles once by shingle for the min-owner aggregate, joins back "
+    "on the same key (co-partitioned — no second shuffle of the big "
+    "side under AQE), then re-aggregates by doc; everything is "
+    "shingle-cardinality, never pairwise. Docs shorter than 5 tokens "
+    "have no shingles and no row (they carry no evidence either "
+    "way). Integers + floor-div ppm — no floats.",
+    tags=("llm", "dedup", "text"),
+)
+def doc_novelty_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    joined = sh.join(first, "sh")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum((F.col("doc_id") == F.col("first_doc")).cast("int"))
+        .cast("bigint")
+        .alias("n_novel"),
+        F.expr(
+            "CAST((CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0"
+            " END) AS BIGINT) * 1000000) div count(*) AS BIGINT)"
+        ).alias("novelty_ppm"),
+    )
