@@ -36,7 +36,7 @@ from ..functions.text import (
     tokens,
     tokens_sql,
 )
-from ..functions.vector import cosine, cosine_sql
+from ..functions.vector import cosine, cosine_sql, dot_sql
 from ..tables import load
 
 MINHASH_K = 8          # signature length
@@ -5389,4 +5389,61 @@ def doc_novelty_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0"
             " END) AS BIGINT) * 1000000) div count(*) AS BIGINT)"
         ).alias("novelty_ppm"),
+    )
+
+
+# --- embedding prefix-mass (Matryoshka truncation quality) ------------------
+
+_PREFIX_DIMS = 16
+
+
+@register(
+    "embedding_prefix_mass",
+    oracle=f"""
+    WITH m AS (
+        SELECT vec_id,
+               {dot_sql(f'embedding[1:{_PREFIX_DIMS}]',
+                        f'embedding[1:{_PREFIX_DIMS}]')}
+               / {dot_sql('embedding', 'embedding')} AS share
+        FROM embeddings)
+    SELECT CAST(floor(share * 10.0) AS BIGINT) AS share_bin,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           min(share) AS min_share,
+           max(share) AS max_share
+    FROM m GROUP BY 1
+    """,
+    doc=f"Matryoshka-style truncation audit: what fraction of each "
+    f"embedding's squared L2 mass lives in its first {_PREFIX_DIMS} "
+    f"of 64 dims — the question you ask before truncating vectors to "
+    f"cut ANN index cost (MRL embeddings front-load mass; these "
+    f"synthetic ones won't, and the histogram proves it either way). "
+    f"Plan: pure map-side Catalyst folds (prefix slice + full vector) "
+    f"and a partial agg into ≤11 decile bins — one scan, no shuffle "
+    f"of vectors at any scale. Determinism: both folds are the shared "
+    f"sequential zip_with/aggregate (bit-identical to DuckDB's "
+    f"list_inner_product), the share is ONE division of those exact "
+    f"doubles, floor() of a bit-identical double is bit-identical, "
+    f"and min/max are order-independent — no rounding anywhere.",
+    tags=("llm", "similarity", "profile"),
+)
+def embedding_prefix_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    from ..functions.vector import dot
+
+    prefix = F.slice(F.col("embedding"), 1, _PREFIX_DIMS)
+    share = dot(prefix, prefix) / dot(
+        F.col("embedding"), F.col("embedding")
+    )
+    return (
+        emb.select(share.alias("share"))
+        .groupBy(
+            F.floor(F.col("share") * F.lit(10.0))
+            .cast("bigint")
+            .alias("share_bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.min("share").alias("min_share"),
+            F.max("share").alias("max_share"),
+        )
     )

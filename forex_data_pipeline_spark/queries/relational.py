@@ -4514,3 +4514,72 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "pa", "pb")
         .limit(20)
     )
+
+
+# --- functional-dependency discovery audit ---------------------------------
+
+#: candidate FDs (table, determinant, dependent) — one true PK-backed
+#: dependency and three plausible-but-false ones a profiler must refute
+_FD_CANDIDATES = (
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+)
+
+
+@register(
+    "functional_dependency_audit",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{t}.{det}->{dep}' AS candidate,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_groups,
+           CAST(max(n_dep) AS BIGINT) AS max_distinct_dep,
+           CAST(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) = 0 AS BOOLEAN)
+               AS fd_holds
+    FROM (SELECT {det}, count(DISTINCT {dep}) AS n_dep
+          FROM {t} GROUP BY {det})
+    """
+        for t, det, dep in _FD_CANDIDATES
+    ),
+    doc="Functional-dependency discovery audit — the schema-profiling "
+    "step that validates (or refutes) candidate column dependencies "
+    "before they are baked into dedup keys or surrogate-key designs: "
+    "for each (determinant → dependent) candidate, count determinant "
+    "groups, groups with >1 distinct dependent (violations), and the "
+    "worst group's distinct-dependent count. One true PK-backed FD "
+    "(nation.n_nationkey → n_regionkey) and three plausible-but-false "
+    "ones. Plan: per candidate a single groupBy(det) count-distinct "
+    "partial agg → 1 row; the union is 4 independent scans each "
+    "collapsing map-side — at 100 TB each candidate costs one "
+    "shuffle of (det, dep) pairs, nothing pairwise. All integers.",
+    tags=("relational", "quality", "profile"),
+)
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for t, det, dep in _FD_CANDIDATES:
+        g = (
+            load(spark, sf_dir, t)
+            .groupBy(det)
+            .agg(F.countDistinct(dep).alias("n_dep"))
+        )
+        viol = F.sum((F.col("n_dep") > 1).cast("int")).cast("bigint")
+        outs.append(
+            g.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+                viol.alias("n_violating_groups"),
+                F.max("n_dep").cast("bigint").alias("max_distinct_dep"),
+            ).select(
+                F.lit(f"{t}.{det}->{dep}").alias("candidate"),
+                "n_groups",
+                "n_violating_groups",
+                "max_distinct_dep",
+                (F.col("n_violating_groups") == 0).alias("fd_holds"),
+            )
+        )
+    merged = outs[0]
+    for o in outs[1:]:
+        merged = merged.unionByName(o)
+    return merged
