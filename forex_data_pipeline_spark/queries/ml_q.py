@@ -1463,3 +1463,228 @@ def incremental_retrieval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.sdl").cast("double") / F.col("m.n").cast("double")
         ).alias("avgdl"),
     )
+
+
+# ---------------------------------------------------------------------------
+# STREAMING maintenance of the retrieval collection statistics
+# ---------------------------------------------------------------------------
+
+
+def _retrieval_stats_state(batch: DataFrame) -> DataFrame:
+    """One-row (n, sdl, df0..df3) collection-stats state for a raw
+    documents batch — the mergeable monoid cell behind both the
+    incremental and streaming maintenance queries."""
+    toks = tokens(F.col("text"))
+    per_doc = batch.select(
+        F.size(toks).alias("dl"),
+        *[
+            F.size(
+                F.filter(toks, (lambda term: lambda x: x == F.lit(term))(t))
+            ).alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dl").cast("bigint").alias("sdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int"))
+            .cast("bigint")
+            .alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+
+
+@register(
+    "streaming_retrieval_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
+    f AS (SELECT doc_id, len(toks) AS dl,
+           {_BM25_TF_SQL}
+          FROM t)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(dl) AS BIGINT) AS total_tokens,
+           {_BM25_DF_SQL},
+           CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE)
+               / CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS avgdl
+    FROM f
+    """,
+    doc="STREAMING maintenance of the BM25/QL collection statistics: "
+    "the documents corpus is staged as three hash-chunks consumed as "
+    "a real file-source stream (maxFilesPerTrigger=1, AvailableNow); "
+    "each micro-batch folds its one-row (N, Σdl, df…) state into the "
+    "persisted state by cell-wise ADDITION via foreachBatch "
+    "(read + union + re-aggregate + atomic temp-swap of a ONE-row "
+    "table). The state is a commutative monoid, so micro-batch "
+    "arrival order cannot change the final table — which is what "
+    "makes this streaming job strict-oracle-checkable against the "
+    "one-shot whole-corpus aggregation. The streaming twin of "
+    "incremental_retrieval_stats: a live ranker's stats stay fresh "
+    "per ingest batch with no corpus rescan, at any scale.",
+    tags=("streaming", "llm", "retrieval", "incremental"),
+)
+def streaming_retrieval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    docs_path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(docs_path).schema
+    src = tempfile.mkdtemp(prefix="fx_rstat_src_")
+    docs = load(spark, sf_dir, "documents")
+    for k in range(3):
+        chunk_dir = tempfile.mkdtemp(prefix=f"fx_rstat_chunk{k}_")
+        (
+            docs.filter((F.col("doc_id") * F.lit(2654435761)) % 3 == k)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(chunk_dir)
+        )
+        part = next(
+            f for f in os.listdir(chunk_dir) if f.endswith(".parquet")
+        )
+        os.rename(
+            os.path.join(chunk_dir, part),
+            os.path.join(src, f"chunk_{k}.parquet"),
+        )
+
+    state = tempfile.mkdtemp(prefix="fx_rstat_state_") + "/stats"
+
+    def fold(batch_df: DataFrame, _bid: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        cells = _retrieval_stats_state(batch_df)
+        try:
+            prev = sp.read.parquet(state)
+            cells = prev.unionByName(cells).agg(
+                F.sum("n").cast("bigint").alias("n"),
+                F.sum("sdl").cast("bigint").alias("sdl"),
+                *[
+                    F.sum(f"df{i}").cast("bigint").alias(f"df{i}")
+                    for i in range(len(_BM25_TERMS))
+                ],
+            )
+        except Exception:  # noqa: BLE001 — first batch, no state yet
+            pass
+        tmp = f"{state}__tmp_{uuid.uuid4().hex[:8]}"
+        cells.coalesce(1).write.parquet(tmp)
+        if os.path.isdir(state):
+            old = f"{state}__old_{uuid.uuid4().hex[:8]}"
+            os.rename(state, old)
+            os.rename(tmp, state)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.rename(tmp, state)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    (
+        stream.writeStream.foreachBatch(fold)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="fx_rstat_ck_")
+        )
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(state).select(
+        F.col("n").alias("n_docs"),
+        F.col("sdl").alias("total_tokens"),
+        *[f"df{i}" for i in range(len(_BM25_TERMS))],
+        (F.col("sdl").cast("double") / F.col("n").cast("double")).alias(
+            "avgdl"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between two categorical columns (profiling)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "column_mutual_information",
+    oracle="""
+    WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_xy
+               FROM documents GROUP BY 1, 2),
+    mx AS (SELECT lang, CAST(sum(n_xy) AS BIGINT) AS n_x
+           FROM c GROUP BY 1),
+    my AS (SELECT source, CAST(sum(n_xy) AS BIGINT) AS n_y
+           FROM c GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM c),
+    cell AS (
+        SELECT CAST(round(CAST(n_xy AS DOUBLE)
+                   * ln((CAST(n_xy AS DOUBLE) * CAST(n AS DOUBLE))
+                        / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)))
+                   * 1000000) AS BIGINT) AS mn
+        FROM c JOIN mx USING (lang) JOIN my USING (source)
+        CROSS JOIN tot)
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           t.n AS n_docs,
+           CAST(sum(mn) AS BIGINT) AS mi_micronats_weighted,
+           CAST(CAST(sum(mn) AS BIGINT) AS DOUBLE)
+               / (CAST(t.n AS DOUBLE) * 1000000.0) AS mi_nats
+    FROM cell CROSS JOIN tot t GROUP BY t.n
+    """,
+    doc="Mutual information between two categorical columns "
+    "(lang × source over documents) — the dependence screen a "
+    "profiler runs before stratifying or deduplicating on column "
+    "combinations: MI ≈ 0 means the mixture is a product "
+    "distribution (stratify on either alone), high MI means the "
+    "columns confound. Plan: one (x, y) count aggregate (cells), "
+    "margins re-aggregated FROM the cells (never a second corpus "
+    "scan), broadcast-joined back — all post-scan work is "
+    "cell-cardinality. Determinism: counts are exact; each cell's "
+    "n_xy·ln(n_xy·N/(n_x·n_y)) is rounded ONCE to integer "
+    "micro-nats (ln is transcendental — exact ties impossible) and "
+    "the total is an ORDER-INDEPENDENT integer sum, the zipf_fit "
+    "discipline; mi_nats is a final exact-integer division.",
+    tags=("llm", "profile", "eval"),
+)
+def column_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_xy")
+    )
+    mx = c.groupBy("lang").agg(F.sum("n_xy").cast("bigint").alias("n_x"))
+    my = c.groupBy("source").agg(F.sum("n_xy").cast("bigint").alias("n_y"))
+    tot = c.agg(F.sum("n_xy").cast("bigint").alias("n"))
+    cell = (
+        c.join(F.broadcast(mx), "lang")
+        .join(F.broadcast(my), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                F.col("n_xy").cast("double")
+                * F.log(
+                    (F.col("n_xy").cast("double") * F.col("n").cast("double"))
+                    / (
+                        F.col("n_x").cast("double")
+                        * F.col("n_y").cast("double")
+                    )
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("mn"),
+            "n",
+        )
+    )
+    return cell.groupBy("n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("mn").cast("bigint").alias("mi_micronats_weighted"),
+    ).select(
+        "n_cells",
+        F.col("n").alias("n_docs"),
+        "mi_micronats_weighted",
+        (
+            F.col("mi_micronats_weighted").cast("double")
+            / (F.col("n").cast("double") * F.lit(1000000.0))
+        ).alias("mi_nats"),
+    )
