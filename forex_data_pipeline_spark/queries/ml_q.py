@@ -1,20 +1,27 @@
-"""Learned-model / retrieval analytics over the corpus tables: BM25
-lexical retrieval, reciprocal-rank-fusion of multiple rankers, exact
-rank-statistic AUC for the quality classifier, and distributed OLS via
-normal-equation moment aggregation.
+"""Learned-model / retrieval analytics over the corpus tables.
+
+Retrieval: BM25 (Okapi), Dirichlet query-likelihood, reciprocal-rank
+fusion of rankers, MMR diversified rerank, Rocchio/RM3 pseudo-relevance
+feedback, and incremental + streaming maintenance of the collection
+statistics (a mergeable monoid — no corpus rescan per ingest batch).
+
+Model evaluation: exact Mann–Whitney ROC-AUC (global and per-source),
+calibration/reliability bins, leave-one-out kNN label accuracy, exact
+Spearman agreement between rankers, and categorical mutual information.
+
+Fitting: distributed two-feature OLS via exact normal equations
+(DECIMAL(38,0)/HUGEINT moments, centered Cramer solve).
 
 These are the "model-adjacent" operators a training-data pipeline runs
-beside dedup/filtering: scoring documents for retrieval-based data
-selection (BM25 / hybrid fusion), evaluating a filter model (AUC), and
-fitting cheap linear baselines over fact tables (OLS). All four are
-single-pass partial-aggregation plans — the model state (term stats,
-fused rank lists, score histogram, moment matrix) is tiny and
-broadcast/driver-sized while the corpus side streams map-side.
+beside dedup/filtering. The common plan shape: the model state (term
+stats, fused rank lists, score histogram, moment matrix) is tiny and
+broadcast/driver-sized while the corpus side streams map-side through
+one (or for PRF, two) scans.
 
 Determinism follows the catalog contract: integer-domain moments
 (BIGINT / DECIMAL(38,0) vs DuckDB HUGEINT), fixed-association float
 chains over bit-identical inputs, round(6) only on transcendental
-(ln) outputs, unique tie-breaks on every top-k.
+(ln/pow) outputs, unique tie-breaks on every top-k.
 """
 
 from __future__ import annotations
