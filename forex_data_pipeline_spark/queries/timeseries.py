@@ -2042,3 +2042,93 @@ def timed_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("conv_ppm"),
         )
     )
+
+
+# --- CUSUM changepoint detection -------------------------------------------
+
+
+@register(
+    "cusum_changepoint",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2),
+    t AS (SELECT event_type, CAST(sum(cents) AS BIGINT) AS total,
+                 CAST(count(*) AS BIGINT) AS n_days
+          FROM d GROUP BY 1),
+    s AS (SELECT d.event_type, day, n_days,
+                 CAST(sum(cents) OVER (PARTITION BY d.event_type
+                     ORDER BY day) AS BIGINT) AS pfx,
+                 CAST(row_number() OVER (PARTITION BY d.event_type
+                     ORDER BY day) AS BIGINT) AS k,
+                 total
+          FROM d JOIN t USING (event_type)),
+    c AS (SELECT event_type, day, n_days,
+                 abs(n_days * pfx - k * total) AS abs_s
+          FROM s)
+    SELECT event_type, n_days, day AS change_day,
+           CAST(abs_s AS BIGINT) AS max_abs_s
+    FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+              ORDER BY abs_s DESC, day) AS rn FROM c)
+    WHERE rn = 1
+    """,
+    doc="CUSUM changepoint detection per event-type series: the "
+    "max-|cumulative-deviation| statistic locates the day where the "
+    "daily value level most plausibly shifted — the level-shift "
+    "screen a monitoring pipeline runs before trusting week-over-week "
+    "comparisons. Determinism: the textbook CUSUM subtracts the mean "
+    "per step (a rational); scaling by n keeps it INTEGER: "
+    "S_k = n·prefix_k − k·total is exactly n·Σ(x_i − x̄), so the "
+    "argmax day and statistic are exact integers end-to-end — no "
+    "floats at all. Plan: daily pre-aggregation first (cents), so "
+    "the windows run over DAYS per series, not raw events; both the "
+    "cumsum and the argmax are windows PARTITIONED by event_type — "
+    "parallel across series at any scale, and the per-series state "
+    "is day-count-sized.",
+    tags=("timeseries", "anomaly", "window"),
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    t = d.groupBy("event_type").agg(
+        F.sum("cents").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    s = d.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "day",
+        "n_days",
+        F.sum("cents").over(w).cast("bigint").alias("pfx"),
+        F.row_number().over(w).cast("bigint").alias("k"),
+        "total",
+    )
+    c = s.select(
+        "event_type",
+        "day",
+        "n_days",
+        F.abs(
+            F.col("n_days") * F.col("pfx") - F.col("k") * F.col("total")
+        ).alias("abs_s"),
+    )
+    w_max = Window.partitionBy("event_type").orderBy(
+        F.col("abs_s").desc(), "day"
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w_max))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n_days",
+            F.col("day").alias("change_day"),
+            F.col("abs_s").cast("bigint").alias("max_abs_s"),
+        )
+    )
