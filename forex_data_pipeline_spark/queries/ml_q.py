@@ -100,6 +100,33 @@ _BM25_DF_SQL = ",\n           ".join(
 _BM25_SCORE_SQL = "(((c0 + c1) + c2) + c3)"
 
 
+
+def _per_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dl, tf0..tf3) per document, MATERIALIZED via eager
+    localCheckpoint: every retrieval query has at least two consumers
+    of this projection (the 1-row stats aggregate and the scoring
+    probe), and without the checkpoint each consumer re-parses the
+    corpus text (the regex tokenize dominates). The materialized form
+    is ~6 ints/doc — the per-document "index statistics" a production
+    engine persists next to the corpus, so the same design holds at
+    100 TB (parse once per ingest, reuse per query)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[
+            # NB: a `lambda x, t=t:` default-arg closure would be seen
+            # by F.filter as the 2-arg (element, index) lambda form —
+            # build the 1-arg predicate through a factory instead
+            F.size(
+                F.filter(toks, (lambda term: lambda x: x == F.lit(term))(t))
+            ).alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    ).localCheckpoint(eager=True)
+
+
 @register(
     "bm25_topk",
     oracle=f"""
@@ -143,21 +170,7 @@ _BM25_SCORE_SQL = "(((c0 + c1) + c2) + c3)"
     tags=("llm", "text", "retrieval", "topk"),
 )
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    per_doc = docs.select(
-        "doc_id",
-        F.size(toks).alias("dl"),
-        *[
-            # NB: a `lambda x, t=t:` default-arg closure would be seen
-            # by F.filter as the 2-arg (element, index) lambda form —
-            # build the 1-arg predicate through a factory instead
-            F.size(
-                F.filter(toks, (lambda term: lambda x: x == F.lit(term))(t))
-            ).alias(f"tf{i}")
-            for i, t in enumerate(_BM25_TERMS)
-        ],
-    )
+    per_doc = _per_doc_stats(spark, sf_dir)
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("dl").alias("sdl"),
@@ -1062,18 +1075,7 @@ _QL_SCORE_SQL = "(((q0 + q1) + q2) + q3)"
     tags=("llm", "text", "retrieval", "topk"),
 )
 def query_likelihood_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    per_doc = docs.select(
-        "doc_id",
-        F.size(toks).alias("dl"),
-        *[
-            F.size(
-                F.filter(toks, (lambda term: lambda x: x == F.lit(term))(t))
-            ).alias(f"tf{i}")
-            for i, t in enumerate(_BM25_TERMS)
-        ],
-    )
+    per_doc = _per_doc_stats(spark, sf_dir)
     stats = per_doc.agg(
         F.sum("dl").cast("bigint").alias("total_tokens"),
         *[
@@ -1284,18 +1286,7 @@ def prf_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "retrieval", "eval"),
 )
 def ranker_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    per_doc = docs.select(
-        "doc_id",
-        F.size(toks).alias("dl"),
-        *[
-            F.size(
-                F.filter(toks, (lambda term: lambda x: x == F.lit(term))(t))
-            ).alias(f"tf{i}")
-            for i, t in enumerate(_BM25_TERMS)
-        ],
-    )
+    per_doc = _per_doc_stats(spark, sf_dir)
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("dl").alias("sdl"),
@@ -1411,18 +1402,7 @@ _RSTAT_SPLIT_FRAC = 0.8  # base = first 80% of doc_ids, delta = rest
     tags=("llm", "retrieval", "incremental"),
 )
 def incremental_retrieval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    per_doc = docs.select(
-        "doc_id",
-        F.size(toks).alias("dl"),
-        *[
-            F.size(
-                F.filter(toks, (lambda term: lambda x: x == F.lit(term))(t))
-            ).alias(f"tf{i}")
-            for i, t in enumerate(_BM25_TERMS)
-        ],
-    )
+    per_doc = _per_doc_stats(spark, sf_dir)
     cut = per_doc.agg(
         F.expr("CAST((max(doc_id) * 8) div 10 AS BIGINT)").alias("cutoff")
     )
