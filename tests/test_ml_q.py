@@ -129,3 +129,31 @@ def test_mmr_kernel_degenerate_shortlists():
     # step-1 score is raw relevance; later steps are penalized
     assert out["mmr_score"].iloc[0] == 0.9
     assert (out["mmr_score"].iloc[1:] < out["mmr_score"].iloc[0]).all()
+
+
+def test_incremental_retrieval_stats_merge_bit_is_true(spark, sf_dir):
+    """The merge-vs-full audit column must actually be True — the
+    oracle proves both engines agree on its value, this proves the
+    value is the monoid law holding."""
+    row = (
+        REGISTRY["incremental_retrieval_stats"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .iloc[0]
+    )
+    assert bool(row["merge_consistent"]) is True
+    assert row["n_docs"] > 0 and row["total_tokens"] > 0
+
+
+def test_embedding_prefix_mass_is_a_partition_of_unit_interval(
+    spark, sf_dir
+):
+    pdf = REGISTRY["embedding_prefix_mass"].fn(spark, sf_dir).toPandas()
+    assert (pdf["min_share"] >= 0).all()
+    assert (pdf["max_share"] <= 1).all()
+    # bins hold their own min/max: bin b covers [b/10, (b+1)/10)
+    for r in pdf.itertuples():
+        assert r.share_bin * 0.1 <= r.min_share
+        assert r.max_share < (r.share_bin + 1) * 0.1 + 1e-12
+    # all 500+ vectors accounted for
+    assert pdf["n_vectors"].sum() >= 500
