@@ -5447,3 +5447,128 @@ def embedding_prefix_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("share").alias("max_share"),
         )
     )
+
+
+# --- collocation extraction (bigram PMI) ------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 20
+
+
+@register(
+    "collocation_pmi_top20",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
+    uni AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS n_t
+        FROM (SELECT unnest(toks) AS term FROM t)
+        WHERE term != '' GROUP BY term),
+    nu AS (SELECT CAST(sum(n_t) AS BIGINT) AS n_uni FROM uni),
+    bi AS (
+        SELECT p.a AS term_a, p.b AS term_b,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM (SELECT unnest(list_transform(
+                  generate_series(1, len(toks) - 1),
+                  i -> struct_pack(a := toks[i], b := toks[i + 1]))) AS p
+              FROM t) s
+        WHERE p.a != '' AND p.b != ''
+        GROUP BY 1, 2),
+    nb AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_bi FROM bi),
+    pmi AS (
+        SELECT term_a, term_b, n_ab,
+               CAST(round(ln(((CAST(n_ab AS DOUBLE)
+                       * CAST(n_uni AS DOUBLE)) * CAST(n_uni AS DOUBLE))
+                   / ((CAST(n_bi AS DOUBLE) * CAST(ua.n_t AS DOUBLE))
+                       * CAST(ub.n_t AS DOUBLE))) * 1000000) AS BIGINT)
+                   AS pmi_micronats
+        FROM bi
+        JOIN uni ua ON ua.term = term_a
+        JOIN uni ub ON ub.term = term_b
+        CROSS JOIN nu CROSS JOIN nb
+        WHERE n_ab >= {_PMI_MIN_COUNT})
+    SELECT term_a, term_b, n_ab, pmi_micronats, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY pmi_micronats DESC,
+              term_a, term_b) AS rn FROM pmi)
+    WHERE rn <= {_PMI_TOPK}
+    """,
+    doc="Collocation extraction: top-20 adjacent-token bigrams by "
+    "pointwise mutual information (min count 5) — the phrase-mining "
+    "step (word2phrase / NPMI collocations) run before tokenizer "
+    "training or stopword curation. Plan: ONE tokenize pass feeds "
+    "both the unigram and bigram counts (bigrams are a map-side "
+    "zip-with-next, no positional self-join — same trick as "
+    "skipgram_pairs), the unigram table joins back BROADCAST "
+    "(vocabulary-sized), and the two totals are 1-row scalar "
+    "broadcasts. Determinism: counts exact; the PMI argument is a "
+    "fixed-association double chain over exact integers (values "
+    "above 2^53 cast identically — correctly-rounded BIGINT→DOUBLE "
+    "on both engines), ln rounded ONCE to integer micro-nats, and "
+    "the top-k orders by the INTEGER with (term_a, term_b) "
+    "tie-break.",
+    tags=("llm", "text", "profile"),
+)
+def collocation_pmi_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    base = _spread(docs).select("doc_id", toks.alias("toks"))
+    n = F.size(F.col("toks"))
+    uni = (
+        base.select(F.explode(F.col("toks")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_t"))
+    )
+    nu = uni.agg(F.sum("n_t").cast("bigint").alias("n_uni"))
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(F.col("toks"), 1, n - 1),
+            F.slice(F.col("toks"), 2, n - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    bi = (
+        base.select(F.explode(pairs).alias("p"))
+        .filter((F.col("p.a") != "") & (F.col("p.b") != ""))
+        .groupBy(
+            F.col("p.a").alias("term_a"), F.col("p.b").alias("term_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    nb = bi.agg(F.sum("n_ab").cast("bigint").alias("n_bi"))
+    ua = uni.select(
+        F.col("term").alias("term_a"), F.col("n_t").alias("na")
+    )
+    ub = uni.select(
+        F.col("term").alias("term_b"), F.col("n_t").alias("nb_t")
+    )
+    pmi_arg = (
+        (F.col("n_ab").cast("double") * F.col("n_uni").cast("double"))
+        * F.col("n_uni").cast("double")
+    ) / (
+        (F.col("n_bi").cast("double") * F.col("na").cast("double"))
+        * F.col("nb_t").cast("double")
+    )
+    scored = (
+        bi.filter(F.col("n_ab") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(ua), "term_a")
+        .join(F.broadcast(ub), "term_b")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "term_a",
+            "term_b",
+            "n_ab",
+            F.round(F.log(pmi_arg) * 1000000)
+            .cast("bigint")
+            .alias("pmi_micronats"),
+        )
+    )
+    w = Window.orderBy(
+        F.col("pmi_micronats").desc(), "term_a", "term_b"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _PMI_TOPK)
+        .select("term_a", "term_b", "n_ab", "pmi_micronats", "rank")
+    )
