@@ -5572,3 +5572,112 @@ def collocation_pmi_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _PMI_TOPK)
         .select("term_a", "term_b", "n_ab", "pmi_micronats", "rank")
     )
+
+
+# --- l-diversity audit (companion to k_anonymity_release) -------------------
+
+_LDIV_L = 3
+
+
+@register(
+    "l_diversity_audit",
+    oracle=f"""
+    SELECT n.n_name AS nation_name, c.c_mktsegment AS mktsegment,
+           CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_individuals,
+           CAST(count(DISTINCT o.o_orderpriority) AS BIGINT)
+               AS n_sensitive_distinct,
+           CAST(count(DISTINCT o.o_orderpriority) >= {_LDIV_L} AS BOOLEAN)
+               AS l_diverse
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    doc="l-diversity audit over the same quasi-identifier as "
+    "k_anonymity_release (nation × market segment), sensitive "
+    f"attribute = order priority: a cell is safe only if it contains "
+    f"≥ l={_LDIV_L} DISTINCT sensitive values — k-anonymity alone "
+    "still leaks when everyone in a big cell shares one sensitive "
+    "value (homogeneity attack). Emits per-cell individual counts, "
+    "sensitive diversity, and the verdict; the release pipeline "
+    "would suppress cells failing either test. Plan: nation "
+    "broadcast, ONE shuffle join customers→orders on custkey, "
+    "count-distinct partial aggs per cell — cell-table output, "
+    "corpus read once. All integers/booleans, order-independent.",
+    tags=("llm", "privacy", "aggregation"),
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(
+            F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"]
+        )
+        .join(orders, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        .agg(
+            F.countDistinct("c_custkey").cast("bigint").alias(
+                "n_individuals"
+            ),
+            F.countDistinct("o_orderpriority")
+            .cast("bigint")
+            .alias("n_sensitive_distinct"),
+        )
+        .select(
+            "nation_name",
+            "mktsegment",
+            "n_individuals",
+            "n_sensitive_distinct",
+            (F.col("n_sensitive_distinct") >= _LDIV_L).alias("l_diverse"),
+        )
+    )
+
+
+# --- cluster-size histogram (corpus redundancy profile) ---------------------
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle="__SPLICED_AT_IMPORT2__",
+    doc="Corpus-redundancy profile: histogram of near-dup cluster "
+    "sizes from the connected-components clustering — n_clusters and "
+    "n_docs per size. The shape of this table IS the dedup ROI "
+    "estimate: mass at size ≥ 2 is exactly the text dedup would "
+    "remove (n_docs − n_clusters over those rows). Plan: composes "
+    "dedup_clusters (iterative min-label CC), then two cheap "
+    "aggregations over the doc-cardinality label table; the "
+    "histogram output is ≤ max-cluster-size rows. All integers; the "
+    "oracle wraps the recursive-CTE transitive closure.",
+    tags=("llm", "dedup", "profile"),
+)
+def dedup_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    clusters = dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+        )
+    )
+
+
+_REG["dedup_cluster_size_histogram"].oracle = f"""
+    SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM ({_REG['dedup_clusters'].oracle}) GROUP BY cluster_id)
+    GROUP BY cluster_size
+"""
