@@ -1921,3 +1921,98 @@ def williams_percent_r(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DOUBLE) / 1000000.0) END"
         ).alias("willr_14"),
     )
+
+
+
+@register(
+    "holt_winters_des",
+    oracle=f"""
+    WITH RECURSIVE candles AS (
+        SELECT {_bucket_sql('ts', 3600, 0)} AS candle_start,
+               event_type,
+               arg_max(value, ts) AS v
+        FROM events
+        GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT event_type, candle_start, v,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY candle_start) AS rn
+        FROM candles
+    ),
+    r AS (
+        SELECT event_type, candle_start, rn, v,
+               v AS lvl, CAST(0.0 AS DOUBLE) AS tr,
+               CAST(0.0 AS DOUBLE) AS err
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT b.event_type, b.candle_start, b.rn, b.v,
+               0.5 * b.v + 0.5 * (r.lvl + r.tr),
+               0.3 * ((0.5 * b.v + 0.5 * (r.lvl + r.tr)) - r.lvl)
+                   + 0.7 * r.tr,
+               b.v - (r.lvl + r.tr)
+        FROM base b JOIN r
+          ON b.event_type = r.event_type AND b.rn = r.rn + 1
+    )
+    SELECT event_type, candle_start,
+           lvl AS hw_level, tr AS hw_trend, err AS forecast_err
+    FROM r
+    """,
+    doc="Holt double exponential smoothing (level + trend) per series "
+    "over hourly closes, with the one-step-ahead forecast error — the "
+    "classic trend-following smoother (and the residual a forecasting "
+    "mart monitors). Like ewma_macd the recursion l' = a*v+(1-a)(l+b), "
+    "b' = g*(l'-l)+(1-g)*b is inherently sequential per series, so it "
+    "runs as an Arrow-batched applyInPandas kernel (state inside one "
+    "partition per series; parallelism across series — the wide "
+    "dimension at scale). Oracle: DuckDB RECURSIVE CTE executing the "
+    "bit-identical IEEE-754 op sequence (identical literals 0.5/0.3/"
+    "0.7 on both engines — NOT 1-a, whose double differs from the "
+    "0.7 literal), so the strict hash matches with no rounding slack.",
+    tags=("timeseries", "window", "indicator", "udf"),
+)
+def holt_winters_des(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    ev = load(spark, sf_dir, "events")
+    candles = (
+        ohlc_window(ev, "ts", "value", ["event_type"], duration="1 hour")
+        .select("event_type", "candle_start",
+                F.col("close_value").alias("v"))
+    )
+
+    schema = T.StructType([
+        T.StructField("event_type", T.StringType()),
+        T.StructField("candle_start", T.TimestampNTZType()),
+        T.StructField("hw_level", T.DoubleType()),
+        T.StructField("hw_trend", T.DoubleType()),
+        T.StructField("forecast_err", T.DoubleType()),
+    ])
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("candle_start").reset_index(drop=True)
+        lvl = tr = 0.0
+        out_l, out_t, out_e = [], [], []
+        for i, v in enumerate(pdf["v"].tolist()):
+            if i == 0:
+                lvl, tr, err = v, 0.0, 0.0
+            else:
+                f = lvl + tr
+                new_l = 0.5 * v + 0.5 * f
+                tr = 0.3 * (new_l - lvl) + 0.7 * tr
+                err = v - f
+                lvl = new_l
+            out_l.append(lvl)
+            out_t.append(tr)
+            out_e.append(err)
+        return pd.DataFrame({
+            "event_type": pdf["event_type"],
+            "candle_start": pdf["candle_start"],
+            "hw_level": out_l,
+            "hw_trend": out_t,
+            "forecast_err": out_e,
+        })
+
+    return candles.groupBy("event_type").applyInPandas(kernel, schema)

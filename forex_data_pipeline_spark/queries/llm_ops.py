@@ -5681,3 +5681,88 @@ _REG["dedup_cluster_size_histogram"].oracle = f"""
           FROM ({_REG['dedup_clusters'].oracle}) GROUP BY cluster_id)
     GROUP BY cluster_size
 """
+
+
+# --- t-closeness audit (completes the k-anon / l-div privacy trio) ----------
+
+
+@register(
+    "t_closeness_audit",
+    oracle="""
+    WITH cell AS (
+        SELECT c.c_nationkey, o.o_orderpriority,
+               CAST(count(*) AS BIGINT) AS a
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2),
+    grp AS (SELECT c_nationkey, CAST(sum(a) AS BIGINT) AS n_g
+            FROM cell GROUP BY 1),
+    gpri AS (SELECT o_orderpriority, CAST(sum(a) AS BIGINT) AS b
+             FROM cell GROUP BY 1),
+    tot AS (SELECT CAST(sum(a) AS BIGINT) AS n FROM cell)
+    SELECT n.n_name AS nation_name,
+           g.n_g AS group_size,
+           CAST(CAST(sum(abs(cell.a * t.n - gl.b * g.n_g)) AS BIGINT)
+                AS DOUBLE) / (2 * g.n_g * t.n) AS tv_distance
+    FROM cell
+    JOIN grp g USING (c_nationkey)
+    JOIN gpri gl USING (o_orderpriority)
+    CROSS JOIN tot t
+    JOIN nation n ON n.n_nationkey = cell.c_nationkey
+    GROUP BY 1, 2, g.n_g, t.n
+    """,
+    doc="t-closeness audit (Li et al. 2007), completing the privacy "
+    "trio with k_anonymity_release and l_diversity_audit: per "
+    "quasi-identifier group (customer nation) the total-variation "
+    "distance between the in-group distribution of the sensitive "
+    "attribute (order priority) and the corpus-wide distribution — "
+    "l-diversity still leaks when a group's sensitive values are "
+    "diverse but SKEWED vs the population. Determinism: TV distance "
+    "over empirical distributions is rational; computed entirely in "
+    "the integer domain as sum|a_i*N - b_i*n_g| over exact counts, "
+    "then ONE correctly-rounded division by the exact integer "
+    "2*n_g*N — no float accumulation anywhere. Plan: one shuffle "
+    "join orders-customer on custkey, then cell-table aggregations; "
+    "the global-priority and total tables are tiny broadcasts "
+    "(5 rows / 1 row), so per-group work never reshuffles the "
+    "corpus — group count is the wide dimension at 100 TB.",
+    tags=("llm", "privacy", "aggregation"),
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cell = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_nationkey", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+    )
+    cell = cell.localCheckpoint()
+    grp = cell.groupBy("c_nationkey").agg(
+        F.sum("a").cast("bigint").alias("n_g")
+    )
+    gpri = cell.groupBy("o_orderpriority").agg(
+        F.sum("a").cast("bigint").alias("b")
+    )
+    tot = cell.agg(F.sum("a").cast("bigint").alias("n"))
+    return (
+        cell.join(F.broadcast(grp), "c_nationkey")
+        .join(F.broadcast(gpri), "o_orderpriority")
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.col("n_g").alias("group_size"),
+        )
+        .agg(
+            (
+                F.sum(
+                    F.abs(
+                        F.col("a") * F.col("n") - F.col("b") * F.col("n_g")
+                    )
+                )
+                .cast("bigint")
+                .cast("double")
+                / (2 * F.first("n_g") * F.first("n"))
+            ).alias("tv_distance")
+        )
+    )

@@ -4583,3 +4583,59 @@ def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         merged = merged.unionByName(o)
     return merged
+
+
+@register(
+    "profit_by_nation_year",
+    oracle="""
+    SELECT n.n_name AS supp_nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)
+                  - CAST(round(p.p_retailprice * l.l_quantity * 90)
+                         AS BIGINT)) AS BIGINT) AS profit_cents
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9 shape (product-type profit): profit per supplier "
+    "nation per order year for one part family, where profit is "
+    "revenue minus a 90%-of-retail cost proxy (the testdata has no "
+    "partsupp/ps_supplycost table, so the cost leg re-uses "
+    "p_retailprice — same join tree, same agg shape). Determinism: "
+    "both legs are independently rounded to integer cents at the "
+    "lineitem, so the sum is exact in any order. Plan: the p_name "
+    "LIKE filter prunes part BEFORE the fact join (partkey-selective), "
+    "supplier/nation broadcast, orders joined only for the year — at "
+    "100 TB the only big-big shuffle is lineitem-orders on orderkey.",
+    tags=("sql", "join", "aggregation"),
+)
+def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pa = load(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    ).select("p_partkey", "p_retailprice")
+    su = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    od = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("bigint")
+        - F.round(F.col("p_retailprice") * F.col("l_quantity") * 90)
+        .cast("bigint")
+    )
+    j = (
+        li.join(pa, li.l_partkey == pa.p_partkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+    )
+    return j.groupBy(
+        F.col("n_name").alias("supp_nation"),
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+    ).agg(F.sum(profit).cast("bigint").alias("profit_cents"))

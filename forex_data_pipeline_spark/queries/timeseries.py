@@ -2132,3 +2132,147 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("abs_s").cast("bigint").alias("max_abs_s"),
         )
     )
+
+
+# --- last-touch attribution ------------------------------------------------
+
+
+@register(
+    "last_touch_attribution",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS raw_touch,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS touch_ts
+        FROM events)
+    SELECT COALESCE(CASE WHEN touch_ts >= ts - INTERVAL 7 DAY
+                         THEN raw_touch END, 'unattributed') AS touch_type,
+           count(*) AS n_purchases,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS attributed_cents
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    doc="Last-touch marketing attribution: each purchase is credited to "
+    "the most recent preceding click/view by the same user within a "
+    "7-day lookback, else 'unattributed' — the standard conversion-"
+    "credit model a product-analytics mart derives from the raw event "
+    "stream (reference analogue: the event-log marts its dbt layer "
+    "builds, scripts/extract_forex.py:169-201 event semantics). "
+    "Implemented as last(ignorenulls) over a rows-frame ENDING 1 "
+    "PRECEDING (a purchase never self-attributes), keyed by "
+    "(ts, event_id) for a total order. Determinism: credit value is "
+    "exact integer cents; the carried touch is a deterministic "
+    "function of the unique ordering. Plan: one window per user "
+    "partition (parallel across users; no shuffle beyond the keyed "
+    "sort) then a 3-row hash agg — user count is the wide dimension "
+    "at 100 TB, so the window axis is the right one.",
+    tags=("timeseries", "window", "product-analytics"),
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type").isin("click", "view"), F.col("event_type")
+    )
+    touch_ts = F.when(
+        F.col("event_type").isin("click", "view"), F.col("ts")
+    )
+    seq = ev.select(
+        "user_id", "ts", "event_id", "event_type", "value",
+        F.last(touch, ignorenulls=True).over(w).alias("raw_touch"),
+        F.last(touch_ts, ignorenulls=True).over(w).alias("touch_ts"),
+    )
+    fresh = F.col("touch_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAY")
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(
+                F.when(fresh, F.col("raw_touch")), F.lit("unattributed")
+            ).alias("touch_type"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").cast("bigint").alias("attributed_cents"),
+        )
+    )
+
+
+# --- Amihud illiquidity ----------------------------------------------------
+
+
+@register(
+    "amihud_illiquidity",
+    oracle="""
+    WITH r AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, value,
+               lag(value) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS prev
+        FROM events WHERE value > 0)
+    SELECT event_type, day,
+           CAST(sum(CAST(round(abs(ln(value / prev)) * 1000000) AS BIGINT))
+                AS BIGINT) AS abs_logret_micros,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS volume_cents,
+           CAST(CAST(sum(CAST(round(abs(ln(value / prev)) * 1000000)
+                              AS BIGINT)) AS BIGINT) AS DOUBLE)
+               / CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS illiq
+    FROM r WHERE prev IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="Amihud (2002) daily illiquidity per series: mean |log return| "
+    "(zero-valued ticks are dropped up front — a log return needs "
+    "strictly positive prices on both sides, and sf0.1 contains "
+    "value=0 events that would otherwise divide by zero) "
+    "per unit of traded value — the standard price-impact proxy a "
+    "market-microstructure mart computes from tick data (reference "
+    "analogue: the per-symbol daily marts of "
+    "fct_eurusd_timeframes.sql). Determinism: each |log return| is "
+    "rounded to integer MICRO-units at the tick (round() on a "
+    "transcendental output — the one place rounding is allowed), the "
+    "volume to integer cents, so both sums are exact integers in any "
+    "order and the final ratio is a single correctly-rounded division "
+    "of exact integers. Plan: the lag window partitions by "
+    "(series, day) — state never crosses a day boundary, so "
+    "partitioning is free to split the stream by day at 100 TB; one "
+    "hash agg after, no second shuffle (agg key == window key).",
+    tags=("timeseries", "window", "finance"),
+)
+def amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value") > 0)
+    day = F.to_date("ts").alias("day")
+    w = Window.partitionBy("event_type", F.to_date("ts")).orderBy(
+        "ts", "event_id"
+    )
+    r = ev.select(
+        "event_type", day, "value",
+        F.lag("value").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    micros = (
+        F.round(F.abs(F.log(F.col("value") / F.col("prev"))) * 1000000)
+        .cast("bigint")
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return r.groupBy("event_type", "day").agg(
+        F.sum(micros).cast("bigint").alias("abs_logret_micros"),
+        F.sum(cents).cast("bigint").alias("volume_cents"),
+        (
+            F.sum(micros).cast("bigint").cast("double")
+            / F.sum(cents).cast("bigint")
+        ).alias("illiq"),
+    )
