@@ -2276,3 +2276,414 @@ def amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(cents).cast("bigint")
         ).alias("illiq"),
     )
+
+
+# ------------------------------------------------ KMV / Theta sketches
+
+_KMV_K = 32
+# hashes live in [0, 2^52): 13 hex chars of md5 — exactly representable
+# as a double, so the estimate arithmetic below is bit-identical on
+# both engines (integer->double casts exact, one exact multiply, one
+# correctly-rounded divide).
+_TWO52 = 4503599627370496
+
+
+def _kmv_hash(col):
+    """Portable 52-bit hash: identical md5-prefix on Spark and DuckDB.
+
+    Spark: conv(substr(md5(x),1,13),16,10); DuckDB: ('0x'||substr)::BIGINT.
+    Both parse the same 13 hex chars of the same digest, so the two
+    engines agree bit-for-bit (collisions included).
+    """
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 13), 16, 10
+    ).cast("long")
+
+
+def _kmv_day_sets(spark: SparkSession, sf_dir: str):
+    """(hashed, kmv): distinct per-day hash sets and their KMV sketches.
+
+    The sketch is built HIERARCHICALLY — k smallest distinct hashes per
+    (day, hour) first, then the per-day merge over the ≤ 24·k
+    survivors — because KMV is a monoid: every one of the k smallest
+    hashes of a day is among the k smallest of its own hour, so the
+    two-level rollup provably equals the direct per-day top-k. At
+    100 TB the corpus-sized shuffle is the fine-grained (day, hour)
+    one; the day-level merge touches ≤ 24·k rows per day.
+    """
+    ev = load(spark, sf_dir, "events")
+    day = F.to_date(F.date_trunc("day", "ts")).alias("day")
+    hashed = ev.select(
+        day, F.hour("ts").alias("hr"), _kmv_hash(F.col("user_id")).alias("h")
+    ).distinct()
+    w_hr = Window.partitionBy("day", "hr").orderBy("h")
+    pre = (
+        hashed.withColumn("rn", F.row_number().over(w_hr))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("day", "h")
+        .distinct()  # the same hash can survive from several hours
+    )
+    w_day = Window.partitionBy("day").orderBy("h")
+    kmv = (
+        pre.withColumn("rn", F.row_number().over(w_day))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("day", "h")
+    )
+    return hashed.select("day", "h").distinct(), kmv
+
+
+@register(
+    "kmv_distinct_sketch",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT
+                 AS h
+      FROM events
+    ), ranked AS (
+      SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+      FROM hashed
+    ), kmv AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS n_hashes, max(h) AS hk
+      FROM ranked WHERE rn <= {_KMV_K} GROUP BY day
+    ), exact AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS exact_distinct
+      FROM hashed GROUP BY day
+    )
+    SELECT k.day, {_KMV_K} AS kmv_k, k.n_hashes,
+           CASE WHEN k.n_hashes < {_KMV_K}
+                THEN CAST(k.n_hashes AS DOUBLE)
+                ELSE CAST({_KMV_K - 1} AS DOUBLE) * {_TWO52}.0
+                     / CAST(k.hk AS DOUBLE)
+           END AS est_distinct,
+           e.exact_distinct
+    FROM kmv k JOIN exact e USING (day)
+    """,
+    doc="K-minimum-values distinct-count sketch (Beyer et al. 2007), "
+    "the strict-oracle counterpart to q:`hll_sketch_rollup`: daily "
+    "distinct-user estimates from the k smallest 52-bit md5 hashes. "
+    "Unlike HLL (engine-private register layout) the KMV state is "
+    "plain rows, so DuckDB replays the identical sketch and the "
+    "driver value-hashes the ESTIMATES themselves — an approx sketch "
+    "under the exact-match gate. Built hierarchically (hour -> day) "
+    "to prove the monoid merge; the estimate (k-1)*2^52/h_k uses only "
+    "exact casts, one exact multiply and one correctly-rounded "
+    "divide, so no rounding is needed. sf0.001 exercises the "
+    "exhaustive branch (n<k: sketch IS the set), sf0.01+ the "
+    "estimation branch. Ref analogue: BigQuery APPROX_COUNT_DISTINCT "
+    "in the reference's daily rollups (fct_eurusd_timeframes.sql).",
+    tags=("timeseries", "sketch", "aggregation", "approx"),
+)
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hashed, kmv = _kmv_day_sets(spark, sf_dir)
+    sk = kmv.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hashes"),
+        F.max("h").alias("hk"),
+    )
+    exact = hashed.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_distinct")
+    )
+    est = F.when(
+        F.col("n_hashes") < _KMV_K, F.col("n_hashes").cast("double")
+    ).otherwise(
+        F.lit(float(_KMV_K - 1)) * F.lit(float(_TWO52))
+        / F.col("hk").cast("double")
+    )
+    return (
+        sk.join(exact, "day")
+        .select(
+            "day",
+            F.lit(_KMV_K).alias("kmv_k"),
+            "n_hashes",
+            est.alias("est_distinct"),
+            "exact_distinct",
+        )
+    )
+
+
+@register(
+    "kmv_theta_intersection",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT
+                 AS h
+      FROM events
+    ), ranked AS (
+      SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+      FROM hashed
+    ), kmv AS (
+      SELECT day, h FROM ranked WHERE rn <= {_KMV_K}
+    ), thetas AS (
+      SELECT day,
+             CASE WHEN count(*) >= {_KMV_K} THEN max(h)
+                  ELSE {_TWO52} END AS theta
+      FROM kmv GROUP BY day
+    ), pairs AS (
+      SELECT a.day AS day_a, b.day AS day_b, a.h
+      FROM kmv a JOIN kmv b ON b.day = a.day + 1 AND a.h = b.h
+    ), scored AS (
+      SELECT p.day_a, p.day_b, least(ta.theta, tb.theta) AS theta,
+             CAST(count(*) FILTER
+                  (WHERE p.h < least(ta.theta, tb.theta)) AS BIGINT)
+                 AS n_sample
+      FROM pairs p
+      JOIN thetas ta ON ta.day = p.day_a
+      JOIN thetas tb ON tb.day = p.day_b
+      GROUP BY 1, 2, 3
+    ), exact AS (
+      SELECT a.day AS day_a, CAST(count(*) AS BIGINT) AS exact_common
+      FROM hashed a JOIN hashed b ON b.day = a.day + 1 AND a.h = b.h
+      GROUP BY 1
+    )
+    SELECT s.day_a, s.day_b, s.n_sample,
+           CAST(s.n_sample AS DOUBLE) * {_TWO52}.0 / CAST(s.theta AS DOUBLE)
+               AS est_common,
+           e.exact_common
+    FROM scored s JOIN exact e ON e.day_a = s.day_a
+    """,
+    doc="Theta-sketch set intersection (Dasgupta et al., the "
+    "Datasketches theta family) over the daily KMV sketches: estimate "
+    "day-over-day returning users as |{h in A∩B : h < θ}| · 2^52/θ "
+    "with θ = min(θ_A, θ_B) — the standard retention estimator, "
+    "value-hash-checked against DuckDB replaying the identical sketch "
+    "AND against the exact per-pair overlap. Scale story: sketches "
+    "are ≤ k rows/day, so the pair join and θ lookup are "
+    "broadcast-sized; only the exact-overlap audit (dropped in "
+    "production at 100 TB) touches corpus-sized data, as an equi-join "
+    "on the hash. sf0.001 exercises θ = 2^52 (exhaustive sets, "
+    "estimate == exact); sf0.01+ the sampled branch.",
+    tags=("timeseries", "sketch", "set-ops", "approx"),
+)
+def kmv_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hashed, kmv = _kmv_day_sets(spark, sf_dir)
+    thetas = kmv.groupBy("day").agg(
+        F.when(F.count(F.lit(1)) >= _KMV_K, F.max("h"))
+        .otherwise(F.lit(_TWO52))
+        .alias("theta")
+    )
+    a = kmv.select(
+        F.col("day").alias("day_a"),
+        F.date_add("day", 1).alias("day_b"),
+        "h",
+    )
+    b = kmv.select(F.col("day").alias("day_b"), "h")
+    pairs = a.join(b, ["day_b", "h"])
+    scored = (
+        pairs.join(
+            F.broadcast(thetas.select(F.col("day").alias("day_a"),
+                                      F.col("theta").alias("theta_a"))),
+            "day_a",
+        )
+        .join(
+            F.broadcast(thetas.select(F.col("day").alias("day_b"),
+                                      F.col("theta").alias("theta_b"))),
+            "day_b",
+        )
+        .withColumn("theta", F.least("theta_a", "theta_b"))
+        .groupBy("day_a", "day_b", "theta")
+        .agg(
+            F.count(F.when(F.col("h") < F.col("theta"), 1))
+            .cast("bigint")
+            .alias("n_sample")
+        )
+    )
+    ha = hashed.select(
+        F.col("day").alias("day_a"), F.date_add("day", 1).alias("nxt"), "h"
+    )
+    hb = hashed.select(F.col("day").alias("nxt"), "h")
+    exact = (
+        ha.join(hb, ["nxt", "h"])
+        .groupBy("day_a")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_common"))
+    )
+    est = (
+        F.col("n_sample").cast("double") * F.lit(float(_TWO52))
+        / F.col("theta").cast("double")
+    )
+    return scored.join(exact, "day_a").select(
+        "day_a", "day_b", "n_sample",
+        est.alias("est_common"), "exact_common",
+    )
+
+
+# ------------------------------------------- distribution-drift tests
+
+_DRIFT_CUT = "2024-01-16 00:00:00"
+
+
+def _drift_sides(spark: SparkSession, sf_dir: str):
+    """(event_type, side, cents): first-half vs second-half samples."""
+    ev = load(spark, sf_dir, "events")
+    cut = F.lit(_DRIFT_CUT).cast(ev.schema["ts"].dataType)
+    return ev.select(
+        "event_type",
+        F.when(F.col("ts") < cut, 0).otherwise(1).alias("side"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+
+
+@register(
+    "ks_drift_exact",
+    oracle=f"""
+    WITH vals AS (
+      SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '{_DRIFT_CUT}' THEN 0 ELSE 1 END
+                 AS side,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), counts AS (
+      SELECT event_type, cents,
+             CAST(count(*) FILTER (WHERE side = 0) AS BIGINT) AS na_at,
+             CAST(count(*) FILTER (WHERE side = 1) AS BIGINT) AS nb_at
+      FROM vals GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type,
+             CAST(sum(na_at) AS BIGINT) AS n_a,
+             CAST(sum(nb_at) AS BIGINT) AS n_b
+      FROM counts GROUP BY 1
+    ), cum AS (
+      SELECT event_type, cents,
+             CAST(sum(na_at) OVER w AS BIGINT) AS cum_a,
+             CAST(sum(nb_at) OVER w AS BIGINT) AS cum_b
+      FROM counts
+      WINDOW w AS (PARTITION BY event_type ORDER BY cents)
+    )
+    SELECT c.event_type, t.n_a, t.n_b,
+           CAST(max(abs(c.cum_a * t.n_b - c.cum_b * t.n_a)) AS BIGINT)
+               AS d_num,
+           CAST(t.n_a * t.n_b AS BIGINT) AS d_den,
+           CAST(max(abs(c.cum_a * t.n_b - c.cum_b * t.n_a)) AS DOUBLE)
+               / CAST(t.n_a * t.n_b AS DOUBLE) AS ks_d
+    FROM cum c JOIN tot t USING (event_type)
+    GROUP BY 1, 2, 3
+    """,
+    doc="Two-sample Kolmogorov-Smirnov drift test per series, EXACT in "
+    "the integer domain: D = max|F_a - F_b| computed as "
+    "max|cum_a*n_b - cum_b*n_a| over the pooled distinct values, one "
+    "correctly-rounded divide at the end — no ECDF floats, no "
+    "tolerance, value-hash-matched (cf. q:`distribution_drift_tv`, "
+    "the binned TV analogue). The cumulative counts come from ONE "
+    "window pass over per-(series,value) partial counts, so the "
+    "shuffle is distinct-value-sized, not row-sized; totals broadcast "
+    "back. The cross-multiplied numerator stays < 2^63 up to ~3e9 "
+    "rows per side per series; beyond that, switch the final compare "
+    "to the double ratio. The monitoring story for training-data "
+    "refresh drift (features this week vs last week).",
+    tags=("timeseries", "stats", "quality", "window"),
+)
+def ks_drift_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vals = _drift_sides(spark, sf_dir)
+    counts = vals.groupBy("event_type", "cents").agg(
+        F.count(F.when(F.col("side") == 0, 1)).cast("bigint").alias("na_at"),
+        F.count(F.when(F.col("side") == 1, 1)).cast("bigint").alias("nb_at"),
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("na_at").cast("bigint").alias("n_a"),
+        F.sum("nb_at").cast("bigint").alias("n_b"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents")
+    cum = counts.select(
+        "event_type",
+        F.sum("na_at").over(w).cast("bigint").alias("cum_a"),
+        F.sum("nb_at").over(w).cast("bigint").alias("cum_b"),
+    )
+    d_num = F.max(
+        F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+    ).cast("bigint")
+    return (
+        cum.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "n_a", "n_b")
+        .agg(
+            d_num.alias("d_num"),
+            (F.col("n_a") * F.col("n_b")).cast("bigint").alias("d_den"),
+            (
+                d_num.cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("ks_d"),
+        )
+    )
+
+
+@register(
+    "psi_drift_bins",
+    oracle=f"""
+    WITH vals AS (
+      SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '{_DRIFT_CUT}' THEN 0 ELSE 1 END
+                 AS side,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), rng AS (
+      SELECT event_type, min(cents) AS mn, max(cents) AS mx
+      FROM vals GROUP BY 1
+    ), binned AS (
+      SELECT v.event_type, v.side,
+             CAST(least((v.cents - r.mn) * 10 // (r.mx - r.mn + 1), 9)
+                  AS BIGINT) AS bin
+      FROM vals v JOIN rng r USING (event_type)
+    ), cells AS (
+      SELECT event_type, bin,
+             CAST(count(*) FILTER (WHERE side = 0) AS BIGINT) AS ca,
+             CAST(count(*) FILTER (WHERE side = 1) AS BIGINT) AS cb
+      FROM binned GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type,
+             CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b
+      FROM cells GROUP BY 1
+    ), terms AS (
+      SELECT c.event_type, t.n_a, t.n_b,
+             (CAST(c.ca + 1 AS DOUBLE) / CAST(t.n_a + 10 AS DOUBLE)
+              - CAST(c.cb + 1 AS DOUBLE) / CAST(t.n_b + 10 AS DOUBLE))
+             * ln((CAST(c.ca + 1 AS DOUBLE) / CAST(t.n_a + 10 AS DOUBLE))
+                  / (CAST(c.cb + 1 AS DOUBLE) / CAST(t.n_b + 10 AS DOUBLE)))
+                 AS term
+      FROM cells c JOIN tot t USING (event_type)
+    )
+    SELECT event_type, n_a, n_b,
+           CAST(sum(CAST(round(term * 1000000000) AS BIGINT)) AS BIGINT)
+               AS psi_nano
+    FROM terms GROUP BY 1, 2, 3
+    """,
+    doc="Population Stability Index per series — the standard "
+    "ML-monitoring drift score: 10 equal-width bins over the series' "
+    "integer-cents range (floor-div binning, exact on both engines), "
+    "add-1 smoothing so empty bins stay defined, and "
+    "PSI = Σ (p_i - q_i)·ln(p_i/q_i). Per the determinism contract, "
+    "the transcendental per-bin term is rounded to integer NANO-units "
+    "before the sum (the q:`amihud_illiquidity` pattern), so the "
+    "cross-engine hash never sees summation-order ulp drift. Scale: "
+    "one row-sized pass to bin (range broadcast back), then "
+    "10-cells-per-series aggregation — map-side combinable "
+    "throughout.",
+    tags=("timeseries", "stats", "quality", "aggregation"),
+)
+def psi_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vals = _drift_sides(spark, sf_dir)
+    rng = vals.groupBy("event_type").agg(
+        F.min("cents").alias("mn"), F.max("cents").alias("mx")
+    )
+    # floor-div binning (Spark `div` == DuckDB `//` on BIGINT)
+    binned = vals.join(F.broadcast(rng), "event_type").select(
+        "event_type",
+        "side",
+        F.least(
+            F.expr("(cents - mn) * 10 div (mx - mn + 1)"), F.lit(9)
+        ).cast("bigint").alias("bin"),
+    )
+    cells = binned.groupBy("event_type", "bin").agg(
+        F.count(F.when(F.col("side") == 0, 1)).cast("bigint").alias("ca"),
+        F.count(F.when(F.col("side") == 1, 1)).cast("bigint").alias("cb"),
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+    )
+    p = (F.col("ca") + 1).cast("double") / (F.col("n_a") + 10).cast("double")
+    q = (F.col("cb") + 1).cast("double") / (F.col("n_b") + 10).cast("double")
+    term_nano = F.round((p - q) * F.log(p / q) * 1000000000).cast("bigint")
+    return (
+        cells.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "n_a", "n_b")
+        .agg(F.sum(term_nano).cast("bigint").alias("psi_nano"))
+    )

@@ -316,3 +316,29 @@ def test_asof_join_bucketed_matches_plain(
     b_vals = [None if pd.isna(v) else v for v in base["val_asof"]]
     k_vals = [None if pd.isna(v) else v for v in bucketed["val_asof"]]
     assert b_vals == k_vals
+
+
+def test_kmv_hierarchical_merge_equals_direct_topk(spark, sf_dir):
+    """The hour→day KMV rollup must equal the direct per-day k-smallest
+    distinct hashes — the monoid-merge property that makes stored KMV
+    sketches safe partial-aggregation state (and the premise the
+    strict oracle relies on: DuckDB computes the DIRECT form)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from forex_data_pipeline_spark.queries.timeseries import (
+        _KMV_K,
+        _kmv_day_sets,
+    )
+
+    hashed, kmv = _kmv_day_sets(spark, sf_dir)
+    w = Window.partitionBy("day").orderBy("h")
+    direct = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("day", "h")
+    )
+    merged_rows = {(r["day"], r["h"]) for r in kmv.collect()}
+    direct_rows = {(r["day"], r["h"]) for r in direct.collect()}
+    assert merged_rows == direct_rows
+    assert len(merged_rows) > 0
