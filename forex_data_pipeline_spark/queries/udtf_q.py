@@ -70,3 +70,135 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 40
         """
     )
+
+
+# ------------------------------- table-argument UDTF (Spark 4 surface)
+
+_GAP_US = 1800 * 1_000_000  # 30-minute session gap
+
+
+@udtf(returnType=(
+    "user_id bigint, n_sessions bigint, longest_session_events bigint, "
+    "active_us bigint, max_gap_us bigint"
+))
+class UserSessionStatsUdtf:
+    """Stateful per-partition scan: consumes one user's events in
+    timestamp order (the engine enforces PARTITION BY user_id
+    ORDER BY ts) and emits ONE summary row from terminate() — the
+    TABLE-argument UDTF API (SPJ-style polymorphic input), which the
+    LATERAL form in ChunkDocUdtf cannot express. All arithmetic is
+    integer microseconds, so the full DuckDB oracle hash-matches."""
+
+    def __init__(self):
+        self._user = None
+        self._prev_us = None
+        self._n_sessions = 0
+        self._cur_events = 0
+        self._longest = 0
+        self._cur_start_us = None
+        self._active_us = 0
+        self._max_gap_us = 0
+
+    def _close_session(self):
+        if self._cur_events:
+            self._longest = max(self._longest, self._cur_events)
+            self._active_us += self._prev_us - self._cur_start_us
+
+    def eval(self, row):
+        from datetime import datetime, timedelta
+
+        us = (row["ts"] - datetime(1970, 1, 1)) // timedelta(microseconds=1)
+        self._user = row["user_id"]
+        if self._prev_us is None or us - self._prev_us > _GAP_US:
+            self._close_session()
+            self._n_sessions += 1
+            self._cur_events = 0
+            self._cur_start_us = us
+        if self._prev_us is not None:
+            gap = us - self._prev_us
+            if gap > self._max_gap_us:
+                self._max_gap_us = gap
+        self._prev_us = us
+        self._cur_events += 1
+        return iter(())  # rows only from terminate()
+
+    def terminate(self):
+        if self._user is None:
+            return
+        self._close_session()
+        yield (
+            self._user,
+            self._n_sessions,
+            self._longest,
+            self._active_us,
+            self._max_gap_us,
+        )
+
+
+@register(
+    "udtf_user_session_stats",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_type, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER w AS prev_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+    ), flagged AS (
+        SELECT user_id, ts, event_type, us, prev_us,
+               CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM ordered
+    ), sess AS (
+        SELECT user_id, us, prev_us, new_s,
+               sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_type
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sid
+        FROM flagged
+    ), per_session AS (
+        SELECT user_id, sid,
+               CAST(count(*) AS BIGINT) AS n_ev,
+               CAST(max(us) - min(us) AS BIGINT) AS dur_us
+        FROM sess GROUP BY 1, 2
+    ), gaps AS (
+        SELECT user_id,
+               CAST(coalesce(max(us - prev_us), 0) AS BIGINT) AS max_gap_us
+        FROM sess WHERE prev_us IS NOT NULL GROUP BY 1
+    )
+    SELECT p.user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(max(p.n_ev) AS BIGINT) AS longest_session_events,
+           CAST(sum(p.dur_us) AS BIGINT) AS active_us,
+           CAST(coalesce(any_value(g.max_gap_us), 0) AS BIGINT)
+               AS max_gap_us
+    FROM per_session p LEFT JOIN gaps g USING (user_id)
+    GROUP BY p.user_id
+    """,
+    doc="TABLE-argument Python UDTF (Spark 4: "
+    "udtf(TABLE(...) PARTITION BY user_id ORDER BY ts) — the "
+    "polymorphic-input API with engine-enforced per-partition "
+    "ordering and terminate()-time emission): per-user session "
+    "summary (session count, longest session, active time, max gap) "
+    "from ONE stateful ordered scan. The DuckDB oracle replays the "
+    "identical sessionization declaratively (lag-gap flag -> running "
+    "sum -> two rollups), proving the stateful kernel equals the "
+    "window-function form — the same twin discipline as "
+    "q:`batch_sessionization`, which remains the 100 TB path (pure "
+    "Catalyst; the UDTF is API-surface demo, row-at-a-time Python). "
+    "Partitioning story: the UDTF's input shuffle is exactly the "
+    "window shuffle (hash by user_id, sort within), so the plan shape "
+    "survives scale even though the kernel itself should not be the "
+    "hot path.",
+    tags=("timeseries", "udf", "udtf", "window"),
+)
+def udtf_user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    spark.udtf.register("user_session_stats", UserSessionStatsUdtf)
+    return spark.sql(
+        """
+        SELECT * FROM user_session_stats(
+            TABLE(SELECT user_id, ts, event_type FROM events)
+            PARTITION BY user_id ORDER BY (ts, event_type)
+        )
+        """
+    )
