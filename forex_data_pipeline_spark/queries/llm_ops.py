@@ -5766,3 +5766,86 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tv_distance")
         )
     )
+
+
+# ---------------------------------------- DP-style noised release
+
+_DP_TWO52 = 4503599627370496  # hashes in [0, 2^52) — exact as double
+
+
+@register(
+    "dp_laplace_release",
+    oracle=f"""
+    WITH counts AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS true_count
+      FROM events GROUP BY 1, 2
+    ), seeded AS (
+      SELECT *,
+             (CAST(('0x' || substr(md5(event_type || '|'
+                     || CAST(day AS VARCHAR)), 1, 13))::BIGINT AS DOUBLE)
+              + 0.5) / {_DP_TWO52}.0 AS u
+      FROM counts
+    ), noised AS (
+      SELECT event_type, day, true_count,
+             CAST(round(
+               -1.0 * CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END
+               * ln(1.0 - 2.0 * abs(u - 0.5)) * 1000000000
+             ) AS BIGINT) AS noise_nano
+      FROM seeded
+    )
+    SELECT event_type, day, true_count, noise_nano,
+           CAST(true_count * 1000000000 + noise_nano AS BIGINT)
+               AS released_nano,
+           CAST(true_count * 1000000000 + noise_nano AS DOUBLE)
+               / 1000000000.0 AS released
+    FROM noised
+    """,
+    doc="Differential-privacy-style noised count release (Laplace "
+    "mechanism, sensitivity 1, eps=1 => b=1): per-(series, day) event "
+    "counts plus inverse-CDF Laplace noise "
+    "x = -b*sign(u-1/2)*ln(1-2|u-1/2|), with u drawn from the "
+    "portable 52-bit md5 hash of the release cell key — SEEDED, so "
+    "the whole mechanism (not just the true aggregate) replays "
+    "bit-identically on both engines and sits under the strict "
+    "value-hash gate. The hash u and the ln argument are identical "
+    "doubles on both sides; the one transcendental (ln) is rounded to "
+    "integer nano-units per the determinism contract, and the release "
+    "is assembled in exact integer nanos. A production DP deployment "
+    "swaps the seed for fresh randomness (deterministic noise is "
+    "replay-auditable but not private against an adversary who knows "
+    "the key); the pipeline mechanics — per-cell noise, nano-unit "
+    "ledger, true-vs-released audit columns — are the real surface. "
+    "Scale: one map-side-combinable groupBy; the noise is a scalar "
+    "expression per released cell, zero extra shuffles.",
+    tags=("llm", "privacy", "aggregation", "scalar"),
+)
+def dp_laplace_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("true_count"))
+    seed = F.concat(
+        F.col("event_type"), F.lit("|"), F.col("day").cast("string")
+    )
+    h = F.conv(F.substring(F.md5(seed), 1, 13), 16, 10).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(_DP_TWO52))
+    sign = F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    noise_nano = (
+        F.round(
+            F.lit(-1.0) * sign
+            * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+            * F.lit(1000000000)
+        ).cast("bigint")
+    )
+    released_nano = (
+        F.col("true_count") * F.lit(1000000000) + F.col("noise_nano")
+    ).cast("bigint")
+    return (
+        counts.withColumn("noise_nano", noise_nano)
+        .withColumn("released_nano", released_nano)
+        .withColumn(
+            "released",
+            F.col("released_nano").cast("double") / F.lit(1000000000.0),
+        )
+    )
