@@ -4639,3 +4639,109 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("supp_nation"),
         F.year("o_orderdate").cast("bigint").alias("o_year"),
     ).agg(F.sum(profit).cast("bigint").alias("profit_cents"))
+
+
+# --------------------------------------- Kaplan-Meier survival curve
+
+_KM_CENSOR_DAYS = 365
+
+
+@register(
+    "kaplan_meier_shipping",
+    oracle=f"""
+    WITH spans AS (
+      SELECT CAST(least(date_diff('day', o.o_orderdate, l.l_shipdate),
+                        {_KM_CENSOR_DAYS}) AS BIGINT) AS t,
+             CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                       <= {_KM_CENSOR_DAYS} THEN 1 ELSE 0 END AS death
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate
+    ), cells AS (
+      SELECT t,
+             CAST(count(*) FILTER (WHERE death = 1) AS BIGINT) AS n_deaths,
+             CAST(count(*) AS BIGINT) AS n_leaving
+      FROM spans GROUP BY 1
+    ), risk AS (
+      SELECT t, n_deaths,
+             CAST(sum(n_leaving) OVER (ORDER BY t DESC) AS BIGINT)
+                 AS n_at_risk
+      FROM cells
+    ), terms AS (
+      SELECT t, n_deaths, n_at_risk,
+             CAST(round(ln(1.0 - CAST(n_deaths AS DOUBLE)
+                                 / CAST(n_at_risk AS DOUBLE))
+                        * 1000000000) AS BIGINT) AS term_nano
+      FROM risk WHERE n_deaths > 0 AND n_deaths < n_at_risk
+    )
+    SELECT t, n_deaths, n_at_risk,
+           CAST(sum(term_nano) OVER (ORDER BY t) AS BIGINT)
+               AS log_surv_nano,
+           CAST(round(exp(CAST(sum(term_nano) OVER (ORDER BY t) AS DOUBLE)
+                          / 1000000000.0) * 1000000) AS BIGINT)
+               AS survival_ppm
+    FROM terms
+    """,
+    doc="Kaplan-Meier product-limit survival estimator over "
+    "time-to-ship, with administrative right-censoring at "
+    f"{_KM_CENSOR_DAYS} days (observations still 'alive' at the "
+    "horizon leave the risk set without a death event — the textbook "
+    "KM censoring mechanics, which a plain delay histogram like "
+    "q:`shipping_delay_distribution` cannot express). Determinism: "
+    "the product Π(1 - d_i/n_i) runs in log space; each "
+    "ln(1 - d/n) takes an identical double on both engines (exact "
+    "casts + one correctly-rounded divide) and is rounded to integer "
+    "NANO-units before the cumulative sum, so summation order and "
+    "libm ulp wobble never reach the hash; survival is re-exposed as "
+    "integer ppm. Scale: the corpus-sized work is one equi-join plus "
+    "one map-side-combinable groupBy to per-day cells; the risk-set "
+    "windows run over <= censor-horizon rows (bounded by distinct "
+    "day values, NOT data volume), so the single-partition window is "
+    "constant-size at any corpus scale.",
+    tags=("analytics", "stats", "window", "aggregation"),
+)
+def kaplan_meier_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    delay = F.datediff("l_shipdate", "o_orderdate")
+    spans = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.least(delay, F.lit(_KM_CENSOR_DAYS)).cast("bigint").alias("t"),
+            F.when(delay <= _KM_CENSOR_DAYS, 1).otherwise(0).alias("death"),
+        )
+    )
+    cells = spans.groupBy("t").agg(
+        F.count(F.when(F.col("death") == 1, 1)).cast("bigint")
+        .alias("n_deaths"),
+        F.count(F.lit(1)).cast("bigint").alias("n_leaving"),
+    )
+    w_desc = Window.orderBy(F.desc("t"))
+    risk = cells.select(
+        "t",
+        "n_deaths",
+        F.sum("n_leaving").over(w_desc).cast("bigint").alias("n_at_risk"),
+    )
+    term_nano = F.round(
+        F.log(
+            F.lit(1.0)
+            - F.col("n_deaths").cast("double")
+            / F.col("n_at_risk").cast("double")
+        )
+        * F.lit(1000000000)
+    ).cast("bigint")
+    terms = risk.filter(
+        (F.col("n_deaths") > 0) & (F.col("n_deaths") < F.col("n_at_risk"))
+    ).withColumn("term_nano", term_nano)
+    w_asc = Window.orderBy("t")
+    log_surv = F.sum("term_nano").over(w_asc).cast("bigint")
+    return terms.select(
+        "t",
+        "n_deaths",
+        "n_at_risk",
+        log_surv.alias("log_surv_nano"),
+        F.round(
+            F.exp(log_surv.cast("double") / F.lit(1000000000.0))
+            * F.lit(1000000)
+        ).cast("bigint").alias("survival_ppm"),
+    )
