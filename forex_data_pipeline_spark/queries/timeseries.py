@@ -2687,3 +2687,152 @@ def psi_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "n_a", "n_b")
         .agg(F.sum(term_nano).cast("bigint").alias("psi_nano"))
     )
+
+
+@register(
+    "kmv_theta_set_algebra",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT
+                 AS h
+      FROM events
+    ), ranked AS (
+      SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+      FROM hashed
+    ), kmv AS (SELECT day, h FROM ranked WHERE rn <= {_KMV_K}),
+    bounds AS (SELECT min(day) AS mn, max(day) AS mx FROM kmv),
+    thetas AS (
+      SELECT day,
+             CASE WHEN count(*) >= {_KMV_K} THEN max(h)
+                  ELSE {_TWO52} END AS theta
+      FROM kmv GROUP BY day
+    ), tagged AS (
+      SELECT k.day AS day_a, k.h, 1 AS ia, 0 AS ib
+      FROM kmv k, bounds WHERE k.day < bounds.mx
+      UNION ALL
+      SELECT k.day - 1 AS day_a, k.h, 0 AS ia, 1 AS ib
+      FROM kmv k, bounds WHERE k.day > bounds.mn
+    ), grouped AS (
+      SELECT day_a, h, max(ia) AS ia, max(ib) AS ib
+      FROM tagged GROUP BY 1, 2
+    ), scored AS (
+      SELECT g.day_a, least(ta.theta, tb.theta) AS theta,
+             CAST(count(*) FILTER (WHERE g.h < least(ta.theta, tb.theta))
+                  AS BIGINT) AS n_union,
+             CAST(count(*) FILTER (WHERE g.h < least(ta.theta, tb.theta)
+                  AND g.ia = 1 AND g.ib = 0) AS BIGINT) AS n_aonly,
+             CAST(count(*) FILTER (WHERE g.h < least(ta.theta, tb.theta)
+                  AND g.ia = 0 AND g.ib = 1) AS BIGINT) AS n_bonly
+      FROM grouped g
+      JOIN thetas ta ON ta.day = g.day_a
+      JOIN thetas tb ON tb.day = g.day_a + 1
+      GROUP BY 1, 2
+    ), exact AS (
+      SELECT day_a, CAST(count(*) AS BIGINT) AS exact_union FROM (
+        SELECT h1.day AS day_a, h1.h
+        FROM hashed h1, bounds WHERE h1.day < bounds.mx
+        UNION
+        SELECT h2.day - 1 AS day_a, h2.h
+        FROM hashed h2, bounds WHERE h2.day > bounds.mn
+      ) GROUP BY 1
+    )
+    SELECT s.day_a, s.n_union,
+           CAST(s.n_union AS DOUBLE) * {_TWO52}.0 / CAST(s.theta AS DOUBLE)
+               AS est_union,
+           CAST(s.n_aonly AS DOUBLE) * {_TWO52}.0 / CAST(s.theta AS DOUBLE)
+               AS est_a_only,
+           CAST(s.n_bonly AS DOUBLE) * {_TWO52}.0 / CAST(s.theta AS DOUBLE)
+               AS est_b_only,
+           e.exact_union
+    FROM scored s JOIN exact e USING (day_a)
+    """,
+    doc="Theta-sketch SET ALGEBRA over the daily KMV sketches — union, "
+    "A-only and B-only (difference) estimates per consecutive-day "
+    "pair, all against the shared θ = min(θ_A, θ_B). Because the "
+    "three samples partition {h < θ}, the estimates are "
+    "inclusion-exclusion consistent BY CONSTRUCTION "
+    "(est_union = est_a_only + est_b_only + est_∩) — the property "
+    "that makes theta sketches composable dashboards state "
+    "(new/churned/retained users from the same two sketches, cf. "
+    "q:`kmv_theta_intersection`). Sketch inputs are ≤ k rows/day; "
+    "the flag-union groupBy and θ lookups are sketch-sized, and only "
+    "the exact-union audit touches corpus-scale rows. Strict "
+    "value-hash oracle on the ESTIMATES (single multiply + divide on "
+    "identical doubles).",
+    tags=("timeseries", "sketch", "set-ops", "approx"),
+)
+def kmv_theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hashed, kmv = _kmv_day_sets(spark, sf_dir)
+    bounds = kmv.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    thetas = kmv.groupBy("day").agg(
+        F.when(F.count(F.lit(1)) >= _KMV_K, F.max("h"))
+        .otherwise(F.lit(_TWO52))
+        .alias("theta")
+    )
+    kb = kmv.crossJoin(F.broadcast(bounds))
+    tagged = kb.filter(F.col("day") < F.col("mx")).select(
+        F.col("day").alias("day_a"), "h",
+        F.lit(1).alias("ia"), F.lit(0).alias("ib"),
+    ).unionAll(
+        kb.filter(F.col("day") > F.col("mn")).select(
+            F.date_sub("day", 1).alias("day_a"), "h",
+            F.lit(0).alias("ia"), F.lit(1).alias("ib"),
+        )
+    )
+    grouped = tagged.groupBy("day_a", "h").agg(
+        F.max("ia").alias("ia"), F.max("ib").alias("ib")
+    )
+    scored = (
+        grouped.join(
+            F.broadcast(thetas.select(F.col("day").alias("day_a"),
+                                      F.col("theta").alias("theta_a"))),
+            "day_a",
+        )
+        .join(
+            F.broadcast(
+                thetas.select(F.date_sub("day", 1).alias("day_a"),
+                              F.col("theta").alias("theta_b"))
+            ),
+            "day_a",
+        )
+        .withColumn("theta", F.least("theta_a", "theta_b"))
+        .groupBy("day_a", "theta")
+        .agg(
+            F.count(F.when(F.col("h") < F.col("theta"), 1))
+            .cast("bigint").alias("n_union"),
+            F.count(
+                F.when(
+                    (F.col("h") < F.col("theta"))
+                    & (F.col("ia") == 1) & (F.col("ib") == 0), 1)
+            ).cast("bigint").alias("n_aonly"),
+            F.count(
+                F.when(
+                    (F.col("h") < F.col("theta"))
+                    & (F.col("ia") == 0) & (F.col("ib") == 1), 1)
+            ).cast("bigint").alias("n_bonly"),
+        )
+    )
+    hb = hashed.crossJoin(F.broadcast(bounds))
+    exact = (
+        hb.filter(F.col("day") < F.col("mx"))
+        .select(F.col("day").alias("day_a"), "h")
+        .union(
+            hb.filter(F.col("day") > F.col("mn"))
+            .select(F.date_sub("day", 1).alias("day_a"), "h")
+        )
+        .distinct()
+        .groupBy("day_a")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_union"))
+    )
+    return scored.join(exact, "day_a").select(
+        "day_a",
+        "n_union",
+        (F.col("n_union").cast("double") * F.lit(float(_TWO52))
+         / F.col("theta").cast("double")).alias("est_union"),
+        (F.col("n_aonly").cast("double") * F.lit(float(_TWO52))
+         / F.col("theta").cast("double")).alias("est_a_only"),
+        (F.col("n_bonly").cast("double") * F.lit(float(_TWO52))
+         / F.col("theta").cast("double")).alias("est_b_only"),
+        "exact_union",
+    )
