@@ -501,3 +501,34 @@ def test_mmr_greedy_runs_in_single_pandas_group(spark, sf_dir):
     # formatted plans print each node twice (tree line + detail block)
     assert plan.count("FlatMapGroupsInPandas (") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_ks_drift_window_partitions_by_series(spark, sf_dir):
+    """The KS cumulative-count window must partition by event_type —
+    a global (single-partition) window over per-value counts would
+    serialize the whole distinct-value table through one task at
+    scale. Totals ride broadcasts, never a sort-merge."""
+    plan = plan_of(run("ks_drift_exact", spark, sf_dir))
+    assert "windowspecdefinition(event_type" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dp_release_is_one_aggregation_no_joins(spark, sf_dir):
+    """The seeded-Laplace release is a scalar expression over the
+    released cells: exactly the base groupBy's shuffle(s), zero joins
+    of any kind — noise must not cost a second pass."""
+    plan = plan_of(run("dp_laplace_release", spark, sf_dir))
+    assert plan.count("Exchange") <= 2
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "Cartesian"):
+        assert node not in plan
+
+
+def test_theta_sketch_joins_are_sketch_sized(spark, sf_dir):
+    """Theta intersection/set-algebra joins operate on <= k rows/day
+    sketch tables: every join must be hash/broadcast (no sort-merge of
+    corpus-scale inputs, no cartesian)."""
+    for q in ("kmv_theta_intersection", "kmv_theta_set_algebra"):
+        plan = plan_of(run(q, spark, sf_dir))
+        assert "Cartesian" not in plan, q
+        assert "SortMergeJoin" not in plan, q
+        assert "BroadcastHashJoin" in plan, q
