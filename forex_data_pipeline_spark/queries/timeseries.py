@@ -2836,3 +2836,163 @@ def kmv_theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.col("theta").cast("double")).alias("est_b_only"),
         "exact_union",
     )
+
+
+# ------------------------------------- series-shape statistics
+
+_ACF_LAGS = (1, 2, 3, 4, 5)
+
+
+@register(
+    "acf_per_series",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ), lagged AS (
+      SELECT event_type, l.lag AS lag, c AS x,
+             lag(c, l.lag) OVER (PARTITION BY event_type, l.lag
+                                 ORDER BY ts, event_id) AS y
+      FROM v CROSS JOIN
+           (SELECT unnest([{", ".join(map(str, _ACF_LAGS))}]) AS lag) l
+    ), pairs AS (
+      SELECT event_type, lag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x*x) AS BIGINT) AS sxx,
+             CAST(sum(y*y) AS BIGINT) AS syy,
+             CAST(sum(x*y) AS BIGINT) AS sxy
+      FROM lagged WHERE y IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(lag AS BIGINT) AS lag, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS acf
+    FROM pairs
+    """,
+    doc="Autocorrelation function per series at lags 1-5 (Pearson over "
+    "lagged pairs): ALL five lags come from ONE window pass — a single "
+    "per-series sort carries five lag() expressions, stack()ed to "
+    "(lag, x, y) rows, then a map-side-combinable moment aggregation. "
+    "Determinism: moments are exact integer cents sums; the closing "
+    "expression (sub/mul/sqrt/div over identically-rounded "
+    "int->double casts) is the same IEEE op sequence on both engines, "
+    "so acf is emitted UNROUNDED. Complements "
+    "q:`rolling_correlation_30` (cross-series) with the "
+    "within-series memory structure a forecasting pipeline inspects "
+    "before model choice. Scale: one shuffle on event_type; the "
+    "oracle's per-(series,lag) windows are provably the same pairs.",
+    tags=("timeseries", "stats", "window", "aggregation"),
+)
+def acf_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    c = F.round(F.col("value") * 100).cast("bigint")
+    base = ev.select("event_type", "ts", "event_id", c.alias("x")).select(
+        "event_type",
+        "x",
+        *[F.lag("x", k).over(w).alias(f"y{k}") for k in _ACF_LAGS],
+    )
+    stack_args = ", ".join(f"{k}, y{k}" for k in _ACF_LAGS)
+    stacked = base.select(
+        "event_type",
+        "x",
+        F.expr(f"stack({len(_ACF_LAGS)}, {stack_args}) AS (lag, y)"),
+    ).filter(F.col("y").isNotNull())
+    pairs = stacked.groupBy("event_type", F.col("lag").cast("bigint").alias("lag")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    n, sx, sy = (F.col(a).cast("double") for a in ("n", "sx", "sy"))
+    sxx, syy, sxy = (F.col(a).cast("double") for a in ("sxx", "syy", "sxy"))
+    acf = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return pairs.select("event_type", "lag", "n", acf.alias("acf"))
+
+
+_HILL_K = 100
+
+
+@register(
+    "hill_tail_index",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value > 0
+    ), ranked AS (
+      SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY c DESC, event_id) AS rn
+      FROM v
+    ), ref AS (
+      SELECT event_type, c AS cref FROM ranked WHERE rn = {_HILL_K + 1}
+    ), terms AS (
+      SELECT r.event_type,
+             CAST(round(ln(CAST(r.c AS DOUBLE) / CAST(f.cref AS DOUBLE))
+                  * 1000000000) AS BIGINT) AS t
+      FROM ranked r JOIN ref f USING (event_type) WHERE r.rn <= {_HILL_K}
+    )
+    SELECT event_type, {_HILL_K} AS k,
+           CAST(sum(t) AS BIGINT) AS sum_log_nano,
+           {_HILL_K}.0 * 1000000000.0
+               / CAST(CAST(sum(t) AS BIGINT) AS DOUBLE) AS alpha_hat
+    FROM terms GROUP BY 1
+    HAVING CAST(sum(t) AS BIGINT) > 0
+    """,
+    doc="Hill estimator of the heavy-tail index per series: "
+    f"alpha = k / mean(ln(x_(i)/x_(k+1))) over the top k={_HILL_K} "
+    "order statistics (unique event_id tie-break). The tail-weight "
+    "screen a risk/monitoring pipeline runs before trusting "
+    "moment-based stats (a small alpha means variance-driven metrics "
+    "like q:`zscore_anomaly_days` are unstable). Determinism: each "
+    "ln term is rounded to integer nano-units before the sum "
+    "(transcendental contract); alpha is one correctly-rounded "
+    "divide. Scale: the top-k+1 per series comes from a row_number "
+    "window (per-series parallel); terms are k-per-series rows, the "
+    "reference quantile rides a broadcast join.",
+    tags=("timeseries", "stats", "topk", "aggregation"),
+)
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value") > 0)
+    c = F.round(F.col("value") * 100).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("c"), F.asc("event_id")
+    )
+    ranked = ev.select("event_type", "event_id", c.alias("c")).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    ref = ranked.filter(F.col("rn") == _HILL_K + 1).select(
+        "event_type", F.col("c").alias("cref")
+    )
+    t = F.round(
+        F.log(F.col("c").cast("double") / F.col("cref").cast("double"))
+        * F.lit(1000000000)
+    ).cast("bigint")
+    terms = (
+        ranked.filter(F.col("rn") <= _HILL_K)
+        .join(F.broadcast(ref), "event_type")
+        .select("event_type", t.alias("t"))
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(F.sum("t").cast("bigint").alias("sum_log_nano"))
+        .filter(F.col("sum_log_nano") > 0)
+        .select(
+            "event_type",
+            F.lit(_HILL_K).alias("k"),
+            "sum_log_nano",
+            (
+                F.lit(float(_HILL_K) * 1000000000.0)
+                / F.col("sum_log_nano").cast("double")
+            ).alias("alpha_hat"),
+        )
+    )
