@@ -2996,3 +2996,178 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("alpha_hat"),
         )
     )
+
+
+# --------------------------------------- hypothesis-testing family
+
+
+@register(
+    "did_event_value",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '{_DRIFT_CUT}' THEN 0 ELSE 1 END
+                 AS post,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ), cells AS (
+      SELECT event_type, post,
+             CAST(sum(c) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+      FROM base GROUP BY 1, 2
+    ), t AS (
+      SELECT event_type AS treatment,
+             CAST(max(CASE WHEN post = 0 THEN s END) AS DOUBLE)
+             / CAST(max(CASE WHEN post = 0 THEN n END) AS DOUBLE) AS m_pre,
+             CAST(max(CASE WHEN post = 1 THEN s END) AS DOUBLE)
+             / CAST(max(CASE WHEN post = 1 THEN n END) AS DOUBLE) AS m_post
+      FROM cells WHERE event_type <> 'view' GROUP BY 1
+    ), c AS (
+      SELECT CAST(max(CASE WHEN post = 0 THEN s END) AS DOUBLE)
+             / CAST(max(CASE WHEN post = 0 THEN n END) AS DOUBLE) AS m_pre,
+             CAST(max(CASE WHEN post = 1 THEN s END) AS DOUBLE)
+             / CAST(max(CASE WHEN post = 1 THEN n END) AS DOUBLE) AS m_post
+      FROM cells WHERE event_type = 'view'
+    )
+    SELECT t.treatment,
+           t.m_pre AS m_t_pre, t.m_post AS m_t_post,
+           c.m_pre AS m_c_pre, c.m_post AS m_c_post,
+           (t.m_post - t.m_pre) - (c.m_post - c.m_pre) AS did_cents
+    FROM t, c
+    """,
+    doc="Difference-in-differences estimate of the value shift around "
+    "the mid-window cut, each series as treatment against 'view' as "
+    "the control arm: DiD = (m_t_post - m_t_pre) - (m_c_post - "
+    "m_c_pre). The causal-inference shape behind launch analyses "
+    "(parallel-trends assumption documented, not tested). "
+    "Determinism: group means are exact-integer-cent sums with ONE "
+    "correctly-rounded divide each, and the closing subtraction chain "
+    "is the identical IEEE sequence on both engines — emitted "
+    "unrounded. Scale: one map-side-combinable groupBy to 10 cells; "
+    "the control row is a 1-row broadcast cross join.",
+    tags=("timeseries", "stats", "analytics", "aggregation"),
+)
+def did_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cut = F.lit(_DRIFT_CUT).cast(ev.schema["ts"].dataType)
+    base = ev.select(
+        "event_type",
+        F.when(F.col("ts") < cut, 0).otherwise(1).alias("post"),
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    cells = base.groupBy("event_type", "post").agg(
+        F.sum("c").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+    def _m(post: int):
+        s = F.max(F.when(F.col("post") == post, F.col("s")))
+        n = F.max(F.when(F.col("post") == post, F.col("n")))
+        return s.cast("double") / n.cast("double")
+
+    t = cells.filter(F.col("event_type") != "view").groupBy(
+        F.col("event_type").alias("treatment")
+    ).agg(_m(0).alias("m_t_pre"), _m(1).alias("m_t_post"))
+    c = cells.filter(F.col("event_type") == "view").agg(
+        _m(0).alias("m_c_pre"), _m(1).alias("m_c_post")
+    )
+    return t.crossJoin(F.broadcast(c)).select(
+        "treatment", "m_t_pre", "m_t_post", "m_c_pre", "m_c_post",
+        (
+            (F.col("m_t_post") - F.col("m_t_pre"))
+            - (F.col("m_c_post") - F.col("m_c_pre"))
+        ).alias("did_cents"),
+    )
+
+
+@register(
+    "welch_ab_ttest",
+    oracle="""
+    WITH base AS (
+      SELECT user_id % 2 AS variant, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase'
+    ), mom AS (
+      SELECT variant, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s, CAST(sum(c*c) AS BIGINT) AS ss
+      FROM base GROUP BY 1
+    ), sides AS (
+      SELECT a.n AS n_a, b.n AS n_b,
+             CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE) AS m_a,
+             CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS m_b,
+             CAST(a.n * a.ss - a.s * a.s AS DOUBLE)
+             / CAST(a.n * (a.n - 1) AS DOUBLE) / CAST(a.n AS DOUBLE) AS va,
+             CAST(b.n * b.ss - b.s * b.s AS DOUBLE)
+             / CAST(b.n * (b.n - 1) AS DOUBLE) / CAST(b.n AS DOUBLE) AS vb
+      FROM mom a, mom b WHERE a.variant = 0 AND b.variant = 1
+    )
+    SELECT n_a, n_b,
+           (m_a - m_b) / sqrt(va + vb) AS t_stat,
+           (va + vb) * (va + vb)
+           / (va * va / CAST(n_a - 1 AS DOUBLE)
+              + vb * vb / CAST(n_b - 1 AS DOUBLE)) AS df
+    FROM sides
+    """,
+    doc="Welch unequal-variance two-sample t-test on purchase value, "
+    "variants assigned by user-id parity (the deterministic stand-in "
+    "for an A/B bucketing hash): t = (m_a - m_b)/sqrt(s_a^2/n_a + "
+    "s_b^2/n_b) with the Welch-Satterthwaite df. Completes the "
+    "hypothesis-testing family (KS/PSI distributional, AUC ranking, "
+    "DiD causal) with the experiment-readout primitive. Determinism: "
+    "variances come from exact bigint moment numerators (n*ss - s*s "
+    "stays under 2^63 through sf0.1; at larger corpora switch the "
+    "moments to per-partition doubles) cast once to double, then an "
+    "identical IEEE divide/sqrt chain on both engines — t and df "
+    "emitted unrounded. Scale: one conditional-aggregation pass to "
+    "two moment rows.",
+    tags=("timeseries", "stats", "eval", "aggregation"),
+)
+def welch_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    base = ev.select(
+        (F.col("user_id") % 2).alias("variant"),
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    mom = base.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+    )
+    a = mom.filter(F.col("variant") == 0).select(
+        F.col("n").alias("an"), F.col("s").alias("as_"), F.col("ss").alias("ass")
+    )
+    b = mom.filter(F.col("variant") == 1).select(
+        F.col("n").alias("bn"), F.col("s").alias("bs"), F.col("ss").alias("bss")
+    )
+    j = a.crossJoin(F.broadcast(b))
+
+    def _var_over_n(n, s, ss):
+        return (
+            (F.col(n) * F.col(ss) - F.col(s) * F.col(s)).cast("double")
+            / (F.col(n) * (F.col(n) - 1)).cast("double")
+            / F.col(n).cast("double")
+        )
+
+    sides = j.select(
+        F.col("an").alias("n_a"),
+        F.col("bn").alias("n_b"),
+        (F.col("as_").cast("double") / F.col("an").cast("double")).alias("m_a"),
+        (F.col("bs").cast("double") / F.col("bn").cast("double")).alias("m_b"),
+        _var_over_n("an", "as_", "ass").alias("va"),
+        _var_over_n("bn", "bs", "bss").alias("vb"),
+    )
+    return sides.select(
+        "n_a",
+        "n_b",
+        ((F.col("m_a") - F.col("m_b")) / F.sqrt(F.col("va") + F.col("vb")))
+        .alias("t_stat"),
+        (
+            (F.col("va") + F.col("vb")) * (F.col("va") + F.col("vb"))
+            / (
+                F.col("va") * F.col("va")
+                / (F.col("n_a") - 1).cast("double")
+                + F.col("vb") * F.col("vb")
+                / (F.col("n_b") - 1).cast("double")
+            )
+        ).alias("df"),
+    )
