@@ -342,3 +342,33 @@ def test_kmv_hierarchical_merge_equals_direct_topk(spark, sf_dir):
     direct_rows = {(r["day"], r["h"]) for r in direct.collect()}
     assert merged_rows == direct_rows
     assert len(merged_rows) > 0
+
+
+def test_theta_set_algebra_inclusion_exclusion(spark, sf_dir):
+    """Union/A-only/B-only and the separately-registered intersection
+    estimate must be inclusion-exclusion consistent per pair: the four
+    samples are carved out of the same {h < θ} window, so
+    n_union = n_aonly + n_bonly + n_inter EXACTLY, and the estimates
+    share the scale factor 2^52/θ."""
+    from forex_data_pipeline_spark import catalog
+
+    catalog._ensure_loaded()
+    alg = {
+        r["day_a"]: r
+        for r in catalog.REGISTRY["kmv_theta_set_algebra"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    inter = {
+        r["day_a"]: r
+        for r in catalog.REGISTRY["kmv_theta_intersection"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(alg) == set(inter) and alg
+    for day, a in alg.items():
+        i = inter[day]
+        est_sum = a["est_a_only"] + a["est_b_only"] + i["est_common"]
+        # identical θ ⇒ the counts partition exactly; the double sums
+        # may differ by float addition order only
+        assert abs(a["est_union"] - est_sum) < 1e-6 * max(1.0, est_sum)
