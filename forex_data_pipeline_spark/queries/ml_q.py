@@ -1675,3 +1675,179 @@ def column_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n").cast("double") * F.lit(1000000.0))
         ).alias("mi_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking-quality evaluation: nDCG@k / Recall@k / MRR of the BM25 ranking
+# ---------------------------------------------------------------------------
+
+_EVAL_K = 10
+_REL_SQL = (
+    "((CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)"
+    " + (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)"
+    " + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)"
+    " + (CASE WHEN tf3 > 0 THEN 1 ELSE 0 END))"
+)
+
+
+@register(
+    "ndcg_mrr_eval",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
+    f AS (SELECT doc_id, len(toks) AS dl,
+           {_BM25_TF_SQL}
+          FROM t),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(dl) AS BIGINT) AS sdl,
+           {_BM25_DF_SQL}
+          FROM f),
+    j AS (SELECT f.*, s.*, CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl
+          FROM f CROSS JOIN s),
+    scored AS (
+        SELECT doc_id, {_REL_SQL} AS rel,
+               {_bm25_contrib_sql(0)} AS c0, {_bm25_contrib_sql(1)} AS c1,
+               {_bm25_contrib_sql(2)} AS c2, {_bm25_contrib_sql(3)} AS c3,
+               tf0 + tf1 + tf2 + tf3 AS tf_any
+        FROM j),
+    ranked AS (
+        SELECT doc_id, rel,
+               row_number() OVER (ORDER BY round({_BM25_SCORE_SQL}, 6) DESC,
+                                  doc_id) AS rn
+        FROM scored WHERE tf_any > 0),
+    rels AS (SELECT doc_id, {_REL_SQL} AS rel FROM f),
+    dcg AS (
+        SELECT CAST(sum(CAST(round(
+                   (CAST(((1 << rel) - 1) AS DOUBLE) / log2(rn + 1))
+                   * 1000000000) AS BIGINT)) AS BIGINT) AS dcg_nano
+        FROM ranked WHERE rn <= {_EVAL_K}),
+    ideal AS (
+        SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS rn
+        FROM rels),
+    idcg AS (
+        SELECT CAST(sum(CAST(round(
+                   (CAST(((1 << rel) - 1) AS DOUBLE) / log2(rn + 1))
+                   * 1000000000) AS BIGINT)) AS BIGINT) AS idcg_nano
+        FROM ideal WHERE rn <= {_EVAL_K}),
+    rec AS (
+        SELECT CAST(count(*) FILTER (WHERE rn <= {_EVAL_K} AND rel = 4)
+                    AS BIGINT) AS n_rel_topk,
+               CAST(coalesce(min(rn) FILTER (WHERE rel = 4), 0) AS BIGINT)
+                   AS first_rel_rank
+        FROM ranked),
+    tot AS (
+        SELECT CAST(count(*) FILTER (WHERE rel = 4) AS BIGINT) AS n_rel_total
+        FROM rels)
+    SELECT {_EVAL_K} AS k, d.dcg_nano, i.idcg_nano,
+           CAST(d.dcg_nano AS DOUBLE) / CAST(i.idcg_nano AS DOUBLE) AS ndcg,
+           r.n_rel_topk, t2.n_rel_total,
+           CAST(r.n_rel_topk AS DOUBLE) / CAST(t2.n_rel_total AS DOUBLE)
+               AS recall_at_k,
+           r.first_rel_rank,
+           CASE WHEN r.first_rel_rank = 0 THEN 0.0
+                ELSE 1.0 / CAST(r.first_rel_rank AS DOUBLE) END AS mrr
+    FROM dcg d, idcg i, rec r, tot t2
+    """,
+    doc="Ranking-quality readout of the BM25 retrieval run — nDCG@10 "
+    "(graded gain (2^rel - 1)/log2(pos+1) against the corpus-ideal "
+    "ordering), Recall@10 and MRR of the first perfectly-relevant hit "
+    "— with graded relevance defined as the number of distinct query "
+    "terms a document contains (a deterministic ground truth both "
+    "engines derive identically). Completes the retrieval-eval "
+    "family (AUC = classification, Spearman = rank agreement, this = "
+    "ranked-list utility). Determinism: gains are exact integers; "
+    "each transcendental log2 term is rounded to nano-units before "
+    "the sum; the nDCG/recall/MRR closes are single correctly-rounded "
+    "divides of exact integers. Scale: per-doc tf/rel is the same "
+    "materialized parse as bm25_topk (one corpus scan); DCG/IDCG/MRR "
+    "aggregate k-row or 1-row tables; the ideal ordering is a "
+    "TakeOrdered top-k, not a full sort.",
+    tags=("llm", "retrieval", "eval", "topk"),
+)
+def ndcg_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = _per_doc_stats(spark, sf_dir)
+    rel = sum(
+        (F.col(f"tf{i}") > 0).cast("int")
+        for i in range(len(_BM25_TERMS))
+    )
+    rels = per_doc.select("doc_id", rel.alias("rel"))
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int")).cast("bigint").alias(
+                f"df{i}"
+            )
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    j = per_doc.crossJoin(F.broadcast(stats)).withColumn(
+        "avgdl", F.col("sdl").cast("double") / F.col("n").cast("double")
+    )
+    score = F.round(
+        (
+            ((_bm25_contrib(0) + _bm25_contrib(1)) + _bm25_contrib(2))
+            + _bm25_contrib(3)
+        ),
+        6,
+    )
+    tf_any = sum(F.col(f"tf{i}") for i in range(len(_BM25_TERMS)))
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    ranked = (
+        j.filter(tf_any > 0)
+        .select("doc_id", rel.alias("rel"), score.alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .select("doc_id", "rel", "rn")
+    )
+
+    def _gain_nano(rel_col, rn_col):
+        gain = F.expr("shiftleft(1, rel) - 1").cast("double")
+        return F.round(
+            gain / F.log2(rn_col + 1) * F.lit(1000000000)
+        ).cast("bigint")
+
+    dcg = ranked.filter(F.col("rn") <= _EVAL_K).agg(
+        F.sum(_gain_nano(F.col("rel"), F.col("rn"))).cast("bigint")
+        .alias("dcg_nano")
+    )
+    w_ideal = Window.orderBy(F.desc("rel"), "doc_id")
+    ideal = rels.withColumn("rn", F.row_number().over(w_ideal)).filter(
+        F.col("rn") <= _EVAL_K
+    )
+    idcg = ideal.agg(
+        F.sum(_gain_nano(F.col("rel"), F.col("rn"))).cast("bigint")
+        .alias("idcg_nano")
+    )
+    rec = ranked.agg(
+        F.count(
+            F.when((F.col("rn") <= _EVAL_K) & (F.col("rel") == 4), 1)
+        ).cast("bigint").alias("n_rel_topk"),
+        F.coalesce(
+            F.min(F.when(F.col("rel") == 4, F.col("rn"))), F.lit(0)
+        ).cast("bigint").alias("first_rel_rank"),
+    )
+    tot = rels.agg(
+        F.count(F.when(F.col("rel") == 4, 1)).cast("bigint")
+        .alias("n_rel_total")
+    )
+    out = (
+        dcg.crossJoin(F.broadcast(idcg))
+        .crossJoin(F.broadcast(rec))
+        .crossJoin(F.broadcast(tot))
+    )
+    return out.select(
+        F.lit(_EVAL_K).alias("k"),
+        "dcg_nano",
+        "idcg_nano",
+        (F.col("dcg_nano").cast("double") / F.col("idcg_nano").cast("double"))
+        .alias("ndcg"),
+        "n_rel_topk",
+        "n_rel_total",
+        (
+            F.col("n_rel_topk").cast("double")
+            / F.col("n_rel_total").cast("double")
+        ).alias("recall_at_k"),
+        "first_rel_rank",
+        F.when(F.col("first_rel_rank") == 0, F.lit(0.0))
+        .otherwise(F.lit(1.0) / F.col("first_rel_rank").cast("double"))
+        .alias("mrr"),
+    )

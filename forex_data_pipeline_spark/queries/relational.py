@@ -4745,3 +4745,99 @@ def kaplan_meier_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.lit(1000000)
         ).cast("bigint").alias("survival_ppm"),
     )
+
+
+@register(
+    "revenue_bridge_decomposition",
+    oracle="""
+    WITH li AS (
+      SELECT p.p_brand AS brand, year(o.o_orderdate) AS y,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT) AS rev_cents,
+             CAST(l.l_quantity AS BIGINT) AS qty
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE year(o.o_orderdate) IN (1997, 1998)
+    ), cells AS (
+      SELECT brand, y, CAST(sum(rev_cents) AS BIGINT) AS rev,
+             CAST(sum(qty) AS BIGINT) AS qty
+      FROM li GROUP BY 1, 2
+    ), wide AS (
+      SELECT brand,
+             max(CASE WHEN y = 1997 THEN rev END) AS rev0,
+             max(CASE WHEN y = 1998 THEN rev END) AS rev1,
+             max(CASE WHEN y = 1997 THEN qty END) AS qty0,
+             max(CASE WHEN y = 1998 THEN qty END) AS qty1
+      FROM cells GROUP BY 1
+      HAVING max(CASE WHEN y = 1997 THEN rev END) IS NOT NULL
+         AND max(CASE WHEN y = 1998 THEN rev END) IS NOT NULL
+    )
+    SELECT brand, rev0, rev1, qty0, qty1,
+           (CAST(qty1 AS DOUBLE) - CAST(qty0 AS DOUBLE))
+               * (CAST(rev0 AS DOUBLE) / CAST(qty0 AS DOUBLE))
+               AS volume_effect,
+           (CAST(rev1 AS DOUBLE) / CAST(qty1 AS DOUBLE)
+            - CAST(rev0 AS DOUBLE) / CAST(qty0 AS DOUBLE))
+               * CAST(qty0 AS DOUBLE) AS price_effect,
+           (CAST(qty1 AS DOUBLE) - CAST(qty0 AS DOUBLE))
+               * (CAST(rev1 AS DOUBLE) / CAST(qty1 AS DOUBLE)
+                  - CAST(rev0 AS DOUBLE) / CAST(qty0 AS DOUBLE))
+               AS mix_effect
+    FROM wide
+    """,
+    doc="Revenue-bridge (price/volume/mix) decomposition per brand, "
+    "1997 -> 1998 — the FP&A waterfall: delta-revenue splits exactly "
+    "into volume = dQ*P0, price = dP*Q0, and the cross (mix) term "
+    "dQ*dP, so volume_effect + price_effect + mix_effect == "
+    "rev1 - rev0 by algebra. Determinism: the year cells are exact "
+    "integer cents/quantity sums; unit prices are one "
+    "correctly-rounded divide each, and the effect products are the "
+    "identical IEEE chain on both engines — emitted UNROUNDED. "
+    "Scale: part dim broadcast into the lineitem-orders equi-join, "
+    "one map-side-combinable groupBy to |brands x 2| cells, then a "
+    "constant-size pivot; brands missing a year are excluded "
+    "symmetrically on both engines.",
+    tags=("analytics", "aggregation", "join", "sql"),
+)
+def revenue_bridge_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_discount",
+        "l_quantity",
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("y")
+    ).filter(F.col("y").isin(1997, 1998))
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    cells = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"), "y")
+        .agg(
+            F.sum(rev).cast("bigint").alias("rev"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint")
+            .alias("qty"),
+        )
+    )
+
+    def _yr(col: str, y: int):
+        return F.max(F.when(F.col("y") == y, F.col(col)))
+
+    wide = cells.groupBy("brand").agg(
+        _yr("rev", 1997).alias("rev0"),
+        _yr("rev", 1998).alias("rev1"),
+        _yr("qty", 1997).alias("qty0"),
+        _yr("qty", 1998).alias("qty1"),
+    ).filter(F.col("rev0").isNotNull() & F.col("rev1").isNotNull())
+    q0, q1 = F.col("qty0").cast("double"), F.col("qty1").cast("double")
+    p0 = F.col("rev0").cast("double") / F.col("qty0").cast("double")
+    p1 = F.col("rev1").cast("double") / F.col("qty1").cast("double")
+    return wide.select(
+        "brand", "rev0", "rev1", "qty0", "qty1",
+        ((q1 - q0) * p0).alias("volume_effect"),
+        ((p1 - p0) * q0).alias("price_effect"),
+        ((q1 - q0) * (p1 - p0)).alias("mix_effect"),
+    )
