@@ -70,6 +70,9 @@ HEADLINE: tuple[str, ...] = (
     # round-5 retrieval family: lexical scoring + diversified rerank
     "bm25_topk",
     "mmr_diversified_rerank",
+    # round-5 statistics/sketch batch: strict-oracle KMV sketch + exact KS
+    "kmv_distinct_sketch",
+    "ks_drift_exact",
 )
 
 #: The round-1 headline set (BENCH_r01.json) — emitted as a separate
