@@ -532,3 +532,15 @@ def test_theta_sketch_joins_are_sketch_sized(spark, sf_dir):
         assert "Cartesian" not in plan, q
         assert "SortMergeJoin" not in plan, q
         assert "BroadcastHashJoin" in plan, q
+
+
+def test_acf_all_lags_share_one_window_pass(spark, sf_dir):
+    """All five ACF lags must ride a single Window node (one per-series
+    sort) — five separate window passes would 5x the sort cost at
+    scale. The stack() fan-out happens after the window."""
+    plan = plan_of(run("acf_per_series", spark, sf_dir))
+    window_nodes = [
+        line for line in plan.splitlines()
+        if line.strip().startswith("(") and ") Window" in line
+    ]
+    assert len(window_nodes) == 1, window_nodes

@@ -372,3 +372,26 @@ def test_theta_set_algebra_inclusion_exclusion(spark, sf_dir):
         # identical θ ⇒ the counts partition exactly; the double sums
         # may differ by float addition order only
         assert abs(a["est_union"] - est_sum) < 1e-6 * max(1.0, est_sum)
+
+
+def test_kaplan_meier_risk_table_is_horizon_bounded(spark, sf_dir):
+    """The KM single-partition windows run over per-day cells, so their
+    input cardinality must be bounded by the censor horizon (+1 for
+    the censoring day), NOT by corpus size — the property that keeps
+    the plan constant-cost at 100 TB. Also: survival must be a
+    monotonically non-increasing curve ending above 0 (censoring
+    guarantees survivors)."""
+    from forex_data_pipeline_spark import catalog
+    from forex_data_pipeline_spark.queries.relational import _KM_CENSOR_DAYS
+
+    catalog._ensure_loaded()
+    rows = (
+        catalog.REGISTRY["kaplan_meier_shipping"]
+        .fn(spark, sf_dir)
+        .orderBy("t")
+        .collect()
+    )
+    assert 0 < len(rows) <= _KM_CENSOR_DAYS + 1
+    surv = [r["survival_ppm"] for r in rows]
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+    assert surv[-1] > 0
