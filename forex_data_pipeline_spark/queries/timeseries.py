@@ -3171,3 +3171,153 @@ def welch_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("df"),
     )
+
+
+# ----------------------------------- nonparametric tests (GoF, runs)
+
+
+@register(
+    "chi2_dow_uniformity",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 % 7 AS dow
+      FROM events
+    ), cells AS (
+      SELECT event_type, dow, CAST(count(*) AS BIGINT) AS o
+      FROM d GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(sum(o) AS BIGINT) AS n,
+           CAST(7 * sum(o*o) - sum(o) * sum(o) AS BIGINT) AS chi2_num,
+           CAST(CAST(7 * sum(o*o) - sum(o) * sum(o) AS BIGINT) AS DOUBLE)
+               / CAST(CAST(sum(o) AS BIGINT) AS DOUBLE) AS chi2,
+           6 AS df
+    FROM cells GROUP BY 1
+    """,
+    doc="Chi-squared goodness-of-fit test of day-of-week uniformity "
+    "per series: against E = n/7 the statistic collapses to the "
+    "EXACT rational chi2 = (7*sum(O^2) - n^2)/n — integer numerator, "
+    "one correctly-rounded divide, no per-cell float expectation at "
+    "all (zero-count buckets contribute 0 to sum(O^2), so the closed "
+    "form is correct even with missing cells). The day bucket is "
+    "epoch-day mod 7 — pure integer arithmetic, immune to the "
+    "engines' dayofweek labeling mismatch (Spark 1=Sunday vs DuckDB "
+    "0=Sunday vs isodow). Companion to q:`dow_hour_seasonality` "
+    "(which reports the profile; this tests it). One "
+    "map-side-combinable pass to <= 7 cells per series.",
+    tags=("timeseries", "stats", "quality", "aggregation"),
+)
+def chi2_dow_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.candles import epoch_seconds
+
+    ev = load(spark, sf_dir, "events")
+    cells = ev.select(
+        "event_type", (F.floor(epoch_seconds(F.col("ts"))).cast("bigint")
+                       .alias("es"))
+    ).select(
+        "event_type", (F.expr("es div 86400") % 7).alias("dow")
+    ).groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    chi2_num = (
+        F.lit(7) * F.sum(F.col("o") * F.col("o"))
+        - F.sum("o") * F.sum("o")
+    ).cast("bigint")
+    return cells.groupBy("event_type").agg(
+        F.sum("o").cast("bigint").alias("n"),
+        chi2_num.alias("chi2_num"),
+        (chi2_num.cast("double") / F.sum("o").cast("bigint").cast("double"))
+        .alias("chi2"),
+        F.lit(6).alias("df"),
+    )
+
+
+@register(
+    "runs_test_randomness",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, ts, event_id, CAST(round(value*100) AS BIGINT) AS c
+      FROM events
+    ), med AS (
+      SELECT event_type, quantile_cont(c, 0.5) AS m FROM v GROUP BY 1
+    ), s AS (
+      SELECT v.event_type, v.ts, v.event_id,
+             CASE WHEN CAST(v.c AS DOUBLE) > med.m THEN 1 ELSE 0 END AS side
+      FROM v JOIN med USING (event_type)
+      WHERE CAST(v.c AS DOUBLE) <> med.m
+    ), flagged AS (
+      SELECT event_type, side,
+             CASE WHEN lag(side) OVER (PARTITION BY event_type
+                                       ORDER BY ts, event_id)
+                       IS DISTINCT FROM side
+                  THEN 1 ELSE 0 END AS new_run
+      FROM s
+    ), counts AS (
+      SELECT event_type,
+             CAST(sum(new_run) AS BIGINT) AS r,
+             CAST(count(*) FILTER (WHERE side = 1) AS BIGINT) AS n1,
+             CAST(count(*) FILTER (WHERE side = 0) AS BIGINT) AS n2
+      FROM flagged GROUP BY 1
+    )
+    SELECT event_type, r, n1, n2,
+           (CAST(r AS DOUBLE)
+            - (CAST(2 * n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) + 1.0))
+           / sqrt(CAST(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) AS DOUBLE)
+                  / (CAST((n1 + n2) * (n1 + n2) AS DOUBLE)
+                     * CAST(n1 + n2 - 1 AS DOUBLE))) AS z
+    FROM counts
+    """,
+    doc="Wald-Wolfowitz runs test for randomness per series: runs of "
+    "above/below-median values (ties with the median excluded, the "
+    "textbook convention), z = (R - mu)/sigma with mu = 2*n1*n2/n + 1 "
+    "and the exact variance formula. A serial-dependence screen "
+    "complementing q:`acf_per_series` (linear memory) with a "
+    "sign-pattern test. Determinism: the median threshold is the "
+    "established percentile()/quantile_cont pair (bit-identical on "
+    "integer inputs); run boundaries are integer flags from one "
+    "per-series ordered window (unique event_id tie-break); mu/sigma "
+    "are the identical IEEE chain over exact bigint products "
+    "(2*n1*n2*(2*n1*n2-n) stays under 2^63 through ~1e9 rows/series) "
+    "— z emitted unrounded. Scale: one window shuffle on event_type, "
+    "then 4-int cells.",
+    tags=("timeseries", "stats", "window", "quality"),
+)
+def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("bigint")
+    v = ev.select("event_type", "ts", "event_id", c.alias("c"))
+    med = v.groupBy("event_type").agg(
+        F.expr("percentile(c, 0.5)").alias("m")
+    )
+    s = (
+        v.join(F.broadcast(med), "event_type")
+        .filter(F.col("c").cast("double") != F.col("m"))
+        .select(
+            "event_type", "ts", "event_id",
+            F.when(F.col("c").cast("double") > F.col("m"), 1)
+            .otherwise(0).alias("side"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    flagged = s.select(
+        "event_type", "side",
+        F.when(
+            ~F.lag("side").over(w).eqNullSafe(F.col("side")), 1
+        ).otherwise(0).alias("new_run"),
+    )
+    counts = flagged.groupBy("event_type").agg(
+        F.sum("new_run").cast("bigint").alias("r"),
+        F.count(F.when(F.col("side") == 1, 1)).cast("bigint").alias("n1"),
+        F.count(F.when(F.col("side") == 0, 1)).cast("bigint").alias("n2"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    mu = (2 * n1 * n2).cast("double") / (n1 + n2).cast("double") + F.lit(1.0)
+    var = (2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)).cast("double") / (
+        ((n1 + n2) * (n1 + n2)).cast("double")
+        * (n1 + n2 - 1).cast("double")
+    )
+    return counts.select(
+        "event_type", "r", "n1", "n2",
+        ((r.cast("double") - mu) / F.sqrt(var)).alias("z"),
+    )
