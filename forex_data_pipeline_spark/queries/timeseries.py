@@ -3321,3 +3321,103 @@ def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "r", "n1", "n2",
         ((r.cast("double") - mu) / F.sqrt(var)).alias("z"),
     )
+
+
+@register(
+    "conformal_interval_calibration",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type, ts, event_id,
+             CASE WHEN ts < TIMESTAMP '{_DRIFT_CUT}' THEN 0 ELSE 1 END
+                 AS half,
+             CAST(round(value*100) AS BIGINT) AS c
+      FROM events
+    ), r AS (
+      SELECT event_type, half,
+             abs(c - lag(c) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id)) AS resid
+      FROM v
+    ), res AS (SELECT * FROM r WHERE resid IS NOT NULL),
+    cal AS (
+      SELECT event_type, resid,
+             row_number() OVER (PARTITION BY event_type ORDER BY resid)
+                 AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n_cal
+      FROM res WHERE half = 0
+    ), qhat AS (
+      SELECT event_type, CAST(n_cal AS BIGINT) AS n_cal,
+             CAST(resid AS BIGINT) AS q_hat
+      FROM cal
+      WHERE rn = CAST(ceil((n_cal + 1) * 0.9) AS BIGINT)
+    ), ev AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+             CAST(count(*) FILTER (WHERE resid <= q.q_hat) AS BIGINT)
+                 AS n_cov
+      FROM res JOIN qhat q USING (event_type) WHERE half = 1
+      GROUP BY 1
+    )
+    SELECT q.event_type, q.n_cal, q.q_hat, e.n_eval, e.n_cov,
+           CAST(e.n_cov AS DOUBLE) / CAST(e.n_eval AS DOUBLE) AS coverage
+    FROM qhat q JOIN ev e USING (event_type)
+    """,
+    doc="Split-conformal prediction-interval calibration (alpha=0.1) "
+    "for the naive one-step forecast: the first window half is the "
+    "calibration set, q_hat is the ceil((n+1)*0.9)-th smallest "
+    "absolute residual — a pure integer ORDER STATISTIC, no quantile "
+    "interpolation to diverge on — and the second half measures "
+    "empirical coverage of [y_hat ± q_hat] (~0.9 by the conformal "
+    "guarantee; 'view' under-covers because its residual "
+    "distribution drifts — exactly what the monitor is for, cf. "
+    "q:`ks_drift_exact`). Determinism: residuals are exact integer "
+    "cents off one per-series lag window; coverage is one "
+    "correctly-rounded divide. Scale: two window passes sharing the "
+    "event_type shuffle, a per-series rank to pick the order "
+    "statistic, and a broadcast of the 1-row-per-series q_hat table.",
+    tags=("timeseries", "stats", "eval", "window"),
+)
+def conformal_interval_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev_t = load(spark, sf_dir, "events")
+    cut = F.lit(_DRIFT_CUT).cast(ev_t.schema["ts"].dataType)
+    c = F.round(F.col("value") * 100).cast("bigint")
+    v = ev_t.select(
+        "event_type", "ts", "event_id",
+        F.when(F.col("ts") < cut, 0).otherwise(1).alias("half"),
+        c.alias("c"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    res = v.select(
+        "event_type", "half",
+        F.abs(F.col("c") - F.lag("c").over(w)).alias("resid"),
+    ).filter(F.col("resid").isNotNull())
+    w_rank = Window.partitionBy("event_type").orderBy("resid")
+    w_all = Window.partitionBy("event_type")
+    cal = res.filter(F.col("half") == 0).select(
+        "event_type", "resid",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_cal"),
+    )
+    qhat = cal.filter(
+        F.col("rn")
+        == F.ceil((F.col("n_cal") + 1) * F.lit(0.9)).cast("bigint")
+    ).select(
+        "event_type",
+        F.col("n_cal").cast("bigint").alias("n_cal"),
+        F.col("resid").cast("bigint").alias("q_hat"),
+    )
+    evl = (
+        res.filter(F.col("half") == 1)
+        .join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            F.count(F.when(F.col("resid") <= F.col("q_hat"), 1))
+            .cast("bigint").alias("n_cov"),
+        )
+    )
+    return qhat.join(evl, "event_type").select(
+        "event_type", "n_cal", "q_hat", "n_eval", "n_cov",
+        (F.col("n_cov").cast("double") / F.col("n_eval").cast("double"))
+        .alias("coverage"),
+    )
