@@ -3421,3 +3421,103 @@ def conformal_interval_calibration(
         (F.col("n_cov").cast("double") / F.col("n_eval").cast("double"))
         .alias("coverage"),
     )
+
+
+@register(
+    "mann_kendall_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT event_type, y,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+      FROM daily
+    ), pairs AS (
+      SELECT a.event_type,
+             CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
+                  ELSE 0 END AS sgn,
+             CAST(b.y - a.y AS DOUBLE) / CAST(b.i - a.i AS DOUBLE) AS slope
+      FROM idx a JOIN idx b
+        ON a.event_type = b.event_type AND b.i > a.i
+    ), agg AS (
+      SELECT event_type,
+             CAST(sum(sgn) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             quantile_cont(slope, 0.5) AS sen_slope
+      FROM pairs GROUP BY 1
+    ), nn AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY 1
+    )
+    SELECT a.event_type, a.s, a.n_pairs, n.n, a.sen_slope,
+           (CAST(a.s AS DOUBLE)
+            - CASE WHEN a.s > 0 THEN 1.0 WHEN a.s < 0 THEN -1.0
+                   ELSE 0.0 END)
+           / sqrt(CAST(n.n * (n.n - 1) * (2 * n.n + 5) AS DOUBLE) / 18.0)
+               AS z
+    FROM agg a JOIN nn n USING (event_type)
+    """,
+    doc="Mann-Kendall nonparametric trend test + Sen's slope per "
+    "series over the DAILY aggregate: S = sum of pairwise signs, "
+    "continuity-corrected z against Var(S) = n(n-1)(2n+5)/18 (no-ties "
+    "form — daily cent sums are effectively tie-free), and Sen's "
+    "slope as the median pairwise slope. The nonparametric companion "
+    "to q:`linear_trend_per_series` (OLS assumes normal errors; MK "
+    "only monotonicity). Scale: the corpus collapses map-side to "
+    "<= |days| points per series FIRST, so the O(n^2) pair join is "
+    "over the BOUNDED daily table (435 pairs/series), never raw "
+    "rows — the same horizon-bounded trick as kaplan_meier_shipping. "
+    "Determinism: signs/counts exact integers; pair slopes are "
+    "identical exact-int divisions; with n=30 days the 435-pair "
+    "median is an ODD-count middle element, so "
+    "percentile()/quantile_cont pick the same exact double with no "
+    "interpolation; z is an identical IEEE chain.",
+    tags=("timeseries", "stats", "aggregation", "join"),
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint").alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.select(
+        "event_type", "y", F.row_number().over(w).alias("i")
+    )
+    a = idx.select(
+        "event_type", F.col("y").alias("ya"), F.col("i").alias("ia")
+    )
+    b = idx.select(
+        "event_type", F.col("y").alias("yb"), F.col("i").alias("ib")
+    )
+    pairs = a.join(b, "event_type").filter(F.col("ib") > F.col("ia")).select(
+        "event_type",
+        F.when(F.col("yb") > F.col("ya"), 1)
+        .when(F.col("yb") < F.col("ya"), -1)
+        .otherwise(0).alias("sgn"),
+        (
+            (F.col("yb") - F.col("ya")).cast("double")
+            / (F.col("ib") - F.col("ia")).cast("double")
+        ).alias("slope"),
+    )
+    agg = pairs.groupBy("event_type").agg(
+        F.sum("sgn").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr("percentile(slope, 0.5)").alias("sen_slope"),
+    )
+    nn = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    s = F.col("s")
+    corr = (
+        F.when(s > 0, F.lit(1.0)).when(s < 0, F.lit(-1.0)).otherwise(F.lit(0.0))
+    )
+    n = F.col("n")
+    var = (n * (n - 1) * (2 * n + 5)).cast("double") / F.lit(18.0)
+    return agg.join(F.broadcast(nn), "event_type").select(
+        "event_type", "s", "n_pairs", "n", "sen_slope",
+        ((s.cast("double") - corr) / F.sqrt(var)).alias("z"),
+    )
