@@ -3521,3 +3521,75 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "s", "n_pairs", "n", "sen_slope",
         ((s.cast("double") - corr) / F.sqrt(var)).alias("z"),
     )
+
+
+@register(
+    "mcnemar_paired_test",
+    oracle=f"""
+    WITH halves AS (
+      SELECT event_type, user_id,
+             CAST(count(*) FILTER (WHERE ts < TIMESTAMP '{_DRIFT_CUT}')
+                  AS BIGINT) AS n1,
+             CAST(count(*) FILTER (WHERE ts >= TIMESTAMP '{_DRIFT_CUT}')
+                  AS BIGINT) AS n2
+      FROM events GROUP BY 1, 2
+    ), paired AS (
+      SELECT event_type,
+             CASE WHEN n1 >= 4 THEN 1 ELSE 0 END AS o1,
+             CASE WHEN n2 >= 4 THEN 1 ELSE 0 END AS o2
+      FROM halves
+    )
+    SELECT event_type,
+           CAST(count(*) FILTER (WHERE o1 = 1 AND o2 = 0) AS BIGINT) AS b,
+           CAST(count(*) FILTER (WHERE o1 = 0 AND o2 = 1) AS BIGINT) AS c,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CASE WHEN count(*) FILTER (WHERE o1 <> o2) = 0 THEN 0.0
+                ELSE CAST((count(*) FILTER (WHERE o1 = 1 AND o2 = 0)
+                           - count(*) FILTER (WHERE o1 = 0 AND o2 = 1))
+                          * (count(*) FILTER (WHERE o1 = 1 AND o2 = 0)
+                             - count(*) FILTER (WHERE o1 = 0 AND o2 = 1))
+                          AS DOUBLE)
+                     / CAST(count(*) FILTER (WHERE o1 <> o2) AS DOUBLE)
+           END AS chi2
+    FROM paired GROUP BY 1
+    """,
+    doc="McNemar paired test per series: each user is their own "
+    "control — the binary outcome 'active (>= 4 events) in the half' "
+    "is paired across the two window halves, and only the DISCORDANT "
+    "pairs b (active->inactive) and c (inactive->active) carry "
+    "signal: chi2 = (b-c)^2/(b+c), df=1. The within-subject "
+    "complement to the independent-samples q:`welch_ab_ttest` (paired "
+    "designs kill between-user variance). Determinism: all counts "
+    "exact integers, one correctly-rounded divide, 0/0 guarded to 0.0 "
+    "identically on both engines. Scale: one (series, user) groupBy "
+    "with conditional counts, then a per-series rollup of 0/1 flags — "
+    "two map-side-combinable aggregations, no joins.",
+    tags=("timeseries", "stats", "eval", "aggregation"),
+)
+def mcnemar_paired_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cut = F.lit(_DRIFT_CUT).cast(ev.schema["ts"].dataType)
+    halves = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.when(F.col("ts") < cut, 1)).cast("bigint").alias("n1"),
+        F.count(F.when(F.col("ts") >= cut, 1)).cast("bigint").alias("n2"),
+    )
+    paired = halves.select(
+        "event_type",
+        F.when(F.col("n1") >= 4, 1).otherwise(0).alias("o1"),
+        F.when(F.col("n2") >= 4, 1).otherwise(0).alias("o2"),
+    )
+    b = F.count(
+        F.when((F.col("o1") == 1) & (F.col("o2") == 0), 1)
+    ).cast("bigint")
+    c = F.count(
+        F.when((F.col("o1") == 0) & (F.col("o2") == 1), 1)
+    ).cast("bigint")
+    disc = F.count(F.when(F.col("o1") != F.col("o2"), 1)).cast("bigint")
+    return paired.groupBy("event_type").agg(
+        b.alias("b"),
+        c.alias("c"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.when(disc == 0, F.lit(0.0))
+        .otherwise(((b - c) * (b - c)).cast("double") / disc.cast("double"))
+        .alias("chi2"),
+    )
