@@ -5849,3 +5849,59 @@ def dp_laplace_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("released_nano").cast("double") / F.lit(1000000000.0),
         )
     )
+
+
+@register(
+    "gumbel_topk_weighted_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+             (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                   ::BIGINT AS DOUBLE) + 0.5) / {_DP_TWO52}.0 AS u
+      FROM documents WHERE n_chars > 0
+    ), keyed AS (
+      SELECT doc_id, w,
+             CAST(round((ln(CAST(w AS DOUBLE)) - ln(-ln(u))) * 1000000000)
+                  AS BIGINT) AS key_nano
+      FROM d
+    ), ranked AS (
+      SELECT doc_id, w, key_nano,
+             row_number() OVER (ORDER BY key_nano DESC, doc_id) AS rank
+      FROM keyed
+    )
+    SELECT doc_id, w, key_nano, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 50
+    """,
+    doc="Gumbel-top-k weighted sampling WITHOUT replacement: each doc "
+    "gets key = ln(w) + G where G = -ln(-ln(u)) is Gumbel noise from "
+    "the portable 52-bit hash of its id, and the global top-k by key "
+    "is a size-k sample with inclusion ∝ weight (Efraimidis-Spirakis "
+    "via the Gumbel-max trick) — THE distributed mechanism for "
+    "quality-weighted corpus subsampling, because keys are computed "
+    "map-side per row and only a TakeOrdered(k) crosses the wire; no "
+    "sequential sampler state, rerun-stable. Determinism: u is the "
+    "shared seeded hash (cf. q:`dp_laplace_release`), and the "
+    "transcendental key is rounded to integer nano-units so both "
+    "engines ORDER BY the same bigint (ulp drift in ln can otherwise "
+    "flip adjacent ranks); doc_id breaks exact key ties. Weight = "
+    "n_chars (favor long documents).",
+    tags=("llm", "sampling", "topk", "curation"),
+)
+def gumbel_topk_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(_DP_TWO52))
+    w = F.col("n_chars").cast("bigint")
+    key_nano = F.round(
+        (F.log(w.cast("double")) - F.log(-F.log(u))) * F.lit(1000000000)
+    ).cast("bigint")
+    keyed = docs.select(
+        "doc_id", w.alias("w"), key_nano.alias("key_nano")
+    )
+    topk = keyed.orderBy(F.col("key_nano").desc(), "doc_id").limit(50)
+    win = Window.orderBy(F.col("key_nano").desc(), "doc_id")
+    return topk.withColumn(
+        "rank", F.row_number().over(win).cast("bigint")
+    ).select("doc_id", "w", "key_nano", "rank")
