@@ -5905,3 +5905,90 @@ def gumbel_topk_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.withColumn(
         "rank", F.row_number().over(win).cast("bigint")
     ).select("doc_id", "w", "key_nano", "rank")
+
+
+@register(
+    "vocab_kl_by_source",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({{toks}}) AS t
+      FROM documents
+    ), cnt AS (
+      SELECT source, t, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    ), corpus AS (
+      SELECT t, CAST(sum(c) AS BIGINT) AS qc FROM cnt GROUP BY 1
+    ), ns AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM cnt GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(qc) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS v
+      FROM corpus
+    ), grid AS (
+      SELECT ns.source, ns.n_s, corpus.t, corpus.qc, tot.n, tot.v,
+             coalesce(cnt.c, 0) AS c
+      FROM ns CROSS JOIN corpus CROSS JOIN tot
+      LEFT JOIN cnt ON cnt.source = ns.source AND cnt.t = corpus.t
+    ), terms AS (
+      SELECT source, n_s,
+             CAST(round(
+               (CAST(c + 1 AS DOUBLE) / CAST(n_s + v AS DOUBLE))
+               * ln((CAST(c + 1 AS DOUBLE) / CAST(n_s + v AS DOUBLE))
+                    / (CAST(qc + 1 AS DOUBLE) / CAST(n + v AS DOUBLE)))
+               * 1000000000) AS BIGINT) AS t_nano
+      FROM grid
+    )
+    SELECT source, n_s AS n_tokens,
+           CAST(sum(t_nano) AS BIGINT) AS kl_nano
+    FROM terms GROUP BY 1, 2
+    """.replace("{toks}", tokens_sql("text")),
+    doc="Per-source vocabulary KL divergence KL(source || corpus) with "
+    "add-1 smoothing over the corpus vocabulary — the corpus-curation "
+    "screen for sources whose token distribution diverges from the "
+    "mix (vocabulary drift, boilerplate-heavy or off-domain feeds); "
+    "the text-domain sibling of q:`psi_drift_bins`, and the "
+    "divergence counterpart of q:`tokenizer_fertility_by_lang`. "
+    "Smoothing over the FULL source x vocab grid (a cross join of two "
+    "aggregate tables — cells = |sources|·|vocab|, never row-scale) "
+    "keeps zero-count tokens contributing mass. Determinism: p and q "
+    "are exact-integer ratios; each transcendental term rounds to "
+    "nano-units before the integer sum. Scale: one token explode -> "
+    "map-side-combinable (source, token) counts; everything after is "
+    "cell-sized.",
+    tags=("llm", "text", "stats", "quality"),
+)
+def vocab_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("t")
+    )
+    cnt = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    corpus = cnt.groupBy("t").agg(F.sum("c").cast("bigint").alias("qc"))
+    ns = cnt.groupBy("source").agg(F.sum("c").cast("bigint").alias("n_s"))
+    tot = corpus.agg(
+        F.sum("qc").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    grid = (
+        ns.crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(tot))
+        .join(cnt, ["source", "t"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    p = (F.col("c") + 1).cast("double") / (F.col("n_s") + F.col("v")).cast(
+        "double"
+    )
+    q = (F.col("qc") + 1).cast("double") / (F.col("n") + F.col("v")).cast(
+        "double"
+    )
+    t_nano = F.round(p * F.log(p / q) * F.lit(1000000000)).cast("bigint")
+    return (
+        grid.select("source", F.col("n_s").alias("n_tokens"),
+                    t_nano.alias("t_nano"))
+        .groupBy("source", "n_tokens")
+        .agg(F.sum("t_nano").cast("bigint").alias("kl_nano"))
+    )
