@@ -3593,3 +3593,99 @@ def mcnemar_paired_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(((b - c) * (b - c)).cast("double") / disc.cast("double"))
         .alias("chi2"),
     )
+
+
+@register(
+    "haar_energy_spectrum",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(round(value*100) AS BIGINT) AS c,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) - 1 AS rn
+      FROM events
+    ), l1 AS (
+      SELECT event_type, rn // 2 AS k,
+             CAST(sum(CASE WHEN rn % 2 = 0 THEN c ELSE -c END) AS BIGINT)
+                 AS d,
+             CAST(sum(c) AS BIGINT) AS s, count(*) AS m
+      FROM v GROUP BY 1, 2
+    ), e1 AS (
+      SELECT event_type, 1 AS level, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(d*d) AS BIGINT) AS energy
+      FROM l1 WHERE m = 2 GROUP BY 1
+    ), l2 AS (
+      SELECT event_type, k // 2 AS k,
+             CAST(sum(CASE WHEN k % 2 = 0 THEN s ELSE -s END) AS BIGINT)
+                 AS d,
+             CAST(sum(s) AS BIGINT) AS s2, count(*) AS m
+      FROM l1 WHERE m = 2 GROUP BY 1, 2
+    ), e2 AS (
+      SELECT event_type, 2 AS level, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(d*d) AS BIGINT) AS energy
+      FROM l2 WHERE m = 2 GROUP BY 1
+    ), l3 AS (
+      SELECT event_type, k // 2 AS k,
+             CAST(sum(CASE WHEN k % 2 = 0 THEN s2 ELSE -s2 END) AS BIGINT)
+                 AS d,
+             count(*) AS m
+      FROM l2 WHERE m = 2 GROUP BY 1, 2
+    ), e3 AS (
+      SELECT event_type, 3 AS level, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(d*d) AS BIGINT) AS energy
+      FROM l3 WHERE m = 2 GROUP BY 1
+    )
+    SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3
+    """,
+    doc="Haar wavelet detail-energy spectrum per series (levels 1-3): "
+    "unnormalized Haar details d = pair difference of level-(j-1) "
+    "sums, energy = sum(d^2) per level — the multi-resolution burst "
+    "detector (level-1 energy = tick-to-tick noise, level-3 = "
+    "8-sample swings; a flat spectrum means white noise, cf. "
+    "q:`acf_per_series`/q:`runs_test_randomness`). EXACT integer "
+    "arithmetic end to end — differences, sums and squared energies "
+    "never leave BIGINT, so there is NO rounding contract to manage "
+    "at all. Pairing is rn div 2 on the per-series row_number; "
+    "incomplete tail pairs are dropped identically (m = 2 filter) "
+    "before the next level, keeping alignment. Scale: one per-series "
+    "window pass, then each level is a map-side-combinable groupBy "
+    "HALF the previous level's size — the classic log-depth pyramid.",
+    tags=("timeseries", "stats", "window", "aggregation"),
+)
+def haar_energy_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    v = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+        (F.row_number().over(w) - 1).alias("rn"),
+    )
+    l1 = v.groupBy("event_type", F.expr("rn div 2").alias("k")).agg(
+        F.sum(
+            F.when(F.col("rn") % 2 == 0, F.col("c")).otherwise(-F.col("c"))
+        ).cast("bigint").alias("d"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.count(F.lit(1)).alias("m"),
+    )
+
+    def _energy(df, level: int):
+        return df.filter(F.col("m") == 2).groupBy("event_type").agg(
+            F.lit(level).alias("level"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.col("d") * F.col("d")).cast("bigint").alias("energy"),
+        ).select("event_type", "level", "n_pairs", "energy")
+
+    def _next(df, sum_col: str, next_sum: str):
+        return df.filter(F.col("m") == 2).groupBy(
+            "event_type", F.expr("k div 2").alias("k")
+        ).agg(
+            F.sum(
+                F.when(F.col("k") % 2 == 0, F.col(sum_col))
+                .otherwise(-F.col(sum_col))
+            ).cast("bigint").alias("d"),
+            F.sum(sum_col).cast("bigint").alias(next_sum),
+            F.count(F.lit(1)).alias("m"),
+        )
+
+    l2 = _next(l1, "s", "s2")
+    l3 = _next(l2, "s2", "s3")
+    return _energy(l1, 1).unionAll(_energy(l2, 2)).unionAll(_energy(l3, 3))
