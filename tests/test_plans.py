@@ -544,3 +544,31 @@ def test_acf_all_lags_share_one_window_pass(spark, sf_dir):
         if line.strip().startswith("(") and ") Window" in line
     ]
     assert len(window_nodes) == 1, window_nodes
+
+
+def test_gumbel_sample_is_mapside_takeordered(spark, sf_dir):
+    """Gumbel-top-k keys compute map-side per row; the ONLY wire
+    traffic is the TakeOrderedAndProject(k) — zero shuffles, zero
+    joins. That's the property making the sampler 100 TB-shaped."""
+    plan = plan_of(run("gumbel_topk_weighted_sample", spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "Cartesian"):
+        assert node not in plan
+
+
+def test_mann_kendall_pair_join_is_not_cartesian(spark, sf_dir):
+    """The O(n^2) pairwise stage must be a hash join keyed on
+    event_type over the BOUNDED daily table — never a cartesian or a
+    corpus-scale sort-merge."""
+    plan = plan_of(run("mann_kendall_trend", spark, sf_dir))
+    assert "Cartesian" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_haar_pyramid_has_no_joins(spark, sf_dir):
+    """The wavelet pyramid is pure window + halving groupBys — any
+    join in the plan means the levels stopped being map-side folds."""
+    plan = plan_of(run("haar_energy_spectrum", spark, sf_dir))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "Cartesian"):
+        assert node not in plan
