@@ -5992,3 +5992,109 @@ def vocab_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "n_tokens")
         .agg(F.sum("t_nano").cast("bigint").alias("kl_nano"))
     )
+
+
+@register(
+    "theil_index_decomposition",
+    oracle="""
+    WITH d AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS x
+      FROM documents WHERE n_chars > 0
+    ), grp AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s
+      FROM d GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(s) AS BIGINT) AS st
+      FROM grp
+    ), within AS (
+      SELECT d.source, g.n, g.s,
+             CAST(sum(CAST(round(
+                 (CAST(d.x AS DOUBLE) * CAST(g.n AS DOUBLE)
+                  / CAST(g.s AS DOUBLE))
+                 * ln(CAST(d.x AS DOUBLE) * CAST(g.n AS DOUBLE)
+                      / CAST(g.s AS DOUBLE))
+                 * 1000000000) AS BIGINT)) AS BIGINT) AS t_sum_nano
+      FROM d JOIN grp g USING (source)
+      GROUP BY 1, 2, 3
+    ), within_rows AS (
+      SELECT source, n AS n_docs, s AS sum_chars,
+             CAST(t_sum_nano AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000.0
+                 AS theil
+      FROM within
+    ), between_row AS (
+      SELECT '__between__' AS source, tot.nt AS n_docs,
+             tot.st AS sum_chars,
+             CAST(CAST(sum(CAST(round(
+                 (CAST(g.s AS DOUBLE) / CAST(tot.st AS DOUBLE))
+                 * ln((CAST(g.s AS DOUBLE) / CAST(tot.st AS DOUBLE))
+                      / (CAST(g.n AS DOUBLE) / CAST(tot.nt AS DOUBLE)))
+                 * 1000000000) AS BIGINT)) AS BIGINT) AS DOUBLE)
+                 / 1000000000.0 AS theil
+      FROM grp g, tot GROUP BY tot.nt, tot.st
+    )
+    SELECT * FROM within_rows UNION ALL SELECT * FROM between_row
+    """,
+    doc="Theil-T inequality index of document length with its "
+    "between/within decomposition: per-source within-source Theil "
+    "rows plus a '__between__' row, exploiting Theil's ADDITIVE "
+    "decomposability (T = T_between + sum share_i * T_within_i — the "
+    "property Gini lacks, cf. q:`pandas_udaf_gini`): the curation "
+    "question 'is length inequality driven by source mix or within "
+    "feeds?' answered in one pass. Determinism: per-row/per-source "
+    "transcendental terms round to nano-units before integer sums "
+    "(the amihud pattern); group stats ride a broadcast join back "
+    "onto rows; means stay exact-integer cross-multiplied inside the "
+    "ln argument. Scale: one row pass + one cell-sized rollup.",
+    tags=("llm", "text", "stats", "profile"),
+)
+def theil_index_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    d = docs.select("source", F.col("n_chars").cast("bigint").alias("x"))
+    grp = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    tot = grp.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("s").cast("bigint").alias("st"),
+    )
+    ratio = (
+        F.col("x").cast("double") * F.col("n").cast("double")
+        / F.col("s").cast("double")
+    )
+    t_nano = F.round(ratio * F.log(ratio) * F.lit(1000000000)).cast("bigint")
+    within = (
+        d.join(F.broadcast(grp), "source")
+        .select("source", "n", "s", t_nano.alias("t_nano"))
+        .groupBy("source", "n", "s")
+        .agg(F.sum("t_nano").cast("bigint").alias("t_sum_nano"))
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.col("s").alias("sum_chars"),
+            (
+                F.col("t_sum_nano").cast("double")
+                / F.col("n").cast("double") / F.lit(1000000000.0)
+            ).alias("theil"),
+        )
+    )
+    share = F.col("s").cast("double") / F.col("st").cast("double")
+    nshare = F.col("n").cast("double") / F.col("nt").cast("double")
+    b_nano = F.round(
+        share * F.log(share / nshare) * F.lit(1000000000)
+    ).cast("bigint")
+    between = (
+        grp.crossJoin(F.broadcast(tot))
+        .select("nt", "st", b_nano.alias("b_nano"))
+        .groupBy("nt", "st")
+        .agg(F.sum("b_nano").cast("bigint").alias("b_sum_nano"))
+        .select(
+            F.lit("__between__").alias("source"),
+            F.col("nt").alias("n_docs"),
+            F.col("st").alias("sum_chars"),
+            (F.col("b_sum_nano").cast("double") / F.lit(1000000000.0))
+            .alias("theil"),
+        )
+    )
+    return within.unionAll(between)
