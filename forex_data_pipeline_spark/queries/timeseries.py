@@ -3689,3 +3689,135 @@ def haar_energy_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     l2 = _next(l1, "s", "s2")
     l3 = _next(l2, "s2", "s3")
     return _energy(l1, 1).unionAll(_energy(l2, 2)).unionAll(_energy(l3, 3))
+
+
+@register(
+    "interarrival_burstiness",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             ts, event_id
+      FROM events
+    ), g AS (
+      SELECT event_type,
+             es - lag(es) OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS gap
+      FROM v
+    ), gg AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL),
+    mom AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(gap) AS BIGINT) AS sg,
+             CAST(sum(gap*gap) AS BIGINT) AS sgg
+      FROM gg GROUP BY 1
+    )
+    SELECT event_type, n AS n_gaps, sg AS sum_gap_s,
+           sqrt(CAST(n * sgg - sg * sg AS DOUBLE)) / CAST(sg AS DOUBLE)
+               AS cv,
+           (sqrt(CAST(n * sgg - sg * sg AS DOUBLE)) / CAST(sg AS DOUBLE)
+            - 1.0)
+           / (sqrt(CAST(n * sgg - sg * sg AS DOUBLE)) / CAST(sg AS DOUBLE)
+              + 1.0) AS burstiness
+    FROM mom
+    """,
+    doc="Point-process burstiness per series: coefficient of variation "
+    "of inter-arrival seconds, CV = sqrt(n*S2 - S1^2)/S1 (population "
+    "form, all-integer radicand), and the Goh-Barabasi burstiness "
+    "B = (CV-1)/(CV+1) — B=0 for a Poisson process, B>0 bursty, B<0 "
+    "regular. The arrival-process diagnostic completing the series "
+    "family (values: q:`acf_per_series`; signs: "
+    "q:`runs_test_randomness`; scales: q:`haar_energy_spectrum`; "
+    "TIMING: this). Determinism: integer-second gaps from one "
+    "per-series lag window, exact bigint moments (gap^2 sums stay "
+    "far under 2^63 for month-scale windows), then an identical "
+    "IEEE sqrt/divide chain — emitted unrounded. One window shuffle, "
+    "map-side-combinable moments.",
+    tags=("timeseries", "stats", "window", "aggregation"),
+)
+def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.candles import epoch_seconds
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    es = F.floor(epoch_seconds(F.col("ts"))).cast("bigint")
+    g = ev.select(
+        "event_type", (es - F.lag(es).over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    mom = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("gap").cast("bigint").alias("sg"),
+        F.sum(F.col("gap") * F.col("gap")).cast("bigint").alias("sgg"),
+    )
+    cv = (
+        F.sqrt((F.col("n") * F.col("sgg") - F.col("sg") * F.col("sg"))
+               .cast("double"))
+        / F.col("sg").cast("double")
+    )
+    return mom.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        F.col("sg").alias("sum_gap_s"),
+        cv.alias("cv"),
+        ((cv - F.lit(1.0)) / (cv + F.lit(1.0))).alias("burstiness"),
+    )
+
+
+@register(
+    "journey_entropy_rate",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_type, ts, event_id,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), big AS (
+      SELECT event_type AS a, nxt AS b, CAST(count(*) AS BIGINT) AS c
+      FROM v WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), ca AS (SELECT a, CAST(sum(c) AS BIGINT) AS na FROM big GROUP BY 1)
+    SELECT b.a AS event_type, ca.na AS n_transitions,
+           CAST(CAST(sum(CAST(round(
+               -1.0 * (CAST(b.c AS DOUBLE) / CAST(ca.na AS DOUBLE))
+               * ln(CAST(b.c AS DOUBLE) / CAST(ca.na AS DOUBLE))
+               * 1000000000) AS BIGINT)) AS BIGINT) AS DOUBLE)
+               / 1000000000.0 AS entropy_nats
+    FROM big b JOIN ca USING (a)
+    GROUP BY 1, 2
+    """,
+    doc="First-order Markov entropy per journey state: for each "
+    "current event type a, H(next | a) = -sum_b p(b|a) ln p(b|a) over "
+    "the per-user event streams — the predictability measure of user "
+    "journeys (ln(5)≈1.609 = memoryless uniform; lower = "
+    "deterministic funnels). The information-theoretic companion to "
+    "q:`priority_transition_matrix` (which reports the probabilities; "
+    "this compresses each row to its entropy) and "
+    "q:`column_mutual_information`. Determinism: transition counts "
+    "are exact integers off ONE per-user lead() window; each "
+    "transcendental cell term rounds to nano-units before the "
+    "per-state integer sum. Scale: the window shuffle is keyed by "
+    "user (fine-grained); everything after is |states|^2 cells.",
+    tags=("timeseries", "stats", "window", "product-analytics"),
+)
+def journey_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    big = v.groupBy(
+        F.col("event_type").alias("a"), F.col("nxt").alias("b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ca = big.groupBy("a").agg(F.sum("c").cast("bigint").alias("na"))
+    p = F.col("c").cast("double") / F.col("na").cast("double")
+    t_nano = F.round(F.lit(-1.0) * p * F.log(p) * F.lit(1000000000)).cast(
+        "bigint"
+    )
+    return (
+        big.join(F.broadcast(ca), "a")
+        .select(F.col("a").alias("event_type"),
+                F.col("na").alias("n_transitions"), t_nano.alias("t_nano"))
+        .groupBy("event_type", "n_transitions")
+        .agg(
+            (F.sum("t_nano").cast("bigint").cast("double")
+             / F.lit(1000000000.0)).alias("entropy_nats")
+        )
+    )
