@@ -572,3 +572,28 @@ def test_haar_pyramid_has_no_joins(spark, sf_dir):
     plan = plan_of(run("haar_energy_spectrum", spark, sf_dir))
     for node in ("SortMergeJoin", "BroadcastHashJoin", "Cartesian"):
         assert node not in plan
+
+
+AGG_FAMILY_NO_HEAVY_JOIN = (
+    "welch_ab_ttest",
+    "did_event_value",
+    "chi2_dow_uniformity",
+    "mcnemar_paired_test",
+    "psi_drift_bins",
+    "interarrival_burstiness",
+    "journey_entropy_rate",
+    "hill_tail_index",
+    "conformal_interval_calibration",
+    "theil_index_decomposition",
+)
+
+
+def test_statistics_family_avoids_corpus_joins(spark, sf_dir):
+    """Every round-5 statistics query is designed as map-side
+    aggregation plus broadcast-sized lookups: a SortMergeJoin or
+    cartesian in any of their plans means a corpus-scale shuffle
+    crept in."""
+    for q in AGG_FAMILY_NO_HEAVY_JOIN:
+        plan = plan_of(run(q, spark, sf_dir))
+        assert "SortMergeJoin" not in plan, q
+        assert "Cartesian" not in plan, q

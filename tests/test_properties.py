@@ -395,3 +395,48 @@ def test_kaplan_meier_risk_table_is_horizon_bounded(spark, sf_dir):
     surv = [r["survival_ppm"] for r in rows]
     assert all(a >= b for a, b in zip(surv, surv[1:]))
     assert surv[-1] > 0
+
+
+def test_dp_laplace_noise_is_laplace_scaled(spark, sf_dir):
+    """The hash oracle proves cross-engine EQUALITY of the noise, not
+    that it is Laplace — check the mechanism itself: for Laplace(b=1),
+    E|x| = b, so the mean absolute noise over the 150 release cells
+    must sit near 1 (loose CLT band), and signs must not be
+    one-sided."""
+    from forex_data_pipeline_spark import catalog
+
+    catalog._ensure_loaded()
+    rows = (
+        catalog.REGISTRY["dp_laplace_release"].fn(spark, sf_dir).collect()
+    )
+    noises = [r["noise_nano"] / 1e9 for r in rows]
+    assert len(noises) >= 100
+    mean_abs = sum(abs(x) for x in noises) / len(noises)
+    assert 0.6 < mean_abs < 1.5, mean_abs
+    n_pos = sum(1 for x in noises if x > 0)
+    assert 0.3 < n_pos / len(noises) < 0.7
+
+
+def test_gumbel_sample_prefers_heavy_documents(spark, sf_dir):
+    """Inclusion must actually be weight-biased: the mean weight of
+    the Gumbel top-k sample has to exceed the corpus mean weight —
+    otherwise the keys degenerated to unweighted noise."""
+    from pyspark.sql import functions as F
+
+    from forex_data_pipeline_spark import catalog
+    from forex_data_pipeline_spark.tables import load
+
+    catalog._ensure_loaded()
+    sample = (
+        catalog.REGISTRY["gumbel_topk_weighted_sample"]
+        .fn(spark, sf_dir)
+        .agg(F.avg("w"))
+        .collect()[0][0]
+    )
+    corpus = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    assert sample > corpus, (sample, corpus)
