@@ -156,10 +156,22 @@ def asof_join_bucketed(
     # per (key, bucket): latest non-null value of EACH column
     # independently (max_by skips rows whose ordering expr is NULL, so
     # a trailing NULL value does not mask an older non-null one)
+    # tie-break: when a (key, bucket) has two right rows at the SAME
+    # timestamp with different non-null values, bare max_by(c, ts) is
+    # nondeterministic. Ordering by struct(ts, c) picks the largest
+    # value among equal-ts rows — deterministic across runs. NOTE:
+    # plain asof_join's window-last pick is partition-order-dependent
+    # in that case, so duplicate right timestamps per key are out of
+    # the asof_join-equivalence contract (only self-determinism is
+    # guaranteed here); unique (key, ts) right sides are fully covered.
     summary = rb.groupBy(*on, "_bucket").agg(
         *[
             F.max_by(
-                c, F.when(F.col(c).isNotNull(), F.col(right_ts))
+                c,
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.struct(F.col(right_ts), F.col(c)),
+                ),
             ).alias(f"_s_{c}")
             for c in value_cols
         ]

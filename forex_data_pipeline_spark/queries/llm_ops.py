@@ -37,6 +37,7 @@ from ..functions.text import (
     tokens_sql,
 )
 from ..functions.vector import cosine, cosine_sql, dot_sql
+from ..scratch import scratch_dir
 from ..tables import load
 
 MINHASH_K = 8          # signature length
@@ -3885,16 +3886,16 @@ def incremental_covariance_update(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def streaming_covariance_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
+    import shutil
     import uuid
 
     emb_path = f"{sf_dir}/embeddings.parquet"
     schema = spark.read.parquet(emb_path).schema
-    src = tempfile.mkdtemp(prefix="fx_cov_src_")
+    src = scratch_dir("fx_cov_src_")
     # stage three deterministic hash-chunks as separate stream files
     emb = load(spark, sf_dir, "embeddings")
     for k in range(3):
-        chunk_dir = tempfile.mkdtemp(prefix=f"fx_cov_chunk{k}_")
+        chunk_dir = scratch_dir(f"fx_cov_chunk{k}_")
         (
             emb.filter((F.col("vec_id") * F.lit(2654435761)) % 3 == k)
             .coalesce(1)
@@ -3909,30 +3910,30 @@ def streaming_covariance_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
             os.path.join(src, f"chunk_{k}.parquet"),
         )
 
-    state = tempfile.mkdtemp(prefix="fx_cov_state_") + "/cells"
+    state = scratch_dir("fx_cov_state_") + "/cells"
 
     def fold(batch_df: DataFrame, _bid: int) -> None:
         if batch_df.isEmpty():
             return
         sp = batch_df.sparkSession
         cells = _moment_cells(batch_df)
-        try:
+        # explicit first-batch check: a bare except here would turn a
+        # corrupt/partially-written state read into a silent state
+        # reset (wrong totals); genuine read errors must propagate
+        has_state = os.path.isdir(state)
+        if has_state:
             prev = sp.read.parquet(state)
             cells = (
                 prev.unionByName(cells)
                 .groupBy("i", "j")
                 .agg(F.sum("s_ij").alias("s_ij"), F.sum("n").alias("n"))
             )
-        except Exception:  # noqa: BLE001 - first batch, no state yet
-            pass
         tmp = f"{state}__tmp_{uuid.uuid4().hex[:8]}"
         cells.coalesce(1).write.parquet(tmp)
-        if os.path.isdir(state):
+        if has_state:
             old = f"{state}__old_{uuid.uuid4().hex[:8]}"
             os.rename(state, old)
             os.rename(tmp, state)
-            import shutil
-
             shutil.rmtree(old, ignore_errors=True)
         else:
             os.rename(tmp, state)
@@ -3942,13 +3943,18 @@ def streaming_covariance_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
+    ckpt = scratch_dir("fx_cov_ck_")
     (
         stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="fx_cov_ck_"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
         .awaitTermination()
     )
+    # the returned DataFrame only needs the state dir; drop the staged
+    # corpus copy + checkpoint eagerly (atexit sweeps the rest)
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(state).select("i", "j", "s_ij", "n")
 
 

@@ -38,6 +38,7 @@ from ..functions.text import (
     tokens_sql,
 )
 from ..functions.vector import cosine, cosine_sql
+from ..scratch import scratch_dir
 from ..tables import load
 
 # ---------------------------------------------------------------------------
@@ -1514,15 +1515,14 @@ def _retrieval_stats_state(batch: DataFrame) -> DataFrame:
 def streaming_retrieval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
-    import tempfile
     import uuid
 
     docs_path = f"{sf_dir}/documents.parquet"
     schema = spark.read.parquet(docs_path).schema
-    src = tempfile.mkdtemp(prefix="fx_rstat_src_")
+    src = scratch_dir("fx_rstat_src_")
     docs = load(spark, sf_dir, "documents")
     for k in range(3):
-        chunk_dir = tempfile.mkdtemp(prefix=f"fx_rstat_chunk{k}_")
+        chunk_dir = scratch_dir(f"fx_rstat_chunk{k}_")
         (
             docs.filter((F.col("doc_id") * F.lit(2654435761)) % 3 == k)
             .coalesce(1)
@@ -1537,14 +1537,18 @@ def streaming_retrieval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(src, f"chunk_{k}.parquet"),
         )
 
-    state = tempfile.mkdtemp(prefix="fx_rstat_state_") + "/stats"
+    state = scratch_dir("fx_rstat_state_") + "/stats"
 
     def fold(batch_df: DataFrame, _bid: int) -> None:
         if batch_df.isEmpty():
             return
         sp = batch_df.sparkSession
         cells = _retrieval_stats_state(batch_df)
-        try:
+        # explicit first-batch check: a bare except would turn a
+        # corrupt/partial state read into a silent reset to
+        # current-batch-only stats; real read errors must propagate
+        has_state = os.path.isdir(state)
+        if has_state:
             prev = sp.read.parquet(state)
             cells = prev.unionByName(cells).agg(
                 F.sum("n").cast("bigint").alias("n"),
@@ -1554,11 +1558,9 @@ def streaming_retrieval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for i in range(len(_BM25_TERMS))
                 ],
             )
-        except Exception:  # noqa: BLE001 — first batch, no state yet
-            pass
         tmp = f"{state}__tmp_{uuid.uuid4().hex[:8]}"
         cells.coalesce(1).write.parquet(tmp)
-        if os.path.isdir(state):
+        if has_state:
             old = f"{state}__old_{uuid.uuid4().hex[:8]}"
             os.rename(state, old)
             os.rename(tmp, state)
@@ -1571,15 +1573,18 @@ def streaming_retrieval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
+    ckpt = scratch_dir("fx_rstat_ck_")
     (
         stream.writeStream.foreachBatch(fold)
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="fx_rstat_ck_")
-        )
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
         .awaitTermination()
     )
+    # the returned DataFrame only needs the state dir; drop the staged
+    # corpus copy + checkpoint eagerly (atexit sweeps the rest)
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(state).select(
         F.col("n").alias("n_docs"),
         F.col("sdl").alias("total_tokens"),

@@ -8,11 +8,11 @@ value ≙ close price.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..scratch import scratch_dir
 from ..catalog import register
 from ..operators.candles import REFERENCE_TIMEFRAMES, multi_timeframe_ohlc
 from ..operators.dedup import keyed_latest
@@ -115,7 +115,7 @@ def incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type", "value"
     )
-    path = f"{tempfile.mkdtemp(prefix='fx_merge_')}/t"
+    path = f"{scratch_dir('fx_merge_')}/t"
     batches = [
         ev.filter(F.col("ts") < F.lit("2024-01-15")),
         # deliberate overlaps: re-delivered rows must upsert, not dup
@@ -159,7 +159,7 @@ def compaction_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "ts", "event_type", "value")
         .withColumn("day", F.to_date("ts"))
     )
-    root = f"{tempfile.mkdtemp(prefix='fx_compact_')}/t"
+    root = f"{scratch_dir('fx_compact_')}/t"
     # one file per (day, event_type) leaf: repartition groups each leaf
     # into a single task, partitionBy makes it a directory
     (
@@ -352,7 +352,7 @@ def time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_mktsegment"
     )
-    table = f"{tempfile.mkdtemp(prefix='fx_tt_')}/customer"
+    table = f"{scratch_dir('fx_tt_')}/customer"
     write_version(cust, table)
     updates = cust.filter(F.col("c_custkey") % 7 == 0).withColumn(
         "c_mktsegment", F.lit("MIGRATED")

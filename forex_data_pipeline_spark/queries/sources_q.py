@@ -23,12 +23,12 @@ as landing formats: one pass to typed parquet/Delta, then query that
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..scratch import scratch_dir
 from ..catalog import register
 from ..tables import load
 
@@ -77,7 +77,7 @@ def _orders_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("source", "sink"),
 )
 def csv_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = f"{tempfile.mkdtemp(prefix='fx_csv_')}/orders"
+    path = f"{scratch_dir('fx_csv_')}/orders"
     _orders_proj(spark, sf_dir).write.mode("overwrite").option(
         "header", True
     ).option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").csv(path)
@@ -99,7 +99,7 @@ def csv_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("source", "sink"),
 )
 def json_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = f"{tempfile.mkdtemp(prefix='fx_json_')}/orders"
+    path = f"{scratch_dir('fx_json_')}/orders"
     _orders_proj(spark, sf_dir).write.mode("overwrite").option(
         "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
     ).json(path)
@@ -123,7 +123,7 @@ def json_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("source", "sink"),
 )
 def orc_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = f"{tempfile.mkdtemp(prefix='fx_orc_')}/orders"
+    path = f"{scratch_dir('fx_orc_')}/orders"
     src = _orders_proj(spark, sf_dir)
     src.write.mode("overwrite").orc(path)
     # ORC stores the timestamp flavor it was given (NTZ here) and,
@@ -149,7 +149,7 @@ def orc_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("source", "quality"),
 )
 def csv_malformed_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = tempfile.mkdtemp(prefix="fx_badcsv_")
+    path = scratch_dir("fx_badcsv_")
     with open(f"{path}/landing.csv", "w") as f:
         f.write(
             "1,A,10.5,2024-01-01T00:00:00\n"

@@ -9,12 +9,12 @@ batch/streaming semantic parity on identical input.
 from __future__ import annotations
 
 import os
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..scratch import scratch_dir
 from ..catalog import register
 from ..streaming.candles_stream import (
     read_tick_stream,
@@ -42,7 +42,7 @@ from .timeseries import _OHLC_AGG_SQL, _bucket_sql
 )
 def streaming_candles_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stage the single events.parquet into a stream source directory.
-    src = tempfile.mkdtemp(prefix="fx_stream_src_")
+    src = scratch_dir("fx_stream_src_")
     os.symlink(
         f"{sf_dir}/events.parquet", f"{src}/events.parquet"
     )
@@ -57,7 +57,7 @@ def streaming_candles_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
         ticks, "ts", "value", ["event_type"], duration="5 minutes"
     )
     table = f"stream_candles_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="fx_stream_ckpt_")
+    ckpt = scratch_dir("fx_stream_ckpt_")
     run_available_now_to_table(candles, table, ckpt)
     return spark.table(table).select(
         "candle_start", "event_type", "open_value", "high_value",
@@ -129,7 +129,7 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "timeseries"),
 )
 def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    src = tempfile.mkdtemp(prefix="fx_slide_src_")
+    src = scratch_dir("fx_slide_src_")
     os.symlink(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -152,7 +152,7 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     table = f"stream_slide_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="fx_slide_ckpt_")
+    ckpt = scratch_dir("fx_slide_ckpt_")
     run_available_now_to_table(agg, table, ckpt)
     return spark.table(table)
 
@@ -177,7 +177,7 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "join"),
 )
 def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    src = tempfile.mkdtemp(prefix="fx_ssj_src_")
+    src = scratch_dir("fx_ssj_src_")
     os.symlink(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -206,7 +206,7 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("v_user_id").alias("user_id"), "view_ts", "purchase_ts")
 
     table = f"stream_join_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="fx_ssj_ckpt_")
+    ckpt = scratch_dir("fx_ssj_ckpt_")
     (
         joined.writeStream.format("memory")
         .queryName(table)
@@ -243,7 +243,7 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_dedup,
     )
 
-    src = tempfile.mkdtemp(prefix="fx_dedup_src_")
+    src = scratch_dir("fx_dedup_src_")
     os.symlink(f"{sf_dir}/events.parquet", f"{src}/events_a.parquet")
     os.symlink(f"{sf_dir}/events.parquet", f"{src}/events_b.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -257,7 +257,7 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "count", "n_events"
     )
     table = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="fx_dedup_ckpt_")
+    ckpt = scratch_dir("fx_dedup_ckpt_")
     run_available_now_to_table(counted, table, ckpt, output_mode="complete")
     return spark.table(table).select(
         "event_type", F.col("n_events").cast("bigint").alias("n_events")
@@ -287,7 +287,7 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "join", "aggregation"),
 )
 def streaming_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    src = tempfile.mkdtemp(prefix="fx_stream_dim_src_")
+    src = scratch_dir("fx_stream_dim_src_")
     os.symlink(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -308,7 +308,7 @@ def streaming_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_micro"),
     )
     table = f"stream_enrich_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="fx_stream_dim_ckpt_")
+    ckpt = scratch_dir("fx_stream_dim_ckpt_")
     run_available_now_to_table(enriched, table, ckpt)
     return spark.table(table).select(
         "c_mktsegment", "event_type", "n_events", "value_micro"
@@ -359,18 +359,18 @@ def stream_merge_version_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..streaming.candles_stream import run_stream_merge_versioned
 
-    src = tempfile.mkdtemp(prefix="fx_vmerge_src_")
+    src = scratch_dir("fx_vmerge_src_")
     os.symlink(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     ts_is_long = raw_schema["ts"].dataType.typeName() == "long"
-    table_dir = tempfile.mkdtemp(prefix="fx_vmerge_tbl_") + "/t"
+    table_dir = scratch_dir("fx_vmerge_tbl_") + "/t"
 
     # v0: drain the stream into the versioned sink
     ticks = read_tick_stream(spark, src, raw_schema, ts_is_nanos_long=ts_is_long)
     run_stream_merge_versioned(
         ticks, table_dir, ["event_id"],
-        tempfile.mkdtemp(prefix="fx_vmerge_ck1_"),
+        scratch_dir("fx_vmerge_ck1_"),
     ).awaitTermination()
 
     # v1: replay the whole source with a FRESH checkpoint — the
@@ -378,7 +378,7 @@ def stream_merge_version_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ticks2 = read_tick_stream(spark, src, raw_schema, ts_is_nanos_long=ts_is_long)
     run_stream_merge_versioned(
         ticks2, table_dir, ["event_id"],
-        tempfile.mkdtemp(prefix="fx_vmerge_ck2_"),
+        scratch_dir("fx_vmerge_ck2_"),
     ).awaitTermination()
 
     # v2: batch correction through the same ledger — zero out purchase

@@ -162,3 +162,43 @@ def test_fuzzy_blocking_is_lossless_on_current_names(spark, sf_dir):
         for r in exhaustive.collect()
     }
     assert got == expected
+
+
+def test_asof_bucketed_duplicate_right_ts_is_deterministic(spark):
+    """Two right rows at the SAME (key, timestamp) with different
+    values: the bucketed carry summary must pick deterministically
+    (largest value among equal-ts rows via the struct(ts, value)
+    max_by ordering), regardless of input partitioning. Plain
+    asof_join is partition-order-dependent here, so dup right ts is
+    out of the equivalence contract — but the bucketed form must at
+    least be stable across runs/layouts."""
+    import pandas as pd
+
+    from forex_data_pipeline_spark.operators.joins import asof_join_bucketed
+
+    lpdf = pd.DataFrame(
+        {"k": ["a", "a"], "lts": pd.to_datetime([100, 4000], unit="s")}
+    )
+    rpdf = pd.DataFrame(
+        {
+            "k": ["a", "a", "a"],
+            "rts": pd.to_datetime([50, 50, 50], unit="s"),
+            "val": [3.0, 9.0, 1.0],
+        }
+    )
+    kwargs = dict(
+        on=["k"], left_ts="lts", right_ts="rts", value_cols=["val"]
+    )
+    results = []
+    for nparts in (1, 3):
+        l = spark.createDataFrame(lpdf).repartition(nparts)
+        r = spark.createDataFrame(rpdf).repartition(nparts)
+        out = (
+            asof_join_bucketed(l, r, time_bucket="1 minute", **kwargs)
+            .orderBy("lts")
+            .collect()
+        )
+        results.append([row.val_asof for row in out])
+    # both left rows (in-bucket pick and cross-bucket carry) resolve
+    # to the max value among the tied timestamps, on every layout
+    assert results[0] == results[1] == [9.0, 9.0]
