@@ -50,6 +50,46 @@ def salt_column(uniform_cols: Sequence[str], salts: int) -> Column:
     return F.pmod(F.xxhash64(*uniform_cols), F.lit(salts)).alias("_salt")
 
 
+def _parse_size_bytes(v: str | None) -> int:
+    """Parse a Spark size conf value ('10485760', '10MB', '-1')."""
+    if v is None:
+        return -1
+    s = v.strip().lower()
+    units = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    for suf in ("kb", "mb", "gb", "k", "m", "g", "b"):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)]) * units[suf[0]])
+    return int(s)
+
+
+def gated_salt_count(df: DataFrame, salts: int) -> int:
+    """``salts`` if ``df`` is too big to auto-broadcast, else 1.
+
+    Salting a replicate-join pays ``salts``× replication of the build
+    side to spread a hot key's probe work over ``salts`` reducers.
+    But when the build side fits under
+    ``spark.sql.autoBroadcastJoinThreshold``, AQE turns the shuffle
+    join into a broadcast join at runtime — every probe task already
+    sees the whole build relation, so the replication buys nothing
+    and just multiplies the broadcasted bytes. Gate on Catalyst's own
+    size estimate (the same statistic the planner's broadcast decision
+    uses) so the salt engages exactly when the shuffle regime does.
+    Results are salt-count-independent (each candidate pair meets
+    exactly once for any S >= 1), so the gate can never change output.
+    """
+    if salts <= 1:
+        return 1
+    threshold = _parse_size_bytes(
+        df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    )
+    if threshold <= 0:  # auto-broadcast disabled: always shuffle regime
+        return salts
+    est = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    return 1 if est <= threshold else salts
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: Sequence[str],

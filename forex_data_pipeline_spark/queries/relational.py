@@ -2978,13 +2978,20 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "text", "similarity"),
 )
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _SALTS = 4
+    from ..operators.skew import gated_salt_count
+
     cu = load(spark, sf_dir, "customer").select(
         "c_nationkey", "c_mktsegment",
         F.length("c_name").alias("name_len"),
         F.substring("c_name", 1, 4).alias("name_pfx"),
         "c_custkey", "c_name",
     )
+    # size-gated: in the broadcast regime (customer under the
+    # auto-broadcast threshold, as at bench SF) the x4 replication of b
+    # buys nothing — every probe task sees the whole build relation —
+    # so salt only when the join will actually shuffle. Pair set is
+    # salt-count-independent (each pair meets exactly once for any S).
+    _SALTS = gated_salt_count(cu, 4)
     try:
         width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
@@ -3748,12 +3755,22 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_cents")
         )
     )
-    max_cents = rev.agg(F.max("total_cents")).collect()[0][0]
+    # in-plan scalar max: broadcast the 1-row global aggregate and
+    # equi-join it against the per-supplier totals — no driver
+    # collect. rev is consumed by two branches (the max and the final
+    # filter); without a checkpoint each branch re-runs the full
+    # lineitem scan+agg (no ReusedExchange across the branches, same
+    # as the old collect() form). localCheckpoint pins the
+    # SUPPLIER-sized aggregate once, so the fact scan happens exactly
+    # once at any scale.
+    rev = rev.localCheckpoint(eager=False)
+    max_rev = rev.agg(F.max("total_cents").alias("_max_cents"))
+    rev_top = rev.join(
+        F.broadcast(max_rev),
+        F.col("total_cents") == F.col("_max_cents"),
+    ).drop("_max_cents")
     return (
-        su.join(
-            rev.filter(F.col("total_cents") == F.lit(max_cents)),
-            su.s_suppkey == F.col("l_suppkey"),
-        )
+        su.join(rev_top, su.s_suppkey == F.col("l_suppkey"))
         .select(
             "s_suppkey",
             "s_name",

@@ -202,3 +202,33 @@ def test_asof_bucketed_duplicate_right_ts_is_deterministic(spark):
     # both left rows (in-bucket pick and cross-bucket carry) resolve
     # to the max value among the tied timestamps, on every layout
     assert results[0] == results[1] == [9.0, 9.0]
+
+
+def test_gated_salt_count_both_regimes(spark, sf_dir):
+    """gated_salt_count must disable salting exactly when the build
+    side fits the auto-broadcast threshold (replication buys nothing
+    in the broadcast regime) and enable it in the shuffle regime —
+    including threshold=-1 (auto-broadcast off => always shuffle)."""
+    from forex_data_pipeline_spark.operators.skew import (
+        _parse_size_bytes,
+        gated_salt_count,
+    )
+
+    assert _parse_size_bytes("10485760") == 10485760
+    assert _parse_size_bytes("10MB") == 10 << 20
+    assert _parse_size_bytes("512k") == 512 << 10
+    assert _parse_size_bytes("-1") == -1
+
+    cu = load(spark, sf_dir, "customer")
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "1073741824")  # 1 GiB: everything fits
+        assert gated_salt_count(cu, 4) == 1
+        spark.conf.set(key, "1")  # nothing fits: shuffle regime
+        assert gated_salt_count(cu, 4) == 4
+        spark.conf.set(key, "-1")  # broadcast disabled entirely
+        assert gated_salt_count(cu, 4) == 4
+    finally:
+        spark.conf.set(key, old)
+    assert gated_salt_count(cu, 1) == 1
