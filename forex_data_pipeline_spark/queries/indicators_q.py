@@ -546,6 +546,19 @@ def ewma_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candles.groupBy("event_type").applyInPandas(kernel, schema)
 
 
+def _heikin_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw hourly OHLC input shared by the sequential kernel and
+    operators/scan.py::distributed_heikin_ashi (scale path)."""
+    ev = load(spark, sf_dir, "events")
+    return ohlc_window(
+        ev, "ts", "value", ["event_type"], duration="1 hour"
+    ).select(
+        "event_type", "candle_start",
+        F.col("open_value").alias("o"), F.col("high_value").alias("h"),
+        F.col("low_value").alias("l"), F.col("close_value").alias("c"),
+    )
+
+
 @register(
     "heikin_ashi",
     oracle=f"""
@@ -588,17 +601,14 @@ def ewma_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     "equality with no rounding.",
     tags=("timeseries", "indicator", "udf"),
 )
+
+
 def heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from pyspark.sql import types as T
 
-    ev = load(spark, sf_dir, "events")
-    candles = ohlc_window(ev, "ts", "value", ["event_type"], duration="1 hour").select(
-        "event_type", "candle_start",
-        F.col("open_value").alias("o"), F.col("high_value").alias("h"),
-        F.col("low_value").alias("l"), F.col("close_value").alias("c"),
-    )
+    candles = _heikin_base(spark, sf_dir)
 
     schema = T.StructType([
         T.StructField("event_type", T.StringType()),
@@ -801,6 +811,21 @@ def rolling_correlation_30(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _balance_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed micro-unit flow input shared by the sequential kernel and
+    operators/scan.py::distributed_clamped_balance (scale path)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    micro = F.floor(F.col("value") * 1000000.0).cast("long")
+    return ev.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type") == "purchase", micro)
+        .otherwise(-micro)
+        .alias("d"),
+    )
+
+
 @register(
     "clamped_running_balance",
     oracle=f"""
@@ -842,21 +867,14 @@ def rolling_correlation_30(spark: SparkSession, sf_dir: str) -> DataFrame:
     "series is exactly the axis a 100 TB cluster parallelizes.",
     tags=("timeseries", "udf", "indicator"),
 )
+
+
 def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from pyspark.sql import types as T
 
-    ev = load(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("purchase", "error")
-    )
-    micro = F.floor(F.col("value") * 1000000.0).cast("long")
-    flows = ev.select(
-        "user_id", "ts", "event_id",
-        F.when(F.col("event_type") == "purchase", micro)
-        .otherwise(-micro)
-        .alias("d"),
-    )
+    flows = _balance_flows(spark, sf_dir)
 
     schema = T.StructType([
         T.StructField("user_id", T.LongType()),
@@ -1066,6 +1084,34 @@ def winsorized_mean_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_type", "n", "lo_fence", "hi_fence", "winsorized_mean")
 
 
+def _supertrend_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, candle_start, c, bu, bl) band input shared by the
+    sequential kernel and operators/scan.py::distributed_supertrend
+    (scale path)."""
+    base_iv = _hourly_micro(spark, sf_dir)
+    w1 = _series_window()
+    w14 = _series_window().rowsBetween(-13, 0)
+    pc = base_iv.select(
+        "event_type", "candle_start", "h", "l", "c",
+        F.lag("c").over(w1).alias("pc"),
+    )
+    t = F.when(F.col("pc").isNull(), F.col("h") - F.col("l")).otherwise(
+        F.greatest(
+            F.col("h") - F.col("l"),
+            F.abs(F.col("h") - F.col("pc")),
+            F.abs(F.col("l") - F.col("pc")),
+        )
+    )
+    tr = pc.select("event_type", "candle_start", "h", "l", "c", t.alias("t"))
+    atr = F.sum("t").over(w14).cast("double") / F.count(F.lit(1)).over(w14)
+    mid = (F.col("h") + F.col("l")).cast("double") / F.lit(2.0)
+    return tr.select(
+        "event_type", "candle_start", "c",
+        (mid + F.lit(3.0) * atr).alias("bu"),
+        (mid - F.lit(3.0) * atr).alias("bl"),
+    )
+
+
 @register(
     "supertrend",
     oracle=f"""
@@ -1130,33 +1176,14 @@ def winsorized_mean_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     "strict hash equality, zero rounding.",
     tags=("timeseries", "indicator", "udf"),
 )
+
+
 def supertrend(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from pyspark.sql import types as T
 
-    base_iv = _hourly_micro(spark, sf_dir)
-    w1 = _series_window()
-    w14 = _series_window().rowsBetween(-13, 0)
-    pc = base_iv.select(
-        "event_type", "candle_start", "h", "l", "c",
-        F.lag("c").over(w1).alias("pc"),
-    )
-    t = F.when(F.col("pc").isNull(), F.col("h") - F.col("l")).otherwise(
-        F.greatest(
-            F.col("h") - F.col("l"),
-            F.abs(F.col("h") - F.col("pc")),
-            F.abs(F.col("l") - F.col("pc")),
-        )
-    )
-    tr = pc.select("event_type", "candle_start", "h", "l", "c", t.alias("t"))
-    atr = F.sum("t").over(w14).cast("double") / F.count(F.lit(1)).over(w14)
-    mid = (F.col("h") + F.col("l")).cast("double") / F.lit(2.0)
-    base = tr.select(
-        "event_type", "candle_start", "c",
-        (mid + F.lit(3.0) * atr).alias("bu"),
-        (mid - F.lit(3.0) * atr).alias("bl"),
-    )
+    base = _supertrend_base(spark, sf_dir)
 
     schema = T.StructType([
         T.StructField("event_type", T.StringType()),
