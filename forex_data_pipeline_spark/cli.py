@@ -97,7 +97,20 @@ def make_parser() -> argparse.ArgumentParser:
         prog="forex_data_pipeline_spark",
         description="Daily extraction + medallion pipeline (EP1/EP3).",
     )
-    p.add_argument("--symbol", default="EUR/USD")
+    p.add_argument(
+        "--symbol",
+        default="EUR/USD",
+        help="one symbol, or comma-separated symbols (e.g. "
+        "'EUR/USD,GBP/USD') — multiple symbols run their medallion "
+        "DAGs CONCURRENTLY via the dbt-style threaded model runner, "
+        "each under <warehouse>/<symbol>/",
+    )
+    p.add_argument(
+        "--threads",
+        type=int,
+        default=4,  # profiles.yml threads: 4 (reference README:147)
+        help="max concurrent models for multi-symbol runs",
+    )
     p.add_argument("--interval", default="5min")
     p.add_argument(
         "--date",
@@ -131,19 +144,59 @@ def main(argv: list[str] | None = None) -> int:
         return 1
 
     spark = get_spark("forex-cli")
-    source = TimeSeriesRestSource(
-        transport=transport, symbol=args.symbol, interval=args.interval
-    )
-    cfg = PipelineConfig(base_dir=args.warehouse, symbol=args.symbol)
+    symbols = [s.strip() for s in args.symbol.split(",") if s.strip()]
     rc = 0
+    if len(symbols) == 1:
+        source = TimeSeriesRestSource(
+            transport=transport, symbol=symbols[0], interval=args.interval
+        )
+        cfg = PipelineConfig(base_dir=args.warehouse, symbol=symbols[0])
+        for back in range(args.lookback_days - 1, -1, -1):
+            day = (end_day - timedelta(days=back)).isoformat()
+            result = run_daily(spark, cfg, source, day)
+            if result is None:
+                print(f"{day}: no data returned — aborting (exit 1)")
+                rc = 1
+                break
+            print(f"{day}: ok quality={result}")
+        return rc
+
+    # multi-symbol: per-day, extract every symbol then run the
+    # independent medallion chains concurrently (dbt threads parity)
+    from .pipeline.runner import run_batch_concurrent
+
+    cfgs = {
+        sym: PipelineConfig(
+            base_dir=f"{args.warehouse}/{sym.replace('/', '_').lower()}",
+            symbol=sym,
+        )
+        for sym in symbols
+    }
+    sources = {
+        sym: TimeSeriesRestSource(
+            transport=transport, symbol=sym, interval=args.interval
+        )
+        for sym in symbols
+    }
     for back in range(args.lookback_days - 1, -1, -1):
         day = (end_day - timedelta(days=back)).isoformat()
-        result = run_daily(spark, cfg, source, day)
-        if result is None:
-            print(f"{day}: no data returned — aborting (exit 1)")
-            rc = 1
-            break
-        print(f"{day}: ok quality={result}")
+        batch = []
+        for sym in symbols:
+            raw = sources[sym].to_spark(spark, day)
+            if raw is None:
+                print(f"{day} {sym}: no data returned — aborting (exit 1)")
+                return 1
+            batch.append((cfgs[sym], raw))
+        res = run_batch_concurrent(spark, batch, threads=args.threads)
+        failed = {n: r for n, r in res.items() if r.status != "success"}
+        if failed:
+            for n, r in failed.items():
+                print(f"{day} {n}: {r.status} {r.error}", file=sys.stderr)
+            return 1
+        timings = {
+            n: round(r.elapsed, 2) for n, r in res.items() if r.elapsed
+        }
+        print(f"{day}: ok models={timings}")
     return rc
 
 

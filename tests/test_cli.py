@@ -39,3 +39,44 @@ def test_synthetic_transport_is_deterministic():
                             "2026-01-02 23:59:59", 800)
     assert a.equals(b)
     assert (a["high"] >= a[["open", "close", "low"]].max(axis=1)).all()
+
+
+def test_cli_multi_symbol_concurrent(spark, tmp_path):
+    """Round 6: the multi-symbol form runs each symbol's medallion DAG
+    through the threaded model runner under <warehouse>/<symbol>/ and
+    produces the same gold a single-symbol run would."""
+    wh = str(tmp_path / "wh_multi")
+    rc = main(
+        [
+            "--symbol", "EUR/USD,GBP/USD",
+            "--date", "2026-01-02",
+            "--lookback-days", "1",
+            "--warehouse", wh,
+            "--threads", "4",
+        ]
+    )
+    assert rc == 0
+    solo = str(tmp_path / "wh_solo")
+    assert main(
+        [
+            "--symbol", "GBP/USD",
+            "--date", "2026-01-02",
+            "--lookback-days", "1",
+            "--warehouse", solo,
+        ]
+    ) == 0
+    multi_gold = (
+        spark.read.parquet(f"{wh}/gbp_usd/gold")
+        .select("symbol", "timeframe", "candle_start", "close_value")
+        .orderBy("timeframe", "candle_start")
+        .toPandas()
+    )
+    solo_gold = (
+        spark.read.parquet(f"{solo}/gold")
+        .select("symbol", "timeframe", "candle_start", "close_value")
+        .orderBy("timeframe", "candle_start")
+        .toPandas()
+    )
+    assert multi_gold.equals(solo_gold)
+    # both symbols materialized under their own roots
+    assert glob.glob(f"{wh}/eur_usd/bronze/eur_usd/year=2026/month=1/*.parquet")

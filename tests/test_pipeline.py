@@ -198,3 +198,113 @@ def test_observed_quality_metrics_piggyback_on_action(spark, sf_dir):
     assert got["n_rows"] == n
     assert got["nulls_o_custkey"] == 0
     assert got["rejected_o_orderstatus"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Round 6: concurrent model runner (dbt `threads: 4` parity)
+# ---------------------------------------------------------------------------
+
+
+def test_runner_validates_dag():
+    from forex_data_pipeline_spark.pipeline.runner import Model, validate
+
+    with pytest.raises(ValueError, match="duplicate"):
+        validate([Model("a", lambda s: None), Model("a", lambda s: None)])
+    with pytest.raises(ValueError, match="unknown"):
+        validate([Model("a", lambda s: None, ("ghost",))])
+    with pytest.raises(ValueError, match="cycle"):
+        validate(
+            [
+                Model("a", lambda s: None, ("b",)),
+                Model("b", lambda s: None, ("a",)),
+            ]
+        )
+
+
+def test_runner_failure_skips_downstream_only(spark):
+    from forex_data_pipeline_spark.pipeline.runner import Model, run_models
+
+    def boom(sp):
+        raise RuntimeError("boom")
+
+    res = run_models(
+        spark,
+        [
+            Model("ok_root", lambda sp: 1),
+            Model("bad", boom),
+            Model("child_of_bad", lambda sp: 2, ("bad",)),
+            Model("grandchild", lambda sp: 3, ("child_of_bad",)),
+            Model("independent", lambda sp: 4, ("ok_root",)),
+        ],
+        threads=2,
+    )
+    assert res["ok_root"].status == "success"
+    assert res["bad"].status == "error"
+    assert res["child_of_bad"].status == "skipped"
+    assert res["grandchild"].status == "skipped"
+    assert res["independent"].status == "success"
+
+
+def test_concurrent_two_symbols_overlap_and_match_sequential(
+    spark, tmp_path
+):
+    """Two independent symbol pipelines through the threaded runner:
+    (a) silver and gold tables are IDENTICAL to running each pipeline
+    sequentially; (b) the monotonic start/finish stamps prove at least
+    one pair of models from different symbols actually overlapped —
+    the dbt `threads: 4` behavior, not a serialized DAG walk."""
+    from forex_data_pipeline_spark.pipeline.runner import (
+        run_batch_concurrent,
+    )
+
+    ticks = make_ticks("2024-01-01", 4000)
+
+    def mk(prefix, symbol):
+        cfg = PipelineConfig(
+            base_dir=f"{tmp_path}/{prefix}/{symbol.replace('/', '_')}",
+            symbol=symbol,
+            timeframes=TFS,
+            lookback_days=60,
+            sma_windows=(20, 50),
+        )
+        return cfg
+
+    # sequential reference run
+    seq_tables = {}
+    for sym in ("EUR/USD", "GBP/USD"):
+        cfg = mk("seq", sym)
+        raw = spark.createDataFrame(ticks)
+        run_batch(spark, cfg, raw)
+        seq_tables[sym] = _collect(spark, cfg.gold_path, GOLD_COLS)
+
+    # concurrent run
+    cfgs = [(mk("conc", sym), spark.createDataFrame(ticks))
+            for sym in ("EUR/USD", "GBP/USD")]
+    res = run_batch_concurrent(spark, cfgs, threads=4)
+    assert all(r.status == "success" for r in res.values()), {
+        n: (r.status, r.error) for n, r in res.items()
+    }
+
+    for cfg, _ in cfgs:
+        got = _collect(spark, cfg.gold_path, GOLD_COLS)
+        ref = seq_tables[cfg.symbol]
+        pd.testing.assert_frame_equal(
+            got.drop(columns=["unique_id"]).reset_index(drop=True),
+            ref.drop(columns=["unique_id"]).reset_index(drop=True),
+        )
+
+    # overlap proof: some model of symbol A ran inside the span of a
+    # model of symbol B
+    def spans(sym_key):
+        return [
+            (r.started, r.finished)
+            for n, r in res.items()
+            if n.endswith(sym_key)
+        ]
+
+    overlapped = any(
+        a_start < b_end and b_start < a_end
+        for a_start, a_end in spans("eur_usd")
+        for b_start, b_end in spans("gbp_usd")
+    )
+    assert overlapped, res
