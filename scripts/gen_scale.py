@@ -6,7 +6,7 @@ timestamp units, float32 embedding lists).
 
 Usage:
     python scripts/gen_scale.py --mult 10 --out spark-warehouse/sf1
-    python scripts/gen_scale.py --mult 3  --out spark-warehouse/sf03
+    python scripts/gen_scale.py --mult 3  --out spark-warehouse/sf0.3
 
 Design (why replication is NOT a naive 10x copy):
 
