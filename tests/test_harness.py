@@ -1,0 +1,64 @@
+"""Harness self-tests: the driver_sim agg-checksum fallback must be a
+faithful stand-in for the full value-hash when results are too large to
+ship to the driver (see SCALING.md — simhash emits 44.9M pairs at sf1).
+
+The checksum is (count, DECIMAL(38,0) sum of portable 52-bit md5 row
+hashes), computed ENGINE-SIDE on both engines over the '|'-join of the
+name-sorted columns cast to string. These tests pin the two properties
+the sweep depends on: cross-engine hash equality on identical results,
+and detection of a single-row difference.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"),
+)
+
+from driver_sim import _agg_checksum  # noqa: E402
+
+from conftest import SF_DIR  # noqa: E402
+
+
+def _docs_sql(where: str = "TRUE") -> str:
+    return (
+        "SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars "
+        f"FROM read_parquet('{SF_DIR}/documents.parquet') WHERE {where}"
+    )
+
+
+def test_agg_checksum_matches_identical_results(spark, oracle_con):
+    df = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .selectExpr("doc_id", "lang", "CAST(n_chars AS BIGINT) AS n_chars")
+    )
+    s, d = _agg_checksum(df, oracle_con, _docs_sql())
+    assert s == d
+    assert s[0] > 0 and s[1] is not None
+
+
+def test_agg_checksum_detects_single_row_difference(spark, oracle_con):
+    df = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .selectExpr("doc_id", "lang", "CAST(n_chars AS BIGINT) AS n_chars")
+    )
+    # oracle drops exactly one row: count and hash-sum must both move
+    mn = oracle_con.execute(
+        f"SELECT min(doc_id) FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchone()[0]
+    s, d = _agg_checksum(df, oracle_con, _docs_sql(f"doc_id <> {mn}"))
+    assert s[0] == d[0] + 1
+    assert s[1] != d[1]
+
+
+def test_agg_checksum_column_order_is_name_sorted(spark, oracle_con):
+    # same columns selected in a different order must hash identically
+    a = spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
+        "lang", "doc_id", "CAST(n_chars AS BIGINT) AS n_chars"
+    )
+    s, d = _agg_checksum(a, oracle_con, _docs_sql())
+    assert s == d
