@@ -129,6 +129,29 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # Host-speed canaries: fixed-size single-thread Python work and a
+    # fixed JVM job. Hosts vary across rounds (r6's measured ~1.2-1.5x
+    # slower than r5's on identical code+data); recording the canary
+    # alongside the suite lets bench_compare distinguish a code
+    # regression from a slower machine. Both best-of-2, unmeasured work.
+    def _canary_py() -> float:
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(5_000_000):
+            x += i * i
+        assert x  # keep the loop un-elidable
+        return time.perf_counter() - t0
+
+    def _canary_jvm() -> float:
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr(
+            "sum(CAST(id AS DOUBLE) * id)"
+        ).collect()
+        return time.perf_counter() - t0
+
+    canary_py = round(min(_canary_py(), _canary_py()), 3)
+    canary_jvm = round(min(_canary_jvm(), _canary_jvm()), 3)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -137,6 +160,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "stat": "best-of-2",
+                "canary_py_sec": canary_py,
+                "canary_jvm_sec": canary_jvm,
                 "r1_comparable_sec": round(
                     sum(v for n, v in timings.items() if n in R1_SET), 3
                 ),

@@ -88,6 +88,21 @@ def main() -> int:
     )
     cur = json.loads(out.stdout.strip().splitlines()[-1])
 
+    # Host-speed normalization: hosts vary across rounds (r6 measured
+    # ~1.2-1.5x slower than r5 on identical code+data). When both
+    # sides carry canaries, report the host ratio so a uniform drift
+    # can be attributed to hardware; per-query flags stay RAW (the 2x
+    # driver gate is raw), the canary is diagnostic context.
+    host_ratio = None
+    if cur.get("canary_jvm_sec") and base.get("canary_jvm_sec"):
+        host_ratio = cur["canary_jvm_sec"] / base["canary_jvm_sec"]
+        print(
+            f"host canary: jvm {cur['canary_jvm_sec']:.3f}s vs baseline "
+            f"{base['canary_jvm_sec']:.3f}s ({host_ratio:.2f}x); py "
+            f"{cur.get('canary_py_sec', 0):.3f}s vs "
+            f"{base.get('canary_py_sec', 0):.3f}s"
+        )
+
     flagged = []
     for name, t in sorted(cur["queries"].items()):
         b = base["queries"].get(name)
