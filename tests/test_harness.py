@@ -62,3 +62,35 @@ def test_agg_checksum_column_order_is_name_sorted(spark, oracle_con):
     )
     s, d = _agg_checksum(a, oracle_con, _docs_sql())
     assert s == d
+
+
+def test_merkle_fingerprint_partitioning_invariant(spark, tmp_path):
+    """The manifest must be identical however the table is laid out on
+    disk or shuffled at runtime — the property that makes it usable to
+    compare two 100 TB replicas with different file layouts."""
+    from forex_data_pipeline_spark.queries.pipeline_q import (
+        dataset_merkle_fingerprint,
+    )
+
+    base = dataset_merkle_fingerprint(spark, SF_DIR).toPandas()
+    base = base.sort_values("bucket").reset_index(drop=True)
+
+    # re-lay the table out: 13 files, rows scattered by a hash column
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    alt_dir = str(tmp_path / "alt")
+    import os as _os
+
+    _os.makedirs(alt_dir)
+    li.repartition(13, "l_partkey").write.parquet(f"{alt_dir}/lineitem.parquet")
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        alt = dataset_merkle_fingerprint(spark, alt_dir).toPandas()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    alt = alt.sort_values("bucket").reset_index(drop=True)
+
+    assert base["bucket"].tolist() == alt["bucket"].tolist()
+    assert base["n_rows"].tolist() == alt["n_rows"].tolist()
+    assert base["bucket_hash"].tolist() == alt["bucket_hash"].tolist()
