@@ -235,11 +235,37 @@ def _gen_embeddings(src: pa.Table, mult: int) -> pa.Table:
     return out
 
 
+def _skew_column(
+    tab: pa.Table, col: str, frac: float, hot_value: int, mult: int
+) -> pa.Table:
+    """Reassign a seeded `frac` of rows' ``col`` to ``hot_value`` — the
+    hot-key regime (one whale customer / one bot user) that breaks
+    naive hash-partitioned joins and aggs at scale. FK-safe: the hot
+    value is an existing key."""
+    rng = np.random.default_rng(
+        np.random.SeedSequence([42, mult, 999, sum(map(ord, col))])
+    )
+    mask = rng.random(tab.num_rows) < frac
+    idx = tab.schema.get_field_index(col)
+    vals = tab[col].to_numpy(zero_copy_only=False).copy()
+    vals[mask] = hot_value
+    return tab.set_column(
+        idx, tab.field(idx), pa.array(vals, type=tab.field(idx).type)
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--src", default=SRC_DEFAULT)
+    ap.add_argument(
+        "--skew",
+        type=float,
+        default=0.0,
+        help="fraction of orders.o_custkey / events.user_id rows "
+        "reassigned to key 0 (hot-key robustness rehearsal)",
+    )
     args = ap.parse_args()
     mult, out_dir = args.mult, args.out
     os.makedirs(out_dir, exist_ok=True)
@@ -269,12 +295,16 @@ def main() -> None:
         supp, mult, {"s_suppkey": ns},
         names={"s_name": ("Supplier#%09d", "s_suppkey")}))
     _write(out_dir, "part", _replicate_keyed(part, mult, {"p_partkey": npart}))
-    _write(out_dir, "orders", _replicate_keyed(
-        orders, mult, {"o_orderkey": no, "o_custkey": nc}))
+    ord_rep = _replicate_keyed(
+        orders, mult, {"o_orderkey": no, "o_custkey": nc})
+    ev_rep = _replicate_keyed(ev, mult, {"event_id": ne, "user_id": nu})
+    if args.skew > 0:
+        ord_rep = _skew_column(ord_rep, "o_custkey", args.skew, 0, mult)
+        ev_rep = _skew_column(ev_rep, "user_id", args.skew, 0, mult)
+    _write(out_dir, "orders", ord_rep)
     _write(out_dir, "lineitem", _replicate_keyed(
         li, mult, {"l_orderkey": no, "l_partkey": npart, "l_suppkey": ns}))
-    _write(out_dir, "events", _replicate_keyed(
-        ev, mult, {"event_id": ne, "user_id": nu}))
+    _write(out_dir, "events", ev_rep)
     _write(out_dir, "documents", _gen_documents(load("documents"), mult))
     _write(out_dir, "embeddings", _gen_embeddings(load("embeddings"), mult))
     print(f"done: sf{0.1 * mult:g} at {out_dir}")
