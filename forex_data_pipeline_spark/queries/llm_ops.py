@@ -971,7 +971,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id, amax,
            array_to_string(list_transform(embedding,
-               x -> CAST(round(x * 127.0 / amax) AS BIGINT)), ',') AS codes
+               x -> CAST(round(CAST(x AS DOUBLE) * 127.0
+                          / CAST(amax AS DOUBLE)) AS BIGINT)), ',') AS codes
     FROM (SELECT vec_id, embedding,
                  list_max(list_transform(embedding, x -> abs(x))) AS amax
           FROM embeddings)
@@ -981,8 +982,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scale): 4× smaller vectors for the ANN candidate stage — at "
     "100 TB the index reads int8 codes and only re-scores survivors "
     "against float32. Pure map-side higher-order functions (no "
-    "shuffle, no UDF); x·127/amax is the same IEEE op sequence in "
-    "both engines, so codes hash-match exactly.",
+    "shuffle, no UDF). Both engines CAST the float32 element AND the "
+    "float32 amax to DOUBLE before x·127/amax — without it DuckDB "
+    "evaluates the product in float32 while Spark promotes to double, "
+    "and a code straddles the rounding boundary (±1 divergences on 5 "
+    "of 20k vectors, first surfaced by the sf1 scale rehearsal; the "
+    "same float32 gotcha as the round(x*k) rule in CLAUDE.md).",
     tags=("llm", "similarity"),
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -993,7 +998,9 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     codes = F.transform(
         "embedding",
-        lambda x: F.round(x * 127.0 / F.col("amax")).cast("bigint"),
+        lambda x: F.round(
+            x.cast("double") * 127.0 / F.col("amax").cast("double")
+        ).cast("bigint"),
     )
     return with_amax.select(
         "vec_id",

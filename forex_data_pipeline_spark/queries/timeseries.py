@@ -842,14 +842,21 @@ def zscore_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     v = F.col("v_milli")
+    # Σx² and the n·Σx² − (Σx)² determinant overflow BIGINT once daily
+    # volumes carry 10× the rows (first seen at the sf1 rehearsal:
+    # Σv² ≈ 1.3e19 > 2^63). DECIMAL(38,0) keeps the moments exact —
+    # the same headroom DuckDB gets for free from HUGEINT sums — and
+    # both engines cast the identical integer to double at the end.
+    vd = v.cast("decimal(38,0)")
     stats = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(v).alias("s"),
-        F.sum(v * v).alias("ss"),
+        F.sum(vd * vd).alias("ss"),
     )
     n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    sd = s.cast("decimal(38,0)")
     z = (v - s.cast("double") / n) / F.sqrt(
-        (n * ss - s * s).cast("double") / (n * n)
+        (n.cast("decimal(38,0)") * ss - sd * sd).cast("double") / (n * n)
     )
     return (
         daily.join(F.broadcast(stats), "event_type")
@@ -3262,8 +3269,10 @@ def chi2_dow_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, r, n1, n2,
            (CAST(r AS DOUBLE)
-            - (CAST(2 * n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) + 1.0))
-           / sqrt(CAST(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) AS DOUBLE)
+            - (CAST(2 * CAST(n1 AS HUGEINT) * n2 AS DOUBLE)
+               / CAST(n1 + n2 AS DOUBLE) + 1.0))
+           / sqrt(CAST((2 * CAST(n1 AS HUGEINT) * n2)
+                       * (2 * CAST(n1 AS HUGEINT) * n2 - n1 - n2) AS DOUBLE)
                   / (CAST((n1 + n2) * (n1 + n2) AS DOUBLE)
                      * CAST(n1 + n2 - 1 AS DOUBLE))) AS z
     FROM counts
@@ -3277,10 +3286,12 @@ def chi2_dow_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "established percentile()/quantile_cont pair (bit-identical on "
     "integer inputs); run boundaries are integer flags from one "
     "per-series ordered window (unique event_id tie-break); mu/sigma "
-    "are the identical IEEE chain over exact bigint products "
-    "(2*n1*n2*(2*n1*n2-n) stays under 2^63 through ~1e9 rows/series) "
-    "— z emitted unrounded. Scale: one window shuffle on event_type, "
-    "then 4-int cells.",
+    "are the identical IEEE chain over exact WIDE-integer products: "
+    "t=2*n1*n2 makes t*(t-n) ~ n^4/4, past 2^63 from ~80k rows/series "
+    "(hit at the sf1 scale rehearsal), so Spark computes it in "
+    "DECIMAL(38,0) and the oracle in HUGEINT — identical exact "
+    "integers, identical doubles — z emitted unrounded. Scale: one "
+    "window shuffle on event_type, then 4-int cells.",
     tags=("timeseries", "stats", "window", "quality"),
 )
 def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3312,8 +3323,13 @@ def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("side") == 0, 1)).cast("bigint").alias("n2"),
     )
     n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
-    mu = (2 * n1 * n2).cast("double") / (n1 + n2).cast("double") + F.lit(1.0)
-    var = (2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)).cast("double") / (
+    # t = 2·n1·n2 ≈ n²/2, so t·(t−n) ≈ n⁴/4 — past 2^63 from ~80k
+    # rows/series (hit at the sf1 rehearsal: 200k rows/series → 4e20).
+    # DECIMAL(38,0) on the Spark side mirrors the HUGEINT casts the
+    # oracle uses; identical exact integers → identical doubles.
+    t = (F.lit(2).cast("decimal(38,0)") * n1 * n2)
+    mu = t.cast("double") / (n1 + n2).cast("double") + F.lit(1.0)
+    var = (t * (t - n1 - n2)).cast("double") / (
         ((n1 + n2) * (n1 + n2)).cast("double")
         * (n1 + n2 - 1).cast("double")
     )
