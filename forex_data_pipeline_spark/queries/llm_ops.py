@@ -1550,8 +1550,20 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         a_bv = F.expr(f"shiftright(a_sig, {_LSH_BAND_BITS * jj}) & {mask}")
         b_bv = F.expr(f"shiftright(b_sig, {_LSH_BAND_BITS * jj}) & {mask}")
         first_band = first_band & ~((F.col("j") > jj) & (a_bv == b_bv))
+    # The probe side MUST be pre-widened: the embeddings scan is one
+    # small parquet file (one input partition), so AQE's runtime
+    # broadcast of the build side would leave a SINGLE-TASK probe
+    # stage executing the entire candidate verify on one core (the
+    # round-3 fuzzy_name_pairs regression; at the adversarial
+    # tau=0.45 the candidate set is Theta(n^2), so at sf1 this was
+    # one task doing ~1e8 cosines — >10 min where 32 tasks take
+    # seconds). Round-robin repartition distributes probes evenly.
+    try:
+        width = int(bands.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        width = bands.sparkSession.sparkContext.defaultParallelism
     return (
-        side("a")
+        side("a").repartition(width)
         .join(side("b"), ["j", "bv"])
         .filter((F.col("a_id") < F.col("b_id")) & first_band)
         .select(
