@@ -478,6 +478,7 @@ _FP_SNAP_SQL = """
                                THEN 1 ELSE 0 END AS BIGINT) AS VARCHAR))),
                    1, 13)) AS BIGINT) AS row_hash
         FROM orders, (SELECT {repriced} AS repriced)
+        WHERE {keep}
 """
 
 
@@ -487,29 +488,39 @@ _FP_SNAP_SQL = """
     WITH fa AS (
         SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
                CAST(sum(row_hash) AS BIGINT) AS h
-        FROM ({_FP_SNAP_SQL.format(repriced="FALSE")}) GROUP BY bucket
+        FROM ({_FP_SNAP_SQL.format(repriced="FALSE", keep="TRUE")})
+        GROUP BY bucket
     ),
     fb AS (
         SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
                CAST(sum(row_hash) AS BIGINT) AS h
-        FROM ({_FP_SNAP_SQL.format(repriced="TRUE")}) GROUP BY bucket
+        FROM ({_FP_SNAP_SQL.format(repriced="TRUE",
+                                   keep="o_orderkey >= 500")})
+        GROUP BY bucket
     )
-    SELECT fa.bucket AS bucket, fa.n_rows AS a_rows, fb.n_rows AS b_rows,
+    SELECT COALESCE(fa.bucket, fb.bucket) AS bucket,
+           fa.n_rows AS a_rows, fb.n_rows AS b_rows,
            fa.h AS a_hash, fb.h AS b_hash
-    FROM fa JOIN fb ON fa.bucket = fb.bucket
-    WHERE fa.h <> fb.h OR fa.n_rows <> fb.n_rows
+    FROM fa FULL JOIN fb ON fa.bucket = fb.bucket
+    WHERE fa.h IS DISTINCT FROM fb.h
+       OR fa.n_rows IS DISTINCT FROM fb.n_rows
     """,
     doc="Merkle localization: fingerprint TWO snapshots of orders — "
-    "the original and a deterministic 'repriced day' (keys in "
-    "[1000, 2000) get +1 cent) — with RANGE buckets (o_orderkey div "
-    "500, integer division on both engines), join the manifests, and "
-    "emit only the buckets whose (hash, count) moved. Because the "
-    "perturbation is key-contiguous and buckets are key-ranged, the "
-    "diff localizes to the 2 buckets covering the repriced range "
-    "(1 at sf0.001 where orders end at key 1499) out of N/500 — the "
-    "re-sync set a 100 TB replica repair ships, vs re-reading the "
-    "table. Two single-shuffle manifests + a 64-ish-row join; nothing "
-    "row-sized leaves the executors.",
+    "the original, and a snapshot with a deterministic 'repriced day' "
+    "(keys in [1000, 2000) get +1 cent) PLUS a ranged delete (keys "
+    "[0, 500) dropped — an expired-retention partition) — with RANGE "
+    "buckets (o_orderkey div 500, integer division on both engines), "
+    "FULL-OUTER-join the manifests, and emit only the buckets whose "
+    "(hash, count) IS DISTINCT FROM the twin's. The outer join is "
+    "load-bearing: a bucket whose entire key range was inserted or "
+    "deleted exists in only ONE manifest and an inner join would "
+    "silently drop it from the diff — here bucket 0 surfaces with a "
+    "NULL b-side. Because the perturbations are key-contiguous and "
+    "buckets are key-ranged, the diff localizes to the deleted bucket "
+    "+ the repriced bucket(s) out of N/500 — the re-sync set a 100 TB "
+    "replica repair ships, vs re-reading the table. Two single-shuffle "
+    "manifests + a 64-ish-row join; nothing row-sized leaves the "
+    "executors.",
     tags=("pipeline", "incremental", "lakehouse"),
 )
 def fingerprint_diff_localization(
@@ -517,7 +528,7 @@ def fingerprint_diff_localization(
 ) -> DataFrame:
     od = load(spark, sf_dir, "orders")
 
-    def manifest(repriced: bool) -> DataFrame:
+    def manifest(repriced: bool, keep: "str | None" = None) -> DataFrame:
         cents = F.round(F.col("o_totalprice") * 100).cast("bigint") + (
             F.when(
                 F.lit(repriced)
@@ -531,7 +542,8 @@ def fingerprint_diff_localization(
             F.col("o_orderstatus"),
             cents.cast("bigint").cast("string"),
         )
-        hashed = od.select(
+        snap = od.filter(F.expr(keep)) if keep else od
+        hashed = snap.select(
             F.expr("o_orderkey div 500").cast("long").alias("bucket"),
             F.conv(F.substring(F.md5(key), 1, 13), 16, 10)
             .cast("bigint")
@@ -542,15 +554,17 @@ def fingerprint_diff_localization(
             F.sum("row_hash").alias("h"),
         )
 
-    fa, fb = manifest(False).alias("fa"), manifest(True).alias("fb")
+    fa = manifest(False).alias("fa")
+    fb = manifest(True, keep="o_orderkey >= 500").alias("fb")
     return (
-        fa.join(fb, F.col("fa.bucket") == F.col("fb.bucket"))
+        fa.join(fb, F.col("fa.bucket") == F.col("fb.bucket"), "full_outer")
         .filter(
-            (F.col("fa.h") != F.col("fb.h"))
-            | (F.col("fa.n_rows") != F.col("fb.n_rows"))
+            ~F.col("fa.h").eqNullSafe(F.col("fb.h"))
+            | ~F.col("fa.n_rows").eqNullSafe(F.col("fb.n_rows"))
         )
         .select(
-            F.col("fa.bucket").alias("bucket"),
+            F.coalesce(F.col("fa.bucket"), F.col("fb.bucket"))
+            .alias("bucket"),
             F.col("fa.n_rows").alias("a_rows"),
             F.col("fb.n_rows").alias("b_rows"),
             F.col("fa.h").alias("a_hash"),

@@ -12,7 +12,7 @@ Float determinism rules (see operators/indicators.py docstring):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -2922,6 +2922,38 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_DORMANT_RICH)
 
 
+def _therm_bag(name_col: str) -> Column:
+    """Thermometer-coded 10-bucket char histogram of ``name_col``, one
+    BIGINT per row: chars hash into 10 buckets; each bucket's count,
+    CLAMPED at 6, is stored unary — ``(1 << min(c, 6)) - 1`` — in its
+    own 6-bit field.  Unary coding makes the per-pair compare trivial:
+    XOR of two prefix-of-ones fields leaves exactly ``|ca - cb|`` one
+    bits, so ``bit_count(A ^ B) = sum_i |min(c_ai,6) - min(c_bi,6)|``
+    — the (clamped) bag-L1 distance in THREE share-free long ops.
+    Share-free matters: this predicate lives in the JOIN CONDITION,
+    where Catalyst performs no common-subexpression elimination, so a
+    formulation with shared subterms (a measured dead end: a
+    binary-packed SWAR max/fold pipeline, ~18 ops with sharing) gets
+    macro-expanded to hundreds of ops per candidate and runs SLOWER
+    than the levenshtein it guards.  Computed once per INPUT row (n
+    rows, not n^2 candidates); two aggregate passes, no per-candidate
+    allocation."""
+    # SQL form: the Python F.shiftleft only accepts literal bit counts,
+    # the SQL shiftleft takes a column.
+    counts = (
+        f"aggregate(slice(split({name_col}, ''), 1, length({name_col})),"
+        " CAST(0 AS BIGINT), (acc, ch) -> acc + shiftleft("
+        "CAST(1 AS BIGINT), CAST(pmod(xxhash64(ch), 10) * 6 AS INT)))"
+    )
+    therm = " + ".join(
+        f"shiftleft(shiftleft(CAST(1 AS BIGINT), "
+        f"CAST(least(shiftright(({counts}), {6 * i}) & 63, 6) AS INT))"
+        f" - 1, {6 * i})"
+        for i in range(10)
+    )
+    return F.expr(therm)
+
+
 @register(
     "fuzzy_name_pairs",
     oracle="""
@@ -2973,8 +3005,21 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "single file at bench SF — without it, AQE's runtime broadcast of "
     "the small build side leaves a SINGLE-TASK probe stage doing every "
     "levenshtein eval on one core (the round-3 7x regression). "
-    "Levenshtein <= 2 verification runs JVM-side on in-block "
-    "candidates only; per-block pair counts come back exact.",
+    "Verification uses the THRESHOLD form of levenshtein (Spark "
+    "3.5+): levenshtein(a, b, 2) runs a banded O(threshold*len) DP "
+    "that abandons a candidate the moment every band cell exceeds 2 "
+    "(returning -1) instead of filling the full len^2 matrix — same "
+    "kept distances, several-fold fewer DP cells per candidate, no "
+    "allocation. (A measured dead end recorded here: a per-pair "
+    "character-multiset bag-L1 prefilter — sound via L1 <= 2*lev — "
+    "was SLOWER than the plain DP at sf1 because zip_with/aggregate "
+    "over 16-element arrays allocates per candidate; the banded DP "
+    "dominates it.) On degenerate fixed-format corpora (this one: "
+    "every name 'Customer#%09d', so blocks collapse to ~125 "
+    "business-key blocks and candidates are quadratic BY DATA "
+    "CONSTRUCTION — SCALING.md's one superlinear row) the banded "
+    "verify cuts the sf1 10x-data wall ~3x; on real-name corpora the "
+    "blocking itself keeps candidates near-linear.",
     tags=("join", "text", "similarity"),
 )
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2985,6 +3030,7 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("c_name").alias("name_len"),
         F.substring("c_name", 1, 4).alias("name_pfx"),
         "c_custkey", "c_name",
+        _therm_bag("c_name").alias("bag"),
     )
     # size-gated: in the broadcast regime (customer under the
     # auto-broadcast threshold, as at bench SF) the x4 replication of b
@@ -3015,16 +3061,39 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.name_len") == F.col("b.name_len"))
             & (F.col("a.name_pfx") == F.col("b.name_pfx"))
             & (F.col("a._salt") == F.col("b._salt"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+            # The verify chain lives IN the join condition, ordered
+            # cheapest-kill-first (conjunct order is preserved into the
+            # generated probe loop; leaving the lev check as a post-join
+            # filter lets Catalyst push it in FRONT of these — measured
+            # 13s vs 5s at sf1):
+            #   1. custkey ordering — one long compare, kills half;
+            #   2. thermometer-bag prefilter: clamped bag-L1 <= char
+            #      bag-L1 <= 2*lev (one edit moves at most two counts
+            #      by one), so bit_count > 4 => lev > 2 — sound, and
+            #      exactly 3 share-free long ops (see _therm_bag for
+            #      why share-free is load-bearing in a join condition);
+            #   3. banded levenshtein, threshold form: O(thr*len) DP
+            #      with common-prefix trimming and early exit, returns
+            #      -1 past the bound (never a value > 2).
+            & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+            & (
+                F.bit_count(F.col("a.bag").bitwiseXOR(F.col("b.bag")))
+                <= 4
+            )
+            & (
+                F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 2)
+                >= 0
+            ),
         )
-        # compute the edit distance ONCE per candidate pair; filter and
-        # the min() aggregate both reuse the column (no double eval)
+        # survivors only (~1e-3 of candidates): recompute the banded
+        # DP once to carry the actual distance into min(dist).
         .select(
             F.col("a.c_nationkey").alias("c_nationkey"),
             F.col("a.c_mktsegment").alias("c_mktsegment"),
-            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("dist"),
+            F.levenshtein(
+                F.col("a.c_name"), F.col("b.c_name"), 2
+            ).alias("dist"),
         )
-        .filter(F.col("dist") <= 2)
     )
     return pairs.groupBy("c_nationkey", "c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_close_pairs"),

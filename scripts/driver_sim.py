@@ -54,8 +54,15 @@ def value_hash(df: pd.DataFrame) -> str:
 #: Column types safe for the cross-engine CAST-to-string checksum
 #: (float/timestamp formatting differs between engines; the normal
 #: value_hash path repr()s floats in pandas on BOTH sides instead).
-_AGG_SAFE_PREFIXES = ("tinyint", "smallint", "int", "bigint", "string",
-                      "boolean", "date", "decimal")
+#: Exact names, NOT prefixes: a bare prefix "int" would also match
+#: Spark "interval ..." dtypes, whose string rendering differs between
+#: engines and would turn into a spurious MISMATCH.
+_AGG_SAFE_EXACT = {"tinyint", "smallint", "int", "bigint", "string",
+                   "boolean", "date"}
+
+
+def _agg_safe_type(t: str) -> bool:
+    return t in _AGG_SAFE_EXACT or t.startswith("decimal")
 
 
 def _agg_checksum(df, con, oracle_sql: str):
@@ -128,6 +135,7 @@ def main() -> int:
         qs = {n: f for n, f in qs.items() if n in wanted}
     fails = []
     for name, fn in qs.items():
+        df = None
         try:
             df = fn(spark, sf_dir)
             got = df.toPandas()
@@ -136,9 +144,19 @@ def main() -> int:
             # outputs at scale-rehearsal SFs): fall back to the
             # order-independent aggregate checksum, computed engine-side
             # on BOTH engines — nothing corpus-sized crosses the driver.
-            if "maxResultSize" in str(exc) and name in oracles and all(
-                t.startswith(_AGG_SAFE_PREFIXES) for _, t in df.dtypes
-            ):
+            # df is None if fn() itself raised; dtypes triggers plan
+            # analysis and can throw — guard both so a weird failure is
+            # RECORDED per-query instead of crashing the sweep.
+            try:
+                agg_ok = (
+                    df is not None
+                    and "maxResultSize" in str(exc)
+                    and name in oracles
+                    and all(_agg_safe_type(t) for _, t in df.dtypes)
+                )
+            except Exception:  # noqa: BLE001
+                agg_ok = False
+            if agg_ok:
                 try:
                     s, d = _agg_checksum(df, con, oracles[name])
                 except Exception as exc2:  # noqa: BLE001

@@ -93,7 +93,24 @@ def _replicate_keyed(
 ) -> pa.Table:
     """mult copies of ``src`` with per-replica key offsets; ``names``
     maps a name column to a printf pattern re-derived from a key col,
-    written as ``{name_col: (pattern, key_col)}``."""
+    written as ``{name_col: (pattern, key_col)}``.
+
+    Replica r occupies key range [r*base, (r+1)*base) for every key
+    column, so replicas collide iff a source key falls outside
+    [0, base).  The callers derive ``base`` from row counts, which is
+    only correct for dense 0..N-1 key spaces — assert that invariant
+    here rather than trusting it, so a regenerated testdata drop with
+    sparse or shifted keys fails loudly instead of silently producing
+    duplicate PKs / broken FK joins in the rehearsal data."""
+    for col, base in key_offsets.items():
+        mn = pc.min(src[col]).as_py()
+        mx = pc.max(src[col]).as_py()
+        if mn < 0 or mx >= base:
+            raise ValueError(
+                f"key column {col!r} spans [{mn}, {mx}] but the replica "
+                f"period is {base}; offsets would collide across "
+                f"replicas — recompute the period as max(key)+1"
+            )
     reps = []
     for r in range(mult):
         t = src

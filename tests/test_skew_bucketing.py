@@ -232,3 +232,57 @@ def test_gated_salt_count_both_regimes(spark, sf_dir):
     finally:
         spark.conf.set(key, old)
     assert gated_salt_count(cu, 1) == 1
+
+
+def test_therm_bag_prefilter_is_sound(spark):
+    """fuzzy_name_pairs' join-condition prefilter must never drop a
+    true lev<=2 pair: bit_count(therm_a ^ therm_b) is the CLAMPED
+    char-bag L1 (thermometer/unary coding turns per-bucket |ca-cb|
+    into XOR popcount), clamping is 1-Lipschitz, and one edit moves at
+    most two bag counts by one — so bit_count <= 2*lev always.  Checked
+    end-to-end through the real Spark expression against a brute-force
+    python levenshtein over random edit neighborhoods."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from forex_data_pipeline_spark.queries.relational import _therm_bag
+
+    def lev(a: str, b: str) -> int:
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    rng = random.Random(7)
+    rows = []
+    for _ in range(300):
+        base = "".join(
+            rng.choice("Customer#0123456789xyz")
+            for _ in range(rng.randint(1, 30))
+        )
+        other = list(base)
+        for _ in range(rng.randint(0, 4)):
+            op = rng.choice("sid")
+            if op == "s" and other:
+                other[rng.randrange(len(other))] = rng.choice("0123456789z")
+            elif op == "i":
+                other.insert(rng.randrange(len(other) + 1), rng.choice("09z"))
+            elif op == "d" and other:
+                other.pop(rng.randrange(len(other)))
+        rows.append((base, "".join(other)))
+    df = spark.createDataFrame(rows, ["x", "y"]).select(
+        "x", "y",
+        F.bit_count(
+            _therm_bag("x").bitwiseXOR(_therm_bag("y"))
+        ).alias("l1"),
+    )
+    for r in df.collect():
+        d = lev(r["x"], r["y"])
+        assert r["l1"] <= 2 * d, (r["x"], r["y"], r["l1"], d)
+        if d <= 2:
+            assert r["l1"] <= 4
