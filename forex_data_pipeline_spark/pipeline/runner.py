@@ -22,11 +22,16 @@ Spark-side concurrency notes (why this is safe and what it buys):
   the head job leaves free task slots; the pool property is simply
   inert, so the runner works unchanged on any session.
 - Parallelism is for INDEPENDENT models only. Two models that MERGE
-  into the same table path are not independent even without a ref()
-  edge — the copy-on-write merge is last-writer-wins at the directory
-  level — so writers to a shared table must be linked by an edge, as
-  in dbt (where they'd be the same model). ``validate`` enforces
-  declared-edge acyclicity; table-sharing is the caller's contract.
+  into the same table path via plain ``merge_versioned`` are not
+  independent even without a ref() edge — that path is
+  last-writer-wins at the directory level — so such writers must be
+  linked by an edge, as in dbt (where they'd be the same model).
+  ``validate`` enforces declared-edge acyclicity. Writers that CANNOT
+  be serialized by the DAG should use
+  ``sources.writers.merge_versioned_cas`` instead: optimistic
+  concurrency with an atomic version-slot claim — the loser of a
+  commit race rebases on the new snapshot and retries (or raises
+  ConcurrentWriteError), never silently dropping a commit.
 
 Results record per-model wall-clock (started/finished monotonic
 stamps), which is how tests prove two independent models actually

@@ -1520,8 +1520,12 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "similarity"),
 )
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
     emb = load(spark, sf_dir, "embeddings")
-    sig = emb.select("vec_id", "embedding", _lsh_signature_col().alias("sig"))
+    sig = emb.select(
+        "vec_id", "embedding", _lsh_signature_col().alias("sig")
+    )
     bands = sig.select(
         "vec_id",
         "embedding",
@@ -1535,41 +1539,92 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
-    def side(p: str) -> DataFrame:
-        return bands.select(
-            F.col("vec_id").alias(f"{p}_id"),
-            F.col("embedding").alias(f"{p}_emb"),
-            F.col("sig").alias(f"{p}_sig"),
-            "j",
-            "bv",
+    # At this corpus's adversarial tau=0.45 the candidate set is
+    # Theta(n^2) (documented above), so the verify is a dense
+    # n_block^2 x 64 problem — exactly what BLAS is for. Catalyst
+    # expression verifies were measured to their floor (round 7,
+    # PROGRESS.jsonl): interpreted aggregate-fold 1.2us/pair, unrolled
+    # element_at chains 4us/pair WITH whole-stage codegen (and any
+    # >=64-term expression inside a join CONDITION knocks the join
+    # stage out of codegen entirely). numpy dgemm does the same
+    # multiply-adds at >10 GFLOP/s — three orders of magnitude more
+    # per-pair throughput — so the band-block verify runs as an
+    # Arrow-batched applyInPandas GEMM PREFILTER (margin 2e-6 covers
+    # the pairwise-vs-sequential float64 summation difference, bounded
+    # by d*eps ~ 1.4e-14), and the survivors (output-sized, not
+    # candidate-sized) get the EXACT sequential-fold cosine in Spark
+    # expressions — bit-identical to the DuckDB oracle, so precision
+    # stays 1.0 and the value hash is unchanged. Data through Arrow is
+    # n x BANDS band rows (linear), never candidates. The first-shared-
+    # band discipline (emit each pair in its lowest shared band only)
+    # runs vectorized inside the kernel on the signature ints. The
+    # groupBy(j, bv) shuffle spreads blocks across the cluster; the
+    # largest single block is the residual straggler bound (~18% of n
+    # at 0.65/bit collision), chunked internally to cap memory at
+    # ~32 MB per GEMM slab.
+    tau_margin = float(_NEAR_DUP_TAU) - 2e-6
+    band_bits, n_bands = _LSH_BAND_BITS, _LSH_BANDS
+    bmask = (1 << band_bits) - 1
+
+    def gemm_block(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {
+                "a_id": np.array([], dtype=np.int64),
+                "b_id": np.array([], dtype=np.int64),
+            }
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        j = int(pdf["j"].iloc[0])
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        sigs = pdf["sig"].to_numpy(dtype=np.int64)
+        x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        nrm = np.sqrt((x * x).sum(axis=1))
+        lower_bvs = [
+            (sigs >> (band_bits * jj)) & bmask for jj in range(j)
+        ]
+        out_a: "list[np.ndarray]" = []
+        out_b: "list[np.ndarray]" = []
+        # chunk the GEMM so per-slab scratch stays ~32 MB even on the
+        # largest band block (all masks are chunk x n, never n x n)
+        step = max(1, (1 << 22) // n)
+        for s0 in range(0, n, step):
+            s1 = min(n, s0 + step)
+            cosm = (x[s0:s1] @ x.T) / np.outer(nrm[s0:s1], nrm)
+            keep = (cosm >= tau_margin) & (
+                ids[s0:s1, None] < ids[None, :]
+            )
+            for bv_jj in lower_bvs:
+                keep &= bv_jj[s0:s1, None] != bv_jj[None, :]
+            rr, cc = np.nonzero(keep)
+            out_a.append(ids[s0:s1][rr])
+            out_b.append(ids[cc])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "a_id": np.concatenate(out_a),
+                "b_id": np.concatenate(out_b),
+            }
         )
 
-    mask = (1 << _LSH_BAND_BITS) - 1
-    first_band = F.lit(True)
-    for jj in range(_LSH_BANDS - 1):
-        a_bv = F.expr(f"shiftright(a_sig, {_LSH_BAND_BITS * jj}) & {mask}")
-        b_bv = F.expr(f"shiftright(b_sig, {_LSH_BAND_BITS * jj}) & {mask}")
-        first_band = first_band & ~((F.col("j") > jj) & (a_bv == b_bv))
-    # The probe side MUST be pre-widened: the embeddings scan is one
-    # small parquet file (one input partition), so AQE's runtime
-    # broadcast of the build side would leave a SINGLE-TASK probe
-    # stage executing the entire candidate verify on one core (the
-    # round-3 fuzzy_name_pairs regression; at the adversarial
-    # tau=0.45 the candidate set is Theta(n^2), so at sf1 this was
-    # one task doing ~1e8 cosines — >10 min where 32 tasks take
-    # seconds). Round-robin repartition distributes probes evenly.
-    try:
-        width = int(bands.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        width = bands.sparkSession.sparkContext.defaultParallelism
+    cand = bands.groupBy("j", "bv").applyInPandas(
+        gemm_block, "a_id long, b_id long"
+    )
+    ea = emb.select(F.col("vec_id").alias("a_id"),
+                    F.col("embedding").alias("_ea"))
+    eb = emb.select(F.col("vec_id").alias("b_id"),
+                    F.col("embedding").alias("_eb"))
     return (
-        side("a").repartition(width)
-        .join(side("b"), ["j", "bv"])
-        .filter((F.col("a_id") < F.col("b_id")) & first_band)
+        cand.join(ea, "a_id")
+        .join(eb, "b_id")
         .select(
             "a_id",
             "b_id",
-            F.round(cosine(F.col("a_emb"), F.col("b_emb")), 6).alias(
+            F.round(cosine(F.col("_ea"), F.col("_eb")), 6).alias(
                 "cos_sim"
             ),
         )

@@ -369,6 +369,163 @@ def merge_versioned(
     return write_version(merged, table_dir)
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer claimed the same version slot (or the table moved
+    past the expected version). The caller's merge was computed against
+    a stale snapshot — re-read and retry, Delta-style."""
+
+
+def _flip_latest_monotone(table_dir: str, nxt: int) -> None:
+    """Advance the manifest to ``nxt`` if it is ahead of the committed
+    latest. The read-compare-replace runs under a short O_EXCL lock
+    file so two winners (e.g. a recovering writer publishing v=5 while
+    a newer one publishes v=6) can never interleave into a manifest
+    REGRESSION; the data directories themselves are immutable once
+    claimed, so the lock only ever guards this microsecond flip."""
+    import time as _time
+
+    lock = os.path.join(table_dir, ".manifest.lock")
+    fd = None
+    for _ in range(2000):  # ~20 s worst case; flips take microseconds
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            _time.sleep(0.01)
+    if fd is None:
+        raise ConcurrentWriteError(
+            f"manifest lock {lock} is stuck; a writer crashed mid-flip"
+        )
+    try:
+        cur = latest_version(table_dir)
+        if cur is None or nxt > cur:
+            tmp = os.path.join(
+                table_dir, f".{_LATEST}.{uuid.uuid4().hex}"
+            )
+            with open(tmp, "w") as f:
+                f.write(str(nxt))
+            os.replace(tmp, os.path.join(table_dir, _LATEST))
+    finally:
+        os.close(fd)
+        os.unlink(lock)
+
+
+def write_version_cas(
+    df: DataFrame,
+    table_dir: str,
+    expected_version: "int | None | object" = ...,
+) -> int:
+    """Optimistic-concurrency commit for the copy-on-write ledger
+    (closes the ``pipeline/runner.py`` "table-sharing is the caller's
+    contract" gap: with plain ``write_version`` two concurrent writers
+    are last-writer-wins at the directory level and one commit is
+    silently lost).
+
+    Protocol, mirroring Delta's put-if-absent commit on a filesystem
+    with atomic rename:
+
+    1. resolve the committed latest; if ``expected_version`` was given
+       and no longer matches, fail fast with ConcurrentWriteError
+       (the caller's upsert was computed against a stale base);
+    2. write the data to a uniquely-named staging dir (crash-safe:
+       an abandoned staging dir is invisible and swept by
+       scratch hygiene, never half-visible);
+    3. CLAIM the version slot with one atomic ``os.rename(staging,
+       v=<n>)`` — POSIX rename onto an existing non-empty directory
+       fails, so exactly one concurrent writer wins the slot and the
+       LOSER RAISES ConcurrentWriteError instead of clobbering;
+    4. publish via a monotone manifest flip (see
+       ``_flip_latest_monotone``).
+
+    Crash window: a writer that dies between 3 and 4 leaves a claimed,
+    complete, unpublished ``v=<n>``; the next successful writer's flip
+    (a higher n) publishes past it, and ``vacuum_versions`` leaves
+    dirs newer than the manifest alone, so nothing is lost or
+    corrupted — the orphan is simply never the committed latest.
+    Readers (``read_version``) resolve the manifest first and never
+    see any of this."""
+    os.makedirs(table_dir, exist_ok=True)
+    cur = latest_version(table_dir)
+    if expected_version is not ... and cur != expected_version:
+        raise ConcurrentWriteError(
+            f"expected committed version {expected_version} but found "
+            f"{cur}; recompute against the new snapshot and retry"
+        )
+    if expected_version is not ...:
+        # serializability pin: the slot MUST be expected+1 — skipping
+        # past an occupied slot would commit a merge computed against
+        # a base that slot superseded
+        nxt = 0 if expected_version is None else expected_version + 1
+    else:
+        nxt = max(
+            [cur if cur is not None else -1, *table_versions(table_dir)]
+        ) + 1
+    staging = os.path.join(table_dir, f".staging-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    try:
+        os.rename(staging, os.path.join(table_dir, f"v={nxt}"))
+    except OSError as exc:
+        shutil.rmtree(staging, ignore_errors=True)
+        # Commit recovery (the Delta log-replay analogue): a claimed
+        # slot is always a COMPLETE write (the rename happens after
+        # staging finishes, _SUCCESS included), so the occupant is a
+        # durable commit whose writer either already flipped the
+        # manifest (flip below is a no-op) or crashed pre-flip (we
+        # publish it). Either way the caller rebases onto it — an
+        # orphaned slot can never wedge the table.
+        if os.path.isdir(os.path.join(table_dir, f"v={nxt}")):
+            _flip_latest_monotone(table_dir, nxt)
+        raise ConcurrentWriteError(
+            f"version slot v={nxt} in {table_dir} was claimed by a "
+            f"concurrent writer"
+        ) from exc
+    _flip_latest_monotone(table_dir, nxt)
+    return nxt
+
+
+def merge_versioned_cas(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    keys: "Sequence[str]",
+    max_retries: int = 5,
+) -> int:
+    """Serializable MERGE: the upsert is computed against the committed
+    latest and committed with ``write_version_cas(expected_version=
+    that latest)``. If another writer commits in between, the stale
+    merge is thrown away and recomputed against the NEW snapshot —
+    optimistic concurrency with rebase-and-retry, so N concurrent
+    mergers all land (in some serial order) instead of last-writer-
+    wins dropping N-1 of them."""
+    last_exc: "ConcurrentWriteError | None" = None
+    for _ in range(max_retries):
+        cur = latest_version(table_dir)
+        if cur is None:
+            try:
+                return write_version_cas(
+                    updates, table_dir, expected_version=None
+                )
+            except ConcurrentWriteError as exc:
+                last_exc = exc
+                continue
+        base = read_version(spark, table_dir, cur)
+        remaining = base.join(
+            updates.select(*keys).distinct(), list(keys), "left_anti"
+        )
+        merged = remaining.unionByName(updates)
+        try:
+            return write_version_cas(
+                merged, table_dir, expected_version=cur
+            )
+        except ConcurrentWriteError as exc:
+            last_exc = exc
+            continue
+    raise ConcurrentWriteError(
+        f"merge into {table_dir} lost the commit race {max_retries} "
+        f"times"
+    ) from last_exc
+
+
 def vacuum_versions(table_dir: str, keep_last: int = 2) -> "list[int]":
     """Retention for the copy-on-write ledger (the VACUUM half of time
     travel): drop all but the newest ``keep_last`` committed versions,

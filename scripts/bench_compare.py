@@ -10,6 +10,16 @@ query happened to be slow in round 1 too (r3 verdict finding #2).
 Runs `bench.py`, compares each query's wall time, and flags
 regressions beyond the threshold (default 1.5x).
 
+Host normalization: hosts vary across rounds (round 6 measured a
+uniform 1.08-1.58x drift on identical code+data — 19 false raw flags).
+bench.py records fixed-size canaries (canary_jvm_sec / canary_py_sec)
+alongside the suite; when BOTH the current run and the round that
+produced a query's baseline carry canaries, the flag decision uses the
+CANARY-NORMALIZED ratio — raw numbers are still printed (the driver's
+2x gate is raw), but a uniform host drift no longer reads as N code
+regressions. Baselines from canary-less rounds (r1-r5) fall back to
+raw flagging for that query.
+
 Usage:
     python scripts/bench_compare.py [baseline.json] [threshold]
 
@@ -55,22 +65,31 @@ def _load_bench(path: str) -> dict:
     return base
 
 
+def _canary(b: dict) -> "float | None":
+    """The JVM canary is the Spark-speed proxy; py is the fallback."""
+    return b.get("canary_jvm_sec") or b.get("canary_py_sec") or None
+
+
 def _best_of_rounds(repo: str) -> dict:
-    """Synthetic baseline: per-query minimum over all BENCH_r*.json."""
+    """Synthetic baseline: per-query minimum over all BENCH_r*.json,
+    tracking the canary of the round each best time came from so the
+    comparison can be host-normalized per query."""
     paths = sorted(glob.glob(os.path.join(repo, "BENCH_r*.json")))
     if not paths:
         raise SystemExit("no BENCH_r*.json baseline found")
     queries: dict[str, float] = {}
+    canaries: dict[str, "float | None"] = {}
     total = None
     for p in paths:
         b = _load_bench(p)
         for name, t in b.get("queries", {}).items():
             if name not in queries or t < queries[name]:
                 queries[name] = t
+                canaries[name] = _canary(b)
         total = b.get("value", total)  # latest round's total for context
     print(f"baseline: per-query best over {len(paths)} round(s): "
           f"{', '.join(os.path.basename(p) for p in paths)}")
-    return {"queries": queries, "value": total}
+    return {"queries": queries, "canaries": canaries, "value": total}
 
 
 def main() -> int:
@@ -79,6 +98,9 @@ def main() -> int:
 
     if len(sys.argv) > 1:
         base = _load_bench(sys.argv[1])
+        base["canaries"] = {
+            name: _canary(base) for name in base.get("queries", {})
+        }
     else:
         base = _best_of_rounds(repo)
 
@@ -87,20 +109,11 @@ def main() -> int:
         capture_output=True, text=True, check=True,
     )
     cur = json.loads(out.stdout.strip().splitlines()[-1])
-
-    # Host-speed normalization: hosts vary across rounds (r6 measured
-    # ~1.2-1.5x slower than r5 on identical code+data). When both
-    # sides carry canaries, report the host ratio so a uniform drift
-    # can be attributed to hardware; per-query flags stay RAW (the 2x
-    # driver gate is raw), the canary is diagnostic context.
-    host_ratio = None
-    if cur.get("canary_jvm_sec") and base.get("canary_jvm_sec"):
-        host_ratio = cur["canary_jvm_sec"] / base["canary_jvm_sec"]
+    cur_canary = _canary(cur)
+    if cur_canary:
         print(
-            f"host canary: jvm {cur['canary_jvm_sec']:.3f}s vs baseline "
-            f"{base['canary_jvm_sec']:.3f}s ({host_ratio:.2f}x); py "
-            f"{cur.get('canary_py_sec', 0):.3f}s vs "
-            f"{base.get('canary_py_sec', 0):.3f}s"
+            f"host canary: jvm {cur.get('canary_jvm_sec', 0):.3f}s / "
+            f"py {cur.get('canary_py_sec', 0):.3f}s (current host)"
         )
 
     flagged = []
@@ -109,18 +122,30 @@ def main() -> int:
         if b is None:
             print(f"{name}: {t:.2f}s (new — no baseline)")
             continue
-        ratio = t / b if b else float("inf")
+        raw_ratio = t / b if b else float("inf")
+        base_canary = base.get("canaries", {}).get(name)
+        if cur_canary and base_canary:
+            host_ratio = cur_canary / base_canary
+            norm_ratio = raw_ratio / host_ratio
+            norm_txt = f", {norm_ratio:.2f}x host-normalized"
+            gate = norm_ratio
+        else:
+            norm_txt = ", raw gate (no canary on baseline round)"
+            gate = raw_ratio
         mark = ""
-        if ratio > threshold and (t - b) > ABS_NOISE_SEC:
+        if gate > threshold and (t - b) > ABS_NOISE_SEC:
             mark = f"  <-- REGRESSION >{threshold}x"
             flagged.append(name)
-        print(f"{name}: {t:.2f}s vs baseline {b:.2f}s ({ratio:.2f}x){mark}")
-        if name in INTRINSIC_COST_NOTES and ratio > 1.2:
+        print(
+            f"{name}: {t:.2f}s vs baseline {b:.2f}s "
+            f"({raw_ratio:.2f}x raw{norm_txt}){mark}"
+        )
+        if name in INTRINSIC_COST_NOTES and gate > 1.2:
             print(f"    note: {INTRINSIC_COST_NOTES[name]}")
 
     print(
         f"total: {cur['value']:.2f}s vs baseline {base['value']:.2f}s "
-        f"({cur['value'] / base['value']:.2f}x); "
+        f"({cur['value'] / base['value']:.2f}x raw); "
         f"{len(flagged)} regression(s): {flagged or 'none'}"
     )
     return 1 if flagged else 0

@@ -298,3 +298,121 @@ def test_vacuum_versions_retention(spark, sf_dir, tmp_path):
 
     # empty ledger is a no-op
     assert vacuum_versions(str(tmp_path / "nothere")) == []
+
+
+def test_write_version_cas_stale_expected_raises(spark, tmp_path):
+    """CAS contract: a writer whose expected_version is stale must
+    RAISE instead of clobbering (the last-writer-wins gap
+    pipeline/runner.py documents for plain write_version)."""
+    import pytest
+
+    from forex_data_pipeline_spark.sources.writers import (
+        ConcurrentWriteError,
+        latest_version,
+        read_version,
+        write_version_cas,
+    )
+
+    path = f"{tmp_path}/t"
+    df1 = spark.createDataFrame([(1, "a")], "k int, s string")
+    v0 = write_version_cas(df1, path, expected_version=None)
+    assert v0 == 0
+    # writer A reads the snapshot...
+    seen = latest_version(path)
+    # ...writer B commits first...
+    v1 = write_version_cas(
+        spark.createDataFrame([(2, "b")], "k int, s string"),
+        path,
+        expected_version=seen,
+    )
+    assert v1 == 1
+    # ...and writer A's stale commit must fail, leaving v1 intact.
+    with pytest.raises(ConcurrentWriteError):
+        write_version_cas(
+            spark.createDataFrame([(9, "stale")], "k int, s string"),
+            path,
+            expected_version=seen,
+        )
+    assert latest_version(path) == 1
+    assert read_version(spark, path).count() == 1
+
+
+def test_write_version_cas_slot_claim_is_exclusive(spark, tmp_path):
+    """The rename-claim itself must be exclusive even when both writers
+    read the same expected version and race past the fast-path check:
+    exactly one wins the v=<n> slot, the loser raises."""
+    import os
+
+    import pytest
+
+    from forex_data_pipeline_spark.sources.writers import (
+        ConcurrentWriteError,
+        write_version_cas,
+    )
+
+    path = f"{tmp_path}/t"
+    write_version_cas(
+        spark.createDataFrame([(0, "base")], "k int, s string"), path
+    )
+    # simulate the other racer having already claimed v=1 after our
+    # fast-path check: occupy the slot directly
+    os.makedirs(os.path.join(path, "v=1"))
+    with open(os.path.join(path, "v=1", "_SUCCESS"), "w"):
+        pass
+    with pytest.raises(ConcurrentWriteError):
+        # expected_version=0 passes the fast check (manifest still 0),
+        # nxt resolves past the orphan only when expected is unset —
+        # with expected pinned the claim must fail, not skip ahead
+        df = spark.createDataFrame([(1, "x")], "k int, s string")
+        # force the pinned-slot path: nxt = max(dirs)+1 would skip, so
+        # assert the stale-base detection via the occupied slot
+        write_version_cas(df, path, expected_version=0)
+
+
+def test_merge_versioned_cas_concurrent_writers_both_land(
+    spark, tmp_path
+):
+    """Two concurrent mergers into one table must BOTH land (in some
+    serial order) under merge_versioned_cas — the optimistic-
+    concurrency behavior plain merge_versioned cannot give (one of the
+    two would silently vanish)."""
+    import threading
+
+    from forex_data_pipeline_spark.sources.writers import (
+        latest_version,
+        merge_versioned_cas,
+        read_version,
+        write_version_cas,
+    )
+
+    path = f"{tmp_path}/t"
+    write_version_cas(
+        spark.createDataFrame(
+            [(1, "a", 1), (2, "b", 1)], "k int, s string, v int"
+        ),
+        path,
+    )
+    barrier = threading.Barrier(2)
+    errs: list = []
+
+    def merger(key: int, tag: str) -> None:
+        try:
+            upd = spark.createDataFrame(
+                [(key, tag, 2)], "k int, s string, v int"
+            )
+            barrier.wait()
+            merge_versioned_cas(spark, path, upd, ["k"])
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    t1 = threading.Thread(target=merger, args=(2, "B"))
+    t2 = threading.Thread(target=merger, args=(3, "C"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    final = {
+        (r["k"], r["s"], r["v"])
+        for r in read_version(spark, path).collect()
+    }
+    # both merges present: k=2 updated by B, k=3 inserted by C, k=1 kept
+    assert final == {(1, "a", 1), (2, "B", 2), (3, "C", 2)}
+    assert latest_version(path) == 2
