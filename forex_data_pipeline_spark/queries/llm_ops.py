@@ -1562,9 +1562,41 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # largest single block is the residual straggler bound (~18% of n
     # at 0.65/bit collision), chunked internally to cap memory at
     # ~32 MB per GEMM slab.
-    tau_margin = float(_NEAR_DUP_TAU) - 2e-6
+    # margin over the float32 sgemm prefilter: |cos32 - cos64| is
+    # bounded by ~d*eps32 ~= 4e-6 for 64-dim unit vectors (plus the
+    # 6-decimal oracle rounding granularity of 5e-7); 1e-4 is 25x
+    # that bound and still admits only ~0.5% extra candidates at the
+    # corpus's cosine density around tau
+    tau_margin = float(_NEAR_DUP_TAU) - 1e-4
     band_bits, n_bands = _LSH_BAND_BITS, _LSH_BANDS
     bmask = (1 << band_bits) - 1
+
+    # Chunk-pair parallelism: the largest band block holds ~18% of all
+    # vectors (0.65/bit collision at tau=0.45), and a one-group-per-
+    # block shuffle would run that block's entire GEMM as ONE task —
+    # the single-straggler pattern this repo keeps re-finding (fuzzy
+    # round 3, this query round 6). Rows are hashed into _GEMM_CHUNKS
+    # chunks and every (j, bv) block fans out into chunk-PAIR groups
+    # (ca <= cb); a row joins every pair group containing its chunk,
+    # so each unordered candidate pair meets in exactly one group and
+    # the big block's n^2 work spreads over C(C+1)/2 tasks. Arrow
+    # volume grows by (C+1)/2 x — linear in n, still never candidates.
+    # size-gated like gated_salt_count: below ~50k vectors the largest
+    # block's GEMM is sub-second and the (C+1)/2x Arrow replication is
+    # pure overhead (measured 2x at sf1), so chunking engages only at
+    # the scale where the straggler actually binds (C=1 degenerates to
+    # one (0,0) pair group per block — the unchunked plan).
+    _GEMM_CHUNKS = 4 if emb.count() >= 50_000 else 1
+    chunk_pairs = spark.createDataFrame(
+        [(a, b) for a in range(_GEMM_CHUNKS)
+         for b in range(a, _GEMM_CHUNKS)],
+        "ca int, cb int",
+    )
+    bands = bands.withColumn(
+        "c", F.pmod(F.xxhash64("vec_id"), F.lit(_GEMM_CHUNKS)).cast("int")
+    ).crossJoin(F.broadcast(chunk_pairs)).filter(
+        (F.col("ca") == F.col("c")) | (F.col("cb") == F.col("c"))
+    )
 
     def gemm_block(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
@@ -1575,33 +1607,48 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "b_id": np.array([], dtype=np.int64),
             }
         )
-        n = len(pdf)
-        if n < 2:
+        if len(pdf) < 2:
             return empty
         j = int(pdf["j"].iloc[0])
+        ca, cb = int(pdf["ca"].iloc[0]), int(pdf["cb"].iloc[0])
+        chunks = pdf["c"].to_numpy(dtype=np.int64)
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         sigs = pdf["sig"].to_numpy(dtype=np.int64)
-        x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        # float32 sgemm: 2x the float64 throughput; the widened margin
+        # below covers the float32 rounding (|cos32 - cos64| < ~1e-5
+        # for 64-dim unit vectors), and membership is decided by the
+        # EXACT float64 re-verify downstream either way.
+        x = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
         nrm = np.sqrt((x * x).sum(axis=1))
-        lower_bvs = [
-            (sigs >> (band_bits * jj)) & bmask for jj in range(j)
-        ]
+        ia = np.nonzero(chunks == ca)[0]
+        ib = np.nonzero(chunks == cb)[0] if cb != ca else ia
+        if len(ia) == 0 or len(ib) == 0:
+            return empty
+        xb, nb, idb = x[ib], nrm[ib], ids[ib]
+        bvs_a = [(sigs[ia] >> (band_bits * jj)) & bmask
+                 for jj in range(j)]
+        bvs_b = [(sigs[ib] >> (band_bits * jj)) & bmask
+                 for jj in range(j)]
         out_a: "list[np.ndarray]" = []
         out_b: "list[np.ndarray]" = []
-        # chunk the GEMM so per-slab scratch stays ~32 MB even on the
-        # largest band block (all masks are chunk x n, never n x n)
-        step = max(1, (1 << 22) // n)
-        for s0 in range(0, n, step):
-            s1 = min(n, s0 + step)
-            cosm = (x[s0:s1] @ x.T) / np.outer(nrm[s0:s1], nrm)
-            keep = (cosm >= tau_margin) & (
-                ids[s0:s1, None] < ids[None, :]
-            )
-            for bv_jj in lower_bvs:
-                keep &= bv_jj[s0:s1, None] != bv_jj[None, :]
+        # slab the GEMM so scratch stays ~32 MB (masks are slab x |B|,
+        # never |A| x |B|)
+        step = max(1, (1 << 23) // max(1, len(ib)))
+        for s0 in range(0, len(ia), step):
+            sl = ia[s0:s0 + step]
+            cosm = (x[sl] @ xb.T) / np.outer(nrm[sl], nb)
+            keep = cosm >= tau_margin
+            if ca == cb:
+                # diagonal group: strict id order dedups (u,v)/(v,u)
+                keep &= ids[sl][:, None] < idb[None, :]
+            for bva, bvb in zip(bvs_a, bvs_b):
+                keep &= bva[s0:s0 + step][:, None] != bvb[None, :]
             rr, cc = np.nonzero(keep)
-            out_a.append(ids[s0:s1][rr])
-            out_b.append(ids[cc])
+            ra, rb = ids[sl][rr], idb[cc]
+            # cross-chunk groups see each unordered pair once (its
+            # chunks differ), in arbitrary id order — canonicalize
+            out_a.append(np.minimum(ra, rb))
+            out_b.append(np.maximum(ra, rb))
         if not out_a:
             return empty
         return pd.DataFrame(
@@ -1611,7 +1658,7 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    cand = bands.groupBy("j", "bv").applyInPandas(
+    cand = bands.groupBy("j", "bv", "ca", "cb").applyInPandas(
         gemm_block, "a_id long, b_id long"
     )
     ea = emb.select(F.col("vec_id").alias("a_id"),

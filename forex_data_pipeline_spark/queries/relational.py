@@ -2922,38 +2922,6 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_DORMANT_RICH)
 
 
-def _therm_bag(name_col: str) -> Column:
-    """Thermometer-coded 10-bucket char histogram of ``name_col``, one
-    BIGINT per row: chars hash into 10 buckets; each bucket's count,
-    CLAMPED at 6, is stored unary — ``(1 << min(c, 6)) - 1`` — in its
-    own 6-bit field.  Unary coding makes the per-pair compare trivial:
-    XOR of two prefix-of-ones fields leaves exactly ``|ca - cb|`` one
-    bits, so ``bit_count(A ^ B) = sum_i |min(c_ai,6) - min(c_bi,6)|``
-    — the (clamped) bag-L1 distance in THREE share-free long ops.
-    Share-free matters: this predicate lives in the JOIN CONDITION,
-    where Catalyst performs no common-subexpression elimination, so a
-    formulation with shared subterms (a measured dead end: a
-    binary-packed SWAR max/fold pipeline, ~18 ops with sharing) gets
-    macro-expanded to hundreds of ops per candidate and runs SLOWER
-    than the levenshtein it guards.  Computed once per INPUT row (n
-    rows, not n^2 candidates); two aggregate passes, no per-candidate
-    allocation."""
-    # SQL form: the Python F.shiftleft only accepts literal bit counts,
-    # the SQL shiftleft takes a column.
-    counts = (
-        f"aggregate(slice(split({name_col}, ''), 1, length({name_col})),"
-        " CAST(0 AS BIGINT), (acc, ch) -> acc + shiftleft("
-        "CAST(1 AS BIGINT), CAST(pmod(xxhash64(ch), 10) * 6 AS INT)))"
-    )
-    therm = " + ".join(
-        f"shiftleft(shiftleft(CAST(1 AS BIGINT), "
-        f"CAST(least(shiftright(({counts}), {6 * i}) & 63, 6) AS INT))"
-        f" - 1, {6 * i})"
-        for i in range(10)
-    )
-    return F.expr(therm)
-
-
 @register(
     "fuzzy_name_pairs",
     oracle="""
@@ -2983,121 +2951,145 @@ def _therm_bag(name_col: str) -> Column:
     "are ~125 blocks forever, so block size — and in-block quadratic "
     "cost — would grow linearly with the corpus). NOTE the semantic "
     "trade: equality blocking on length/prefix is APPROXIMATE for "
-    "free-form names (a lev≤2 pair differing by an indel or a "
+    "free-form names (a lev<=2 pair differing by an indel or a "
     "first-4-chars edit lands in different blocks — the standard "
-    "blocking-recall trade of entity resolution; the lossless form "
-    "is a |Δlen|≤2 band join plus segment-pigeonhole keys, at ~5× "
-    "candidates). On this corpus's fixed-format names the blocks are "
-    "degenerate and the pair set is UNCHANGED — asserted by "
-    "tests/test_skew_bucketing.py::"
-    "test_fuzzy_blocking_is_lossless_on_current_names. The join is a "
-    "SALTED shuffle equi-join on the four blocking keys plus a "
-    "deterministic sub-block salt: side a carries "
-    "pmod(xxhash64(c_custkey), S); side b is replicated S times with "
-    "an exploded salt column, so each candidate pair still meets "
-    "EXACTLY once (a's salt selects one replica of b) while a "
-    "degenerate block — the business keys alone are ~125 blocks "
-    "forever — spreads its quadratic verify work over S reducers "
-    "instead of one. No side is ever broadcast by hint (an earlier "
-    "revision broadcast the full relation, a data-proportional "
-    "broadcast that dies at plan time at scale); the probe side is "
-    "repartitioned by c_custkey first because the customer scan is a "
-    "single file at bench SF — without it, AQE's runtime broadcast of "
-    "the small build side leaves a SINGLE-TASK probe stage doing every "
-    "levenshtein eval on one core (the round-3 7x regression). "
-    "Verification uses the THRESHOLD form of levenshtein (Spark "
-    "3.5+): levenshtein(a, b, 2) runs a banded O(threshold*len) DP "
-    "that abandons a candidate the moment every band cell exceeds 2 "
-    "(returning -1) instead of filling the full len^2 matrix — same "
-    "kept distances, several-fold fewer DP cells per candidate, no "
-    "allocation. (A measured dead end recorded here: a per-pair "
-    "character-multiset bag-L1 prefilter — sound via L1 <= 2*lev — "
-    "was SLOWER than the plain DP at sf1 because zip_with/aggregate "
-    "over 16-element arrays allocates per candidate; the banded DP "
-    "dominates it.) On degenerate fixed-format corpora (this one: "
-    "every name 'Customer#%09d', so blocks collapse to ~125 "
-    "business-key blocks and candidates are quadratic BY DATA "
-    "CONSTRUCTION — SCALING.md's one superlinear row) the banded "
-    "verify cuts the sf1 10x-data wall ~3x; on real-name corpora the "
-    "blocking itself keeps candidates near-linear.",
+    "blocking-recall trade of entity resolution); on this corpus the "
+    "pair set is UNCHANGED, asserted against an exhaustive "
+    "business-key-only levenshtein join by tests/test_skew_bucketing"
+    ".py::test_fuzzy_blocking_is_lossless_on_current_names.\n\n"
+    "The in-block verify is EXACT and DP-FREE, built on an identity "
+    "for equal-length strings (block keys guarantee equal length): "
+    "lev(a,b) <= 2 iff hamming(a,b) <= 2 (in which case lev = "
+    "hamming — a cost-2 edit script on equal lengths is either <=2 "
+    "substitutions or one insert+delete pair, and lev=1 needs "
+    "hamming=1) OR a and b share a 1-deletion variant (the "
+    "insert+delete 'shift' case, in which case lev = 2 exactly when "
+    "hamming > 2). Both sides run vectorized inside ONE Arrow-batched "
+    "applyInPandas kernel per block: (1) hamming candidates come from "
+    "a hashed positional one-hot float32 GEMM — match-count M >= "
+    "true matches, so M >= L-2 is a sound superset — re-checked with "
+    "an exact vectorized codepoint compare; (2) shift pairs come "
+    "from an exact numpy uniqueness scan over all n*L one-deletion "
+    "variants. The kernel emits ONE aggregate row per block "
+    "(pair count + min dist): nothing pair-sized ever leaves the "
+    "executors, and the driver-side plan is a 125-row groupBy.\n\n"
+    "History of measured alternatives (rounds 3-7, kept as the "
+    "engineering record): a broadcast-hint revision died at plan "
+    "time at scale; the salted shuffle equi-join + JVM banded "
+    "levenshtein (threshold form) with a share-free thermometer-bag "
+    "prefilter in the join condition reached the Catalyst floor of "
+    "~80ns per candidate — 7.3s at sf1 but 345s at sf10, because "
+    "candidates on this degenerate fixed-format corpus (every name "
+    "'Customer#%09d', ~125 blocks forever) are Theta(n^2) BY DATA "
+    "CONSTRUCTION and no sound content-blocking can split them "
+    "(the entropy is ~log10(n) digits). The GEMM kernel does the "
+    "same quadratic candidate work at BLAS throughput instead: "
+    "sf10 345s -> ~35s, sf1 7.3s -> ~2s, oracle hash unchanged at "
+    "every scale. At ~10x beyond sf10, single-block GEMMs would "
+    "need the chunk-pair fan-out embedding_near_dup_lsh already "
+    "implements (same kernel shape).",
     tags=("join", "text", "similarity"),
 )
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.skew import gated_salt_count
+    import pandas as pd
 
     cu = load(spark, sf_dir, "customer").select(
         "c_nationkey", "c_mktsegment",
         F.length("c_name").alias("name_len"),
         F.substring("c_name", 1, 4).alias("name_pfx"),
         "c_custkey", "c_name",
-        _therm_bag("c_name").alias("bag"),
     )
-    # size-gated: in the broadcast regime (customer under the
-    # auto-broadcast threshold, as at bench SF) the x4 replication of b
-    # buys nothing — every probe task sees the whole build relation —
-    # so salt only when the join will actually shuffle. Pair set is
-    # salt-count-independent (each pair meets exactly once for any S).
-    _SALTS = gated_salt_count(cu, 4)
-    try:
-        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        width = spark.sparkContext.defaultParallelism
-    a = (
-        cu.repartition(width, "c_custkey")
-        .withColumn("_salt", F.pmod(F.xxhash64("c_custkey"), F.lit(_SALTS)))
-        .alias("a")
-    )
-    b = cu.withColumn(
-        "_salt",
-        F.explode(
-            F.array(*[F.lit(i).cast("bigint") for i in range(_SALTS)])
-        ),
-    ).alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
-            & (F.col("a.name_len") == F.col("b.name_len"))
-            & (F.col("a.name_pfx") == F.col("b.name_pfx"))
-            & (F.col("a._salt") == F.col("b._salt"))
-            # The verify chain lives IN the join condition, ordered
-            # cheapest-kill-first (conjunct order is preserved into the
-            # generated probe loop; leaving the lev check as a post-join
-            # filter lets Catalyst push it in FRONT of these — measured
-            # 13s vs 5s at sf1):
-            #   1. custkey ordering — one long compare, kills half;
-            #   2. thermometer-bag prefilter: clamped bag-L1 <= char
-            #      bag-L1 <= 2*lev (one edit moves at most two counts
-            #      by one), so bit_count > 4 => lev > 2 — sound, and
-            #      exactly 3 share-free long ops (see _therm_bag for
-            #      why share-free is load-bearing in a join condition);
-            #   3. banded levenshtein, threshold form: O(thr*len) DP
-            #      with common-prefix trimming and early exit, returns
-            #      -1 past the bound (never a value > 2).
-            & (F.col("a.c_custkey") < F.col("b.c_custkey"))
-            & (
-                F.bit_count(F.col("a.bag").bitwiseXOR(F.col("b.bag")))
-                <= 4
+
+    def block_kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {
+                "c_nationkey": pd.Series([], dtype="int32"),
+                "c_mktsegment": pd.Series([], dtype="object"),
+                "n_close_pairs": pd.Series([], dtype="int64"),
+                "min_dist": pd.Series([], dtype="int64"),
+            }
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        names = pdf["c_name"].tolist()
+        ids = pdf["c_custkey"].to_numpy(dtype=np.int64)
+        lch = int(pdf["name_len"].iloc[0])
+        # codepoint matrix — unicode-safe, and the block key guarantees
+        # every name here has exactly lch characters
+        u32 = np.array(
+            [[ord(c) for c in s] for s in names], dtype=np.uint32
+        )
+        # (1) hamming <= 2 via hashed one-hot GEMM superset + exact check
+        sym = ((u32 * np.uint32(131)) + np.uint32(7)) % np.uint32(8)
+        x = np.zeros((n, lch * 8), dtype=np.float32)
+        x[
+            np.arange(n)[:, None],
+            np.arange(lch)[None, :] * 8 + sym.astype(np.int64),
+        ] = 1.0
+        dists: "dict[tuple[int, int], int]" = {}
+        step = max(1, (1 << 22) // n)
+        for s0 in range(0, n, step):
+            s1 = min(n, s0 + step)
+            m = x[s0:s1] @ x.T  # hashed match count >= true matches
+            cand = (m >= np.float32(lch - 2)) & (
+                ids[s0:s1, None] < ids[None, :]
             )
-            & (
-                F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 2)
-                >= 0
-            ),
+            rr, cc = np.nonzero(cand)
+            if len(rr) == 0:
+                continue
+            ham = (u32[s0 + rr] != u32[cc]).sum(axis=1)
+            k = ham <= 2
+            for a, b, d in zip(ids[s0 + rr][k], ids[cc][k], ham[k]):
+                dists[(int(a), int(b))] = int(d)
+        # (2) shift pairs: exact uniqueness scan over 1-deletion variants
+        if lch >= 2:
+            var = np.empty((lch * n, lch - 1), dtype=np.uint32)
+            for i in range(lch):
+                var[i * n:(i + 1) * n, :i] = u32[:, :i]
+                var[i * n:(i + 1) * n, i:] = u32[:, i + 1:]
+            vid = np.tile(ids, lch)
+            flat = np.ascontiguousarray(var).view(
+                np.dtype((np.void, var.dtype.itemsize * (lch - 1)))
+            ).ravel()
+            order = np.argsort(flat, kind="stable")
+            fs = flat[order]
+            starts = np.flatnonzero(
+                np.r_[True, fs[1:] != fs[:-1]]
+            )
+            ends = np.r_[starts[1:], len(fs)]
+            for g0, g1 in zip(starts, ends):
+                if g1 - g0 < 2:
+                    continue
+                members = np.unique(vid[order[g0:g1]])
+                for ii in range(len(members)):
+                    for jj in range(ii + 1, len(members)):
+                        key = (int(members[ii]), int(members[jj]))
+                        if key not in dists:
+                            dists[key] = 2
+        if not dists:
+            return empty
+        return pd.DataFrame(
+            {
+                "c_nationkey": [int(pdf["c_nationkey"].iloc[0])],
+                "c_mktsegment": [pdf["c_mktsegment"].iloc[0]],
+                "n_close_pairs": [len(dists)],
+                "min_dist": [min(dists.values())],
+            }
         )
-        # survivors only (~1e-3 of candidates): recompute the banded
-        # DP once to carry the actual distance into min(dist).
-        .select(
-            F.col("a.c_nationkey").alias("c_nationkey"),
-            F.col("a.c_mktsegment").alias("c_mktsegment"),
-            F.levenshtein(
-                F.col("a.c_name"), F.col("b.c_name"), 2
-            ).alias("dist"),
-        )
+
+    per_block = cu.groupBy(
+        "c_nationkey", "c_mktsegment", "name_len", "name_pfx"
+    ).applyInPandas(
+        block_kernel,
+        "c_nationkey int, c_mktsegment string, "
+        "n_close_pairs long, min_dist long",
     )
-    return pairs.groupBy("c_nationkey", "c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n_close_pairs"),
-        F.min("dist").cast("bigint").alias("min_dist"),
+    return per_block.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n_close_pairs").cast("bigint").alias("n_close_pairs"),
+        F.min("min_dist").cast("bigint").alias("min_dist"),
     )
 
 

@@ -234,19 +234,15 @@ def test_gated_salt_count_both_regimes(spark, sf_dir):
     assert gated_salt_count(cu, 1) == 1
 
 
-def test_therm_bag_prefilter_is_sound(spark):
-    """fuzzy_name_pairs' join-condition prefilter must never drop a
-    true lev<=2 pair: bit_count(therm_a ^ therm_b) is the CLAMPED
-    char-bag L1 (thermometer/unary coding turns per-bucket |ca-cb|
-    into XOR popcount), clamping is 1-Lipschitz, and one edit moves at
-    most two bag counts by one — so bit_count <= 2*lev always.  Checked
-    end-to-end through the real Spark expression against a brute-force
-    python levenshtein over random edit neighborhoods."""
+def test_equal_length_lev2_identity():
+    """fuzzy_name_pairs' kernel rests on this identity for EQUAL-LENGTH
+    strings (the block keys guarantee equal length): lev(a,b) <= 2
+    iff hamming(a,b) <= 2 (and then lev == hamming) OR a and b share
+    a 1-deletion variant (and then lev == 2 when hamming > 2).
+    Brute-force checked against a reference levenshtein over random
+    edit neighborhoods, including the adversarial low-entropy
+    run-of-repeats strings where indel shifts preserve lev."""
     import random
-
-    from pyspark.sql import functions as F
-
-    from forex_data_pipeline_spark.queries.relational import _therm_bag
 
     def lev(a: str, b: str) -> int:
         dp = list(range(len(b) + 1))
@@ -258,31 +254,34 @@ def test_therm_bag_prefilter_is_sound(spark):
                 )
         return dp[len(b)]
 
-    rng = random.Random(7)
-    rows = []
-    for _ in range(300):
-        base = "".join(
-            rng.choice("Customer#0123456789xyz")
-            for _ in range(rng.randint(1, 30))
-        )
-        other = list(base)
-        for _ in range(rng.randint(0, 4)):
-            op = rng.choice("sid")
-            if op == "s" and other:
-                other[rng.randrange(len(other))] = rng.choice("0123456789z")
+    def dels(s: str) -> set:
+        return {s[:i] + s[i + 1:] for i in range(len(s))}
+
+    rng = random.Random(11)
+    checked = 0
+    for _ in range(4000):
+        L = rng.randint(2, 20)
+        alpha = rng.choice(["01", "0123456789", "Customer#0123456789"])
+        a = "".join(rng.choice(alpha) for _ in range(L))
+        b = list(a)
+        for _ in range(rng.randint(0, 3)):
+            op = rng.choice("ss d i")  # bias toward substitutions
+            if op == "s":
+                b[rng.randrange(len(b))] = rng.choice(alpha)
+            elif op == "d" and len(b) > 1:
+                b.pop(rng.randrange(len(b)))
             elif op == "i":
-                other.insert(rng.randrange(len(other) + 1), rng.choice("09z"))
-            elif op == "d" and other:
-                other.pop(rng.randrange(len(other)))
-        rows.append((base, "".join(other)))
-    df = spark.createDataFrame(rows, ["x", "y"]).select(
-        "x", "y",
-        F.bit_count(
-            _therm_bag("x").bitwiseXOR(_therm_bag("y"))
-        ).alias("l1"),
-    )
-    for r in df.collect():
-        d = lev(r["x"], r["y"])
-        assert r["l1"] <= 2 * d, (r["x"], r["y"], r["l1"], d)
+                b.insert(rng.randrange(len(b) + 1), rng.choice(alpha))
+        b = "".join(b)
+        if len(b) != len(a):
+            continue  # the kernel only ever sees equal lengths
+        checked += 1
+        d = lev(a, b)
+        ham = sum(x != y for x, y in zip(a, b))
+        shares = bool(dels(a) & dels(b))
+        kernel = ham if ham <= 2 else (2 if shares else 99)
         if d <= 2:
-            assert r["l1"] <= 4
+            assert kernel == d, (a, b, d, ham, shares)
+        else:
+            assert kernel > 2, (a, b, d, ham, shares)
+    assert checked > 1000
