@@ -1092,7 +1092,19 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = fp.select(
         "doc_id", "simhash", F.posexplode(bands).alias("bk", "bv")
     )
-    a = e.select(
+    # The probe side MUST be pre-widened (the near-dup/fuzzy lesson,
+    # re-surfaced by the sf10 rehearsal): the fingerprint aggregate's
+    # output is tiny (~16 bytes/doc), so AQE coalesces its shuffle
+    # read down to 1-3 partitions — correct for the map output size,
+    # blind to the Theta(n^2)-pair JOIN OUTPUT those partitions must
+    # then produce (measured: ~3 cores grinding 4.5e9 pairs at sf10).
+    # An explicit round-robin repartition is not coalescable, so the
+    # banded join's probe stage stays cluster-wide.
+    try:
+        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        width = spark.sparkContext.defaultParallelism
+    a = e.repartition(width).select(
         F.col("doc_id").alias("a_id"), F.col("simhash").alias("ha"),
         "bk", "bv",
     )

