@@ -4175,16 +4175,45 @@ def triangle_count_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     )
     # out-adjacency (higher-pi neighbors only) as one sorted array per
-    # node — list length bounded by the orientation, never hub-sized
+    # node — list length bounded by the orientation, never hub-sized.
+    # Checkpointed: three consumers (the wedge-width probe and both
+    # join sides) must not re-run the groupBy.
     adj = oriented.groupBy(F.col("u").alias("node")).agg(
         F.sort_array(F.collect_list("v")).alias("nbrs")
+    ).localCheckpoint(eager=True)
+    # The adjacency joins' OUTPUT is wedge-sized (each edge row carries
+    # its endpoints' out-lists: Sigma deg_out^2 array elements), but
+    # their shuffle MAP output is edge/node-sized — so AQE sizes the
+    # stage for the small side and, bounded above by
+    # spark.sql.shuffle.partitions (it can only coalesce DOWN), leaves
+    # a handful of tasks external-sorting gigabytes of array-fat rows
+    # (measured at the sf10 rehearsal: 3 busy cores, 37 GB of sort
+    # spill, >29 min before the kill). The wedge volume is exactly
+    # computable from the degree sequence for the cost of one
+    # node-sized aggregate — derive the join width from it and pin it
+    # with explicit keyed repartitions (REPARTITION_BY_NUM is not
+    # AQE-coalescable), so every sort stays ~64 MB at any scale.
+    wedge_elems = int(
+        adj.select(
+            F.sum(
+                F.size("nbrs").cast("bigint") * F.size("nbrs").cast("bigint")
+            )
+        ).collect()[0][0]
+        or 0
     )
+    try:
+        base = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        base = spark.sparkContext.defaultParallelism
+    width = max(base, min(4096, wedge_elems * 16 // (64 << 20) + 1))
     adj_u = adj.select(F.col("node").alias("u"), F.col("nbrs").alias("nu"))
     adj_v = adj.select(F.col("node").alias("v"), F.col("nbrs").alias("nv"))
     # edge (u,v): common out-neighbors close one triangle each; the
     # left join keeps edges whose v has no out-list (leaf of the order)
     per_edge = (
-        oriented.join(adj_u, "u")
+        oriented.repartition(width, "u")
+        .join(adj_u, "u")
+        .repartition(width, "v")
         .join(adj_v, "v", "left")
         .select(
             "u",
@@ -4195,19 +4224,32 @@ def triangle_count_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.size("ws") > 0)
     )
-    pern = (
-        per_edge.select(F.col("u").alias("node"), F.size("ws").alias("c"))
-        .unionAll(
-            per_edge.select(F.col("v").alias("node"), F.size("ws").alias("c"))
-        )
-        .unionAll(
-            per_edge.select(
-                F.explode("ws").alias("node"), F.lit(1).alias("c")
+    # ONE pass over the wedge join: each qualifying edge emits its u, v
+    # and witness contributions as a single exploded struct array. The
+    # previous 3-branch unionAll re-executed the join per branch (unions
+    # re-run differently-projected subtrees — no ReusedExchange for the
+    # post-shuffle compute), tripling the heaviest stage in the repo.
+    contrib = per_edge.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(
+                        F.col("u").alias("node"), F.size("ws").alias("c")
+                    ),
+                    F.struct(
+                        F.col("v").alias("node"), F.size("ws").alias("c")
+                    ),
+                ),
+                F.transform(
+                    "ws",
+                    lambda w: F.struct(
+                        w.alias("node"), F.lit(1).alias("c")
+                    ),
+                ),
             )
-        )
-        .groupBy("node")
-        .agg(F.sum("c").alias("triangles"))
-    )
+        ).alias("e")
+    ).select("e.node", "e.c")
+    pern = contrib.groupBy("node").agg(F.sum("c").alias("triangles"))
     return (
         pern.orderBy(F.col("triangles").desc(), "node")
         .limit(20)
