@@ -2457,23 +2457,53 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------- sketch-accelerated operators
 
-#: Bloom filter geometry for decontamination pruning. m is a CONSTANT
-#: set by the false-positive target, independent of corpus size — the
-#: occupied-bit table is ≤ m rows (~8 MB of longs), broadcastable on
-#: any cluster, while the exact train-shingle set it stands in for is
-#: corpus-sized and must be shuffled. Hash indexes 8/9 come from the
-#: same universal affine family as MinHash but are disjoint from the
-#: signature's 0..7, so bloom bits and minhash values are independent.
-_BLOOM_M = 1 << 20
+#: Bloom filter geometry for decontamination pruning. m ADAPTS to the
+#: train-shingle cardinality: the smallest power of two with m >= 8n
+#: (2 hashes at load n/m = 1/8 gives ~4-7% FP), clamped to
+#: [2^20, 2^26]. A FIXED m saturates as the corpus grows — measured at
+#: the sf10 rehearsal: m = 2^20 was 21% occupied at sf0.1 (FP 4%) but
+#: ~100% at sf10's 10M train shingles, so the prune passed every eval
+#: shingle and the query paid the full exact join PLUS the filter
+#: overhead (17.8x wall at 10x data). The 2^26 cap is the broadcast
+#: budget: the filter ships as a BIT-PACKED word table (bit>>5 ->
+#: bit_or of 32-bit lanes in a BIGINT), <= m/32 rows ~ 2M rows / 32 MB
+#: at the cap — 64x smaller than one-row-per-occupied-bit, and a
+#: CONSTANT bounded by m, never by the corpus. Hash indexes 8/9 come
+#: from the same universal affine family as MinHash but are disjoint
+#: from the signature's 0..7, so bloom bits and minhash values are
+#: independent.
+_BLOOM_M_LOGS = tuple(range(20, 27))
 _BLOOM_HASHES = (8, 9)
 
 
-def _bloom_bit(col, idx: int):
-    return minhash_value(col, idx) % _BLOOM_M
+def _bloom_m_of(n_train: int) -> int:
+    """Smallest power-of-two m in [2^20, 2^26] with m >= 8*n_train.
+    A CASE ladder (not log2) so the Spark driver and the DuckDB oracle
+    derive the IDENTICAL m from the identical exact count — float log2
+    at a power-of-two boundary could round differently."""
+    for lg in _BLOOM_M_LOGS:
+        if 8 * n_train <= (1 << lg):
+            return 1 << lg
+    return 1 << _BLOOM_M_LOGS[-1]
+
+
+_BLOOM_M_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN 8 * n <= {1 << lg} THEN {1 << lg}" for lg in _BLOOM_M_LOGS
+    )
+    + f" ELSE {1 << _BLOOM_M_LOGS[-1]} END"
+)
+
+
+def _bloom_bit(col, idx: int, m: int):
+    return minhash_value(col, idx) % m
 
 
 def _bloom_bit_sql(expr: str, idx: int) -> str:
-    return f"({minhash_value_sql(expr, idx)} % {_BLOOM_M})"
+    """Bit index against the adaptive m — requires the params CTE
+    ``p(m)`` to be in scope (cross-joined)."""
+    return f"({minhash_value_sql(expr, idx)} % p.m)"
 
 
 @register(
@@ -2485,16 +2515,26 @@ def _bloom_bit_sql(expr: str, idx: int) -> str:
     tagged AS (SELECT sh.doc_id, sh.sh, side.is_train
                FROM sh JOIN side ON sh.doc_id = side.doc_id),
     train_sh AS (SELECT DISTINCT sh FROM tagged WHERE is_train),
+    p AS (SELECT {_BLOOM_M_SQL} AS m
+          FROM (SELECT count(*) AS n FROM train_sh)),
     occ AS (SELECT DISTINCT unnest([{_bloom_bit_sql('sh', 8)},
                                     {_bloom_bit_sql('sh', 9)}]) AS bit
-            FROM train_sh),
+            FROM train_sh, p),
+    words AS (SELECT bit >> 5 AS wrd,
+                     bit_or(CAST(1 AS BIGINT)
+                            << CAST(bit % 32 AS INT)) AS msk
+              FROM occ GROUP BY 1),
     eval_sh AS (SELECT doc_id, sh,
                        {_bloom_bit_sql('sh', 8)} AS bit0,
                        {_bloom_bit_sql('sh', 9)} AS bit1
-                FROM tagged WHERE NOT is_train),
+                FROM tagged, p WHERE NOT is_train),
     cand AS (SELECT doc_id, sh FROM eval_sh
-             WHERE bit0 IN (SELECT bit FROM occ)
-               AND bit1 IN (SELECT bit FROM occ)),
+             JOIN words w0 ON w0.wrd = bit0 >> 5
+              AND (w0.msk & (CAST(1 AS BIGINT)
+                             << CAST(bit0 % 32 AS INT))) != 0
+             JOIN words w1 ON w1.wrd = bit1 >> 5
+              AND (w1.msk & (CAST(1 AS BIGINT)
+                             << CAST(bit1 % 32 AS INT))) != 0),
     tot AS (SELECT doc_id, count(*) AS n_shingles
             FROM eval_sh GROUP BY doc_id),
     cc AS (SELECT doc_id, count(*) AS n_cand
@@ -2516,18 +2556,23 @@ def _bloom_bit_sql(expr: str, idx: int) -> str:
     """,
     doc="Decontamination with Bloom-filter pruning — the 100 TB form "
     "of cross_corpus_contamination. The train shingle set is folded "
-    "into a 2²⁰-bit Bloom filter (2 universal hashes; represented "
-    "relationally as the DISTINCT occupied-bit table, ≤ m rows ≈ 8 MB "
-    "— a CONSTANT independent of corpus size, so it broadcasts on any "
-    "cluster). Eval shingles are pruned by two broadcast semi-joins "
-    "(both bits set) before the expensive corpus-sized exact join, "
-    "which now touches only candidates. Bloom filters have no false "
-    "negatives, so n_contaminated is EXACT (equal to the unpruned "
-    "sibling query) — n_bloom_fp records the false-positive overhead "
-    "that the exact verify join discarded, i.e. the audit of the "
-    "filter's actual FP rate. All hashing is the same md5-affine "
-    "family as MinHash (indexes 8/9, disjoint from the signature), "
-    "exact 64-bit integers in both engines.",
+    "into a Bloom filter whose size ADAPTS to the exact train "
+    "cardinality (smallest power-of-two m >= 8n, clamped to "
+    "[2^20, 2^26] — both engines derive the identical m from the "
+    "identical COUNT via the same CASE ladder; a fixed m measured "
+    "~100% occupied at the sf10 rehearsal, passing every eval "
+    "shingle). The filter ships as a BIT-PACKED word table "
+    "(bit>>5 -> bit_or of 32-bit lanes), <= m/32 rows ~ 32 MB at the "
+    "cap — an m-BOUNDED constant, never corpus-sized — and eval "
+    "shingles are pruned by two broadcast word-lookup joins + mask "
+    "tests before the expensive corpus-sized exact join, which now "
+    "touches only candidates. Bloom filters have no false negatives, "
+    "so n_contaminated is EXACT (equal to the unpruned sibling query) "
+    "— n_bloom_fp records the false-positive overhead the exact "
+    "verify join discarded, i.e. the audit of the filter's actual FP "
+    "rate at the chosen m. All hashing is the same md5-affine family "
+    "as MinHash (indexes 8/9, disjoint from the signature), exact "
+    "64-bit integers in both engines.",
     tags=("llm", "text", "dedup", "join", "sketch"),
 )
 def bloom_pruned_contamination(
@@ -2548,36 +2593,61 @@ def bloom_pruned_contamination(
         tagged.filter(F.col("is_train")).select("sh").distinct()
         .localCheckpoint(eager=True)  # reused by occ and the verify join
     )
+    # adaptive filter size from the EXACT train cardinality (cheap on
+    # the checkpointed distinct set; one driver scalar) — the oracle's
+    # params CTE runs the identical CASE ladder on the identical count
+    m = _bloom_m_of(train_sh.count())
     occ = (
         train_sh.select(
             F.explode(
                 F.array(
-                    _bloom_bit(F.col("sh"), 8), _bloom_bit(F.col("sh"), 9)
+                    _bloom_bit(F.col("sh"), 8, m),
+                    _bloom_bit(F.col("sh"), 9, m),
                 )
             ).alias("bit")
         )
         .distinct()
+    )
+    # bit-packed broadcast form: <= m/32 (wrd, msk) rows
+    lane = "shiftleft(CAST(1 AS BIGINT), CAST({b} % 32 AS INT))"
+    words = (
+        occ.select(
+            F.shiftright("bit", 5).alias("wrd"),
+            F.expr(lane.format(b="bit")).alias("b"),
+        )
+        .groupBy("wrd")
+        .agg(F.bit_or("b").alias("msk"))
     )
     eval_sh = (
         tagged.filter(~F.col("is_train"))
         .select(
             "doc_id",
             "sh",
-            _bloom_bit(F.col("sh"), 8).alias("bit0"),
-            _bloom_bit(F.col("sh"), 9).alias("bit1"),
+            _bloom_bit(F.col("sh"), 8, m).alias("bit0"),
+            _bloom_bit(F.col("sh"), 9, m).alias("bit1"),
         )
     )
     cand = (
-        eval_sh.join(
-            F.broadcast(occ.withColumnRenamed("bit", "bit0")),
-            "bit0",
-            "left_semi",
-        )
+        eval_sh.withColumn("w0", F.shiftright("bit0", 5))
         .join(
-            F.broadcast(occ.withColumnRenamed("bit", "bit1")),
-            "bit1",
-            "left_semi",
+            F.broadcast(
+                words.select(
+                    F.col("wrd").alias("w0"), F.col("msk").alias("m0")
+                )
+            ),
+            "w0",
         )
+        .filter(F.expr(f"(m0 & {lane.format(b='bit0')}) != 0"))
+        .withColumn("w1", F.shiftright("bit1", 5))
+        .join(
+            F.broadcast(
+                words.select(
+                    F.col("wrd").alias("w1"), F.col("msk").alias("m1")
+                )
+            ),
+            "w1",
+        )
+        .filter(F.expr(f"(m1 & {lane.format(b='bit1')}) != 0"))
         .select("doc_id", "sh")
     )
     tot = eval_sh.groupBy("doc_id").agg(

@@ -228,12 +228,15 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
 
 
 def test_bloom_prune_uses_broadcast_semi_joins(spark, sf_dir):
-    """The occupied-bit table is constant-size (≤ 2^20 rows) — the
-    candidate prune must be broadcast LeftSemi joins, never a shuffle
-    of the eval shingle stream against it."""
+    """The bit-packed word table is m-bounded (≤ m/32 rows) — the
+    candidate prune must be broadcast word-lookup joins, never a
+    shuffle of the eval shingle stream against it. (Round-7 form:
+    inner joins on the word index + mask filters replaced the
+    one-row-per-occupied-bit LeftSemi pair, which saturated and
+    stopped pruning at the sf10 rehearsal.)"""
     plan = plan_of(run("bloom_pruned_contamination", spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2
-    assert "LeftSemi" in plan
+    assert "bit_or" in plan  # the bit-packed aggregation is in the plan
     assert "CartesianProduct" not in plan
 
 
