@@ -1010,6 +1010,10 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SH_BANDS = 4          # 4 bands × 8 bits over a 32-bit pair fingerprint
+#: measured JVM-join/Arrow-kernel crossover for the banded pair verify
+#: (sf10 rehearsal): below, the runtime-broadcast codegen join wins;
+#: above, Sigma(bucket^2) candidates drown any JVM per-candidate path
+_SH_KERNEL_MIN_DOCS = 120_000
 _SH_BAND_MOD = 256     # 8-bit bands
 _SH_PAIR_BITS = 32     # wider than the 16-bit fingerprint query: pair
 #                        search needs discrimination (at 16 bits ~14% of
@@ -1055,12 +1059,21 @@ _SH_CAND_SQL = " UNION ".join(
     WHERE bit_count(xor(ha, hb)) <= {_HAMMING_MAX}
     """,
     doc=f"SimHash near-dup PAIRS: band a {_SH_PAIR_BITS}-bit fingerprint "
-    f"into {_SH_BANDS} 8-bit chunks, equi-join per band (pigeonhole: any pair at "
-    f"Hamming ≤ {_HAMMING_MAX} shares ≥1 of {_SH_BANDS} bands — exact "
-    "recall, no all-pairs scan), then filter candidates by "
-    "bit_count(xor) — pure integer ops, identical in every engine. "
-    "The constant-size cousin of MinHash-LSH: one machine word per "
-    "doc instead of K hashes.",
+    f"into {_SH_BANDS} 8-bit chunks, collide per band (pigeonhole: any pair "
+    f"at Hamming ≤ {_HAMMING_MAX} shares ≥1 of {_SH_BANDS} bands — exact "
+    "recall, no all-pairs scan), then filter candidates by popcount of "
+    "the XOR — pure integer ops, identical in every engine. The "
+    "constant-size cousin of MinHash-LSH: one machine word per doc "
+    "instead of K hashes. The candidate verify runs as a chunk-pair "
+    "Arrow kernel (the embedding_near_dup_lsh architecture): this "
+    "corpus' fingerprints concentrate (word salad from one unigram "
+    "distribution), so band buckets are huge — at sf10, 66% of all "
+    "docs share ONE band value and Sigma(bucket^2) is 1.54e11 "
+    "candidates for 4.5e9 emitted pairs. A join-condition verify "
+    "pays ~0.1-10 us per candidate in the JVM (measured 1524 s); "
+    "vectorized uint8-LUT popcount over XOR slabs pays ~1 ns, and "
+    "the chunk-pair fan-out spreads the hot bucket's quadratic work "
+    "over C(C+1)/2 tasks instead of one straggler.",
     tags=("llm", "dedup", "join"),
 )
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1081,51 +1094,187 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     def band(col, k: int):
         return (col / (_SH_BAND_MOD ** k)).cast("long") % _SH_BAND_MOD
 
-    # ONE join on the posexploded (band_idx, band_value) key instead of
-    # one join per band + union + distinct: each side shuffles once, and
-    # the first-shared-band predicate below emits every qualifying pair
-    # from exactly one band, so no distinct over the (candidate-pair ×
-    # bands) blow-up is needed — the wide dedup shuffle disappears.
+    # ONE band-bucket shuffle of the posexploded (band_idx, band_value)
+    # key, with the whole candidate verify inside an Arrow kernel. The
+    # corpus' fingerprints concentrate (same unigram source), so band
+    # buckets are HUGE and candidates ~ Sigma(bucket^2): at sf10, 907
+    # buckets hold 500k docs, the hottest holds 330k (66% of the
+    # corpus), and candidates are 1.54e11 for 4.5e9 emitted pairs.
+    # Every JVM-side join formulation pays 0.1-10 us per CANDIDATE
+    # (codegen'd broadcast probe ... interpreted join condition) —
+    # measured 1524 s at sf10. The +/-1-bit sgemm pays ~2-10 ns; the
+    # first-shared-band dedup (emit each pair only where no earlier
+    # band also collides — byte_j(xor) == 0 iff band j collides) runs
+    # on the output-sized survivors.
     bands = F.array(
         *[band(F.col("simhash"), k) for k in range(_SH_BANDS)]
     )
-    e = fp.select(
-        "doc_id", "simhash", F.posexplode(bands).alias("bk", "bv")
-    )
-    # The probe side MUST be pre-widened (the near-dup/fuzzy lesson,
-    # re-surfaced by the sf10 rehearsal): the fingerprint aggregate's
-    # output is tiny (~16 bytes/doc), so AQE coalesces its shuffle
-    # read down to 1-3 partitions — correct for the map output size,
-    # blind to the Theta(n^2)-pair JOIN OUTPUT those partitions must
-    # then produce (measured: ~3 cores grinding 4.5e9 pairs at sf10).
-    # An explicit round-robin repartition is not coalescable, so the
-    # banded join's probe stage stays cluster-wide.
-    try:
-        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        width = spark.sparkContext.defaultParallelism
-    a = e.repartition(width).select(
-        F.col("doc_id").alias("a_id"), F.col("simhash").alias("ha"),
-        "bk", "bv",
-    )
-    b = e.select(
-        F.col("doc_id").alias("b_id"), F.col("simhash").alias("hb"),
-        "bk", "bv",
-    )
-    # keep a collision in band bk only if no earlier band also collides
-    # (that occurrence is the canonical one) — map-side integer checks
-    first_band = F.lit(True)
-    for j in range(_SH_BANDS - 1):
-        earlier_hit = (F.col("bk") > j) & (
-            band(F.col("ha"), j) == band(F.col("hb"), j)
+    # Strategy gate, measured at the sf10 rehearsal (see PROGRESS):
+    # below the gate the band table runtime-broadcasts and the codegen
+    # JVM join wins outright (sf0.1: join 1.75 s vs kernel 4.0 s; sf1/
+    # 50k docs: 5.7 vs 8.6); above it candidates ~ Sigma(bucket^2)
+    # explode past what any JVM per-candidate evaluation sustains
+    # (sf10/500k docs: join 1524 s vs kernel 181 s). Same size-gating
+    # discipline as _TRI_BCAST_MAX_NODES / gated_salt_count; both
+    # branches are value-hash-identical to the oracle.
+    n_docs = fp.count()
+    if n_docs < _SH_KERNEL_MIN_DOCS:
+        e0 = fp.select(
+            "doc_id", "simhash", F.posexplode(bands).alias("bk", "bv")
         )
-        first_band = first_band & ~earlier_hit
-    hamming = F.bit_count(F.expr("ha ^ hb")).cast("bigint")
-    return (
-        a.join(b, ["bk", "bv"])
-        .filter((F.col("a_id") < F.col("b_id")) & first_band)
-        .select("a_id", "b_id", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= _HAMMING_MAX)
+        try:
+            width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            width = spark.sparkContext.defaultParallelism
+        # probe side pre-widened: the fingerprint aggregate's output is
+        # tiny, so AQE would coalesce the probe of the runtime-broadcast
+        # join down to 1-3 tasks that must then produce the quadratic
+        # pair output (round-robin is not AQE-coalescable)
+        a = e0.repartition(width).select(
+            F.col("doc_id").alias("a_id"), F.col("simhash").alias("ha"),
+            F.col("bk").alias("abk"), F.col("bv").alias("abv"),
+        )
+        b = e0.select(
+            F.col("doc_id").alias("b_id"), F.col("simhash").alias("hb"),
+            F.col("bk").alias("bbk"), F.col("bv").alias("bbv"),
+        )
+        # whole verify chain in the join condition, cheapest kill first;
+        # band_j(ha) == band_j(hb) iff byte_j(ha XOR hb) == 0, so the
+        # first-shared-band dedup is integer shift/mask tests (share-
+        # free: Catalyst does no CSE inside join conditions)
+        xr = F.col("ha").bitwiseXOR(F.col("hb"))
+        no_earlier = F.lit(True)
+        for j in range(_SH_BANDS - 1):
+            byte_j = F.shiftright(xr, 8 * j).bitwiseAND(F.lit(255))
+            no_earlier = no_earlier & (
+                (F.col("abk") <= j) | (byte_j != 0)
+            )
+        cond = (
+            (F.col("a_id") < F.col("b_id"))
+            & (F.bit_count(xr) <= _HAMMING_MAX)
+            & no_earlier
+        )
+        hamming = F.bit_count(F.expr("ha ^ hb")).cast("bigint")
+        return (
+            a.join(
+                b,
+                (F.col("abk") == F.col("bbk"))
+                & (F.col("abv") == F.col("bbv"))
+                & cond,
+            )
+            .select("a_id", "b_id", hamming.alias("hamming"))
+        )
+
+    # chunk-pair fan-out (the embedding_near_dup_lsh pattern): rows
+    # hash into C chunks; each (bk, bv) bucket becomes C(C+1)/2 chunk-
+    # pair groups so the hot bucket's quadratic work spreads over many
+    # tasks instead of one straggler, and per-task pair emission stays
+    # bounded.
+    n_chunks = int(min(16, max(1, n_docs // 12_000)))
+    chunk_pairs = spark.createDataFrame(
+        [(a, b) for a in range(n_chunks) for b in range(a, n_chunks)],
+        "ca int, cb int",
+    )
+    e = (
+        fp.select(
+            "doc_id", "simhash", F.posexplode(bands).alias("bk", "bv")
+        )
+        .withColumn(
+            "c", F.pmod(F.xxhash64("doc_id"), F.lit(n_chunks)).cast("int")
+        )
+        .crossJoin(F.broadcast(chunk_pairs))
+        .filter((F.col("ca") == F.col("c")) | (F.col("cb") == F.col("c")))
+    )
+
+    hamming_max = _HAMMING_MAX
+
+    def ham_block(tbl):
+        import numpy as np
+        import pyarrow as pa
+
+        empty = pa.table(
+            {
+                "a_id": pa.array([], type=pa.int64()),
+                "b_id": pa.array([], type=pa.int64()),
+                "hamming": pa.array([], type=pa.int64()),
+            }
+        )
+        if tbl.num_rows < 2:
+            return empty
+        bk = int(tbl.column("bk")[0].as_py())
+        ca = int(tbl.column("ca")[0].as_py())
+        cb = int(tbl.column("cb")[0].as_py())
+        chunks = tbl.column("c").to_numpy().astype(np.int64)
+        ids = tbl.column("doc_id").to_numpy().astype(np.int64)
+        hs = tbl.column("simhash").to_numpy().astype(np.int64)  # < 2^32
+        ia = np.nonzero(chunks == ca)[0]
+        ib = ia if cb == ca else np.nonzero(chunks == cb)[0]
+        if len(ia) == 0 or len(ib) == 0:
+            return empty
+        # +/-1 bit matrix: dot(u, v) = 32 - 2*hamming, so the whole
+        # Hamming test is one float32 sgemm (the fuzzy_name_pairs
+        # thermometer-GEMM lesson; a uint8-LUT popcount over XOR slabs
+        # measured 118 ns/candidate — gather+tiny-axis reduction is
+        # cache-hostile — vs ~11 ns for the sgemm). Values are small
+        # integers, exact in float32, so the threshold is exact too.
+        bits = (
+            (hs[:, None] >> np.arange(32, dtype=np.int64)[None, :]) & 1
+        ).astype(np.float32)
+        x_pm = bits * 2.0 - 1.0
+        thresh = float(32 - 2 * hamming_max)
+        hb, idb = hs[ib], ids[ib]
+        xb = x_pm[ib]
+        out_a, out_b, out_h = [], [], []
+        # slab the GEMM so scratch stays ~32 MB (slabs are step x |B|,
+        # never |A| x |B| — the chunk x n rule from CLAUDE.md)
+        step = max(1, (1 << 23) // max(1, len(ib)))
+        for s0 in range(0, len(ia), step):
+            sl = ia[s0:s0 + step]
+            dot = x_pm[sl] @ xb.T
+            keep = dot >= thresh
+            if ca == cb:
+                # diagonal group: strict id order dedups (u,v)/(v,u)
+                keep &= ids[sl][:, None] < idb[None, :]
+            rr, cc = np.nonzero(keep)
+            if rr.size:
+                # survivors are output-sized — the exact integer XOR
+                # runs on vectors, never on slabs
+                xa = hs[sl][rr] ^ hb[cc]
+                m = np.ones(len(rr), dtype=bool)
+                for j in range(bk):
+                    # an earlier shared band owns the canonical pair
+                    m &= (xa & (0xFF << (8 * j))) != 0
+                if not m.any():
+                    continue
+                rr, cc, xa = rr[m], cc[m], xa[m]
+                ra, rb = ids[sl][rr], idb[cc]
+                # cross-chunk groups see each unordered pair once, in
+                # arbitrary id order — canonicalize
+                out_a.append(np.minimum(ra, rb))
+                out_b.append(np.maximum(ra, rb))
+                out_h.append(
+                    ((32.0 - dot[rr, cc]) / 2.0).astype(np.int64)
+                )
+        if not out_a:
+            return empty
+        # per-slab chunks, aligned across columns: the serializer ships
+        # them as slab-sized record batches — no 10k-row re-slicing
+        return pa.table(
+            {
+                "a_id": pa.chunked_array(out_a),
+                "b_id": pa.chunked_array(out_b),
+                "hamming": pa.chunked_array(out_h),
+            }
+        )
+
+    # applyInArrow, not applyInPandas: the output is pair-SCALE (4.5e9
+    # rows at sf10), and the pandas path re-slices every group's
+    # emission into maxRecordsPerBatch-row batches with per-batch
+    # conversion overhead — measured 5+ us/row end to end. Arrow-native
+    # output ships the kernel's numpy arrays zero-copy in slab-sized
+    # batches.
+    return e.groupBy("bk", "bv", "ca", "cb").applyInArrow(
+        ham_block, "a_id long, b_id long, hamming long"
     )
 
 

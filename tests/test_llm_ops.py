@@ -222,3 +222,24 @@ def test_pca_projection_matches_numpy(spark, sf_dir):
     np.testing.assert_allclose(
         got[["pc1", "pc2"]].to_numpy(), expected, rtol=1e-9, atol=1e-6
     )
+
+
+def test_simhash_kernel_branch_equals_join_branch(spark, sf_dir):
+    """simhash_hamming_pairs is size-gated (JVM banded join below
+    _SH_KERNEL_MIN_DOCS, chunk-pair Arrow GEMM kernel above — the sf10
+    rehearsal's measured crossover). Both branches must emit the
+    IDENTICAL pair set: force the kernel at test scale and compare to
+    the join branch row-for-row. (At sf1 both match the DuckDB oracle's
+    agg-checksum 101118335183977372638837 — SCALING.md.)"""
+    from forex_data_pipeline_spark.queries import llm_ops
+
+    fn = catalog.REGISTRY["simhash_hamming_pairs"].fn
+    join_rows = {tuple(r) for r in fn(spark, sf_dir).collect()}
+    saved = llm_ops._SH_KERNEL_MIN_DOCS
+    try:
+        llm_ops._SH_KERNEL_MIN_DOCS = 0
+        kernel_rows = {tuple(r) for r in fn(spark, sf_dir).collect()}
+    finally:
+        llm_ops._SH_KERNEL_MIN_DOCS = saved
+    assert join_rows, "test corpus should produce simhash pairs"
+    assert kernel_rows == join_rows
