@@ -2766,6 +2766,12 @@ def bloom_pruned_contamination(
         )
         .groupBy("wrd")
         .agg(F.bit_or("b").alias("msk"))
+        # two differently-aliased broadcast selects consume this DF;
+        # without materializing it each branch re-runs the explode +
+        # bit_or over the train subtree (no ReusedExchange across
+        # differing projections). m-bounded (<= m/32 rows), so the
+        # checkpoint is constant-sized.
+        .localCheckpoint(eager=True)
     )
     eval_sh = (
         tagged.filter(~F.col("is_train"))

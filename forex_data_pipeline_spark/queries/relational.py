@@ -2922,6 +2922,16 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_DORMANT_RICH)
 
 
+#: fuzzy_name_pairs chunk-pair fan-out: rows-per-chunk target. Blocks
+#: are ~125 forever on this corpus (the business keys carry all the
+#: entropy), so per-block rows ~ n_cust/125 and a one-task-per-block
+#: GEMM saturates ~10x beyond sf10 (1.5M customers). C =
+#: clamp(n_cust/_FZ_CHUNK_ROWS, 1, 16) keeps C=1 (identical plan) at
+#: every bench SF and splits the quadratic in-block work into
+#: C(C+1)/2 tasks beyond. Tests force it small to pin branch equality.
+_FZ_CHUNK_ROWS = 2_000_000
+
+
 @register(
     "fuzzy_name_pairs",
     oracle="""
@@ -2985,9 +2995,20 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(the entropy is ~log10(n) digits). The GEMM kernel does the "
     "same quadratic candidate work at BLAS throughput instead: "
     "sf10 345s -> ~35s, sf1 7.3s -> ~2s, oracle hash unchanged at "
-    "every scale. At ~10x beyond sf10, single-block GEMMs would "
-    "need the chunk-pair fan-out embedding_near_dup_lsh already "
-    "implements (same kernel shape).",
+    "every scale.\n\n"
+    "Chunk-pair fan-out (round 8, the simhash/embedding-LSH "
+    "pattern): blocks are ~125 forever on this corpus, so per-block "
+    "rows grow linearly and a one-task-per-block GEMM becomes a "
+    "straggler ~10x beyond sf10. Rows hash into C chunks "
+    "(C = clamp(n_cust / _FZ_CHUNK_ROWS, 1, 16)); each block becomes "
+    "C(C+1)/2 chunk-pair groups, each computing only its cross-chunk "
+    "(or in-chunk, on the diagonal) pairs — every unordered pair "
+    "lands in exactly one group, so the union over groups is the "
+    "single-block result by construction. C=1 degenerates to the "
+    "single-task-per-block plan (one group per block), so there is "
+    "ONE code path and no branch to diverge; "
+    "tests/test_skew_bucketing.py pins forced-fan-out == C=1 == "
+    "oracle at test scale.",
     tags=("join", "text", "similarity"),
 )
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2998,6 +3019,14 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("c_name").alias("name_len"),
         F.substring("c_name", 1, 4).alias("name_pfx"),
         "c_custkey", "c_name",
+    )
+    # one driver scalar (metadata-cheap count) sizes the fan-out; at
+    # bench SFs C=1 and the plan is the familiar one-task-per-block
+    n_cust = cu.count()
+    n_chunks = int(min(16, max(1, n_cust // _FZ_CHUNK_ROWS)))
+    chunk_pairs = spark.createDataFrame(
+        [(a, b) for a in range(n_chunks) for b in range(a, n_chunks)],
+        "ca int, cb int",
     )
 
     def block_kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -3014,9 +3043,17 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = len(pdf)
         if n < 2:
             return empty
+        ca = int(pdf["ca"].iloc[0])
+        cb = int(pdf["cb"].iloc[0])
+        ch = pdf["c"].to_numpy(dtype=np.int64)
         names = pdf["c_name"].tolist()
         ids = pdf["c_custkey"].to_numpy(dtype=np.int64)
         lch = int(pdf["name_len"].iloc[0])
+        diag = ca == cb
+        ia = np.nonzero(ch == ca)[0]
+        ib = ia if diag else np.nonzero(ch == cb)[0]
+        if len(ia) == 0 or len(ib) == 0 or (diag and len(ia) < 2):
+            return empty
         # codepoint matrix — unicode-safe, and the block key guarantees
         # every name here has exactly lch characters
         u32 = np.array(
@@ -3029,28 +3066,35 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             np.arange(n)[:, None],
             np.arange(lch)[None, :] * 8 + sym.astype(np.int64),
         ] = 1.0
+        xb, idb, ub = x[ib], ids[ib], u32[ib]
         dists: "dict[tuple[int, int], int]" = {}
-        step = max(1, (1 << 22) // n)
-        for s0 in range(0, n, step):
-            s1 = min(n, s0 + step)
-            m = x[s0:s1] @ x.T  # hashed match count >= true matches
-            cand = (m >= np.float32(lch - 2)) & (
-                ids[s0:s1, None] < ids[None, :]
-            )
+        step = max(1, (1 << 22) // max(1, len(ib)))
+        for s0 in range(0, len(ia), step):
+            sl = ia[s0:s0 + step]
+            m = x[sl] @ xb.T  # hashed match count >= true matches
+            cand = m >= np.float32(lch - 2)
+            if diag:
+                cand &= ids[sl][:, None] < idb[None, :]
             rr, cc = np.nonzero(cand)
             if len(rr) == 0:
                 continue
-            ham = (u32[s0 + rr] != u32[cc]).sum(axis=1)
+            ham = (u32[sl][rr] != ub[cc]).sum(axis=1)
             k = ham <= 2
-            for a, b, d in zip(ids[s0 + rr][k], ids[cc][k], ham[k]):
-                dists[(int(a), int(b))] = int(d)
-        # (2) shift pairs: exact uniqueness scan over 1-deletion variants
+            for a, b, d in zip(ids[sl][rr][k], idb[cc][k], ham[k]):
+                a, b = int(a), int(b)
+                # cross groups see each unordered pair once, in
+                # arbitrary id order — canonicalize
+                dists[(min(a, b), max(a, b))] = int(d)
+        # (2) shift pairs: exact uniqueness scan over 1-deletion
+        # variants of every row in the group; a cross pair counts only
+        # when its members sit in opposite chunks (diag: both in ca)
         if lch >= 2:
             var = np.empty((lch * n, lch - 1), dtype=np.uint32)
             for i in range(lch):
                 var[i * n:(i + 1) * n, :i] = u32[:, :i]
                 var[i * n:(i + 1) * n, i:] = u32[:, i + 1:]
             vid = np.tile(ids, lch)
+            vch = np.tile(ch, lch)
             flat = np.ascontiguousarray(var).view(
                 np.dtype((np.void, var.dtype.itemsize * (lch - 1)))
             ).ravel()
@@ -3063,12 +3107,24 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for g0, g1 in zip(starts, ends):
                 if g1 - g0 < 2:
                     continue
-                members = np.unique(vid[order[g0:g1]])
-                for ii in range(len(members)):
-                    for jj in range(ii + 1, len(members)):
-                        key = (int(members[ii]), int(members[jj]))
-                        if key not in dists:
-                            dists[key] = 2
+                sel = order[g0:g1]
+                gids, gch = vid[sel], vch[sel]
+                if diag:
+                    amem = np.unique(gids)
+                    for ii in range(len(amem)):
+                        for jj in range(ii + 1, len(amem)):
+                            key = (int(amem[ii]), int(amem[jj]))
+                            if key not in dists:
+                                dists[key] = 2
+                else:
+                    amem = np.unique(gids[gch == ca])
+                    bmem = np.unique(gids[gch == cb])
+                    for a in amem:
+                        for b in bmem:
+                            a2, b2 = int(a), int(b)
+                            key = (min(a2, b2), max(a2, b2))
+                            if key not in dists:
+                                dists[key] = 2
         if not dists:
             return empty
         return pd.DataFrame(
@@ -3080,8 +3136,17 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    per_block = cu.groupBy(
-        "c_nationkey", "c_mktsegment", "name_len", "name_pfx"
+    fanned = (
+        cu.withColumn(
+            "c",
+            F.pmod(F.xxhash64("c_custkey"), F.lit(n_chunks)).cast("int"),
+        )
+        .crossJoin(F.broadcast(chunk_pairs))
+        .filter((F.col("ca") == F.col("c")) | (F.col("cb") == F.col("c")))
+    )
+    per_block = fanned.groupBy(
+        "c_nationkey", "c_mktsegment", "name_len", "name_pfx",
+        "ca", "cb",
     ).applyInPandas(
         block_kernel,
         "c_nationkey int, c_mktsegment string, "

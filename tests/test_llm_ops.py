@@ -224,7 +224,9 @@ def test_pca_projection_matches_numpy(spark, sf_dir):
     )
 
 
-def test_simhash_kernel_branch_equals_join_branch(spark, sf_dir):
+def test_simhash_kernel_branch_equals_join_branch(
+    spark, sf_dir, monkeypatch
+):
     """simhash_hamming_pairs is size-gated (JVM banded join below
     _SH_KERNEL_MIN_DOCS, chunk-pair Arrow GEMM kernel above — the sf10
     rehearsal's measured crossover). Both branches must emit the
@@ -235,11 +237,27 @@ def test_simhash_kernel_branch_equals_join_branch(spark, sf_dir):
 
     fn = catalog.REGISTRY["simhash_hamming_pairs"].fn
     join_rows = {tuple(r) for r in fn(spark, sf_dir).collect()}
-    saved = llm_ops._SH_KERNEL_MIN_DOCS
-    try:
-        llm_ops._SH_KERNEL_MIN_DOCS = 0
-        kernel_rows = {tuple(r) for r in fn(spark, sf_dir).collect()}
-    finally:
-        llm_ops._SH_KERNEL_MIN_DOCS = saved
+    monkeypatch.setattr(llm_ops, "_SH_KERNEL_MIN_DOCS", 0)
+    kernel_rows = {tuple(r) for r in fn(spark, sf_dir).collect()}
     assert join_rows, "test corpus should produce simhash pairs"
     assert kernel_rows == join_rows
+
+
+def test_simhash_kernel_branch_matches_oracle_directly(
+    spark, sf_dir, oracle_con, monkeypatch
+):
+    """Strict DuckDB value-hash check of the KERNEL branch itself (the
+    120k-doc gate means the regular oracle sweep only ever exercises
+    the join branch at CI scales, leaving the kernel verified only
+    transitively kernel==join==oracle). Forcing the gate to 0 runs the
+    Arrow GEMM path against the same oracle directly."""
+    from tests.conftest import assert_df_matches_oracle
+
+    from forex_data_pipeline_spark.queries import llm_ops
+
+    spec = catalog.REGISTRY["simhash_hamming_pairs"]
+    monkeypatch.setattr(llm_ops, "_SH_KERNEL_MIN_DOCS", 0)
+    assert_df_matches_oracle(
+        spec.fn(spark, sf_dir), oracle_con, spec.oracle,
+        empty_ok=spec.empty_ok,
+    )

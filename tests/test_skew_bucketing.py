@@ -164,6 +164,45 @@ def test_fuzzy_blocking_is_lossless_on_current_names(spark, sf_dir):
     assert got == expected
 
 
+def test_fuzzy_fanout_branch_equals_single_block(
+    spark, sf_dir, monkeypatch
+):
+    """The chunk-pair fan-out (C>1) must emit the IDENTICAL final
+    aggregate as the degenerate C=1 single-task-per-block plan: force
+    a tiny per-chunk target so test scale fans out to the C=16 cap,
+    and compare row-for-row (the simhash branch-equality pattern)."""
+    from forex_data_pipeline_spark import catalog
+    from forex_data_pipeline_spark.queries import relational
+
+    catalog._ensure_loaded()
+    fn = catalog.REGISTRY["fuzzy_name_pairs"].fn
+    single = {tuple(r) for r in fn(spark, sf_dir).collect()}
+    monkeypatch.setattr(relational, "_FZ_CHUNK_ROWS", 10)
+    fanned = {tuple(r) for r in fn(spark, sf_dir).collect()}
+    assert single, "test corpus should produce close name pairs"
+    assert fanned == single
+
+
+def test_fuzzy_fanout_branch_matches_oracle_directly(
+    spark, sf_dir, oracle_con, monkeypatch
+):
+    """Strict DuckDB value-hash of the forced-fan-out path itself (at
+    bench SFs C=1, so the regular oracle sweep never exercises C>1
+    grouping/cross-chunk dedup directly)."""
+    from tests.conftest import assert_df_matches_oracle
+
+    from forex_data_pipeline_spark import catalog
+    from forex_data_pipeline_spark.queries import relational
+
+    catalog._ensure_loaded()
+    spec = catalog.REGISTRY["fuzzy_name_pairs"]
+    monkeypatch.setattr(relational, "_FZ_CHUNK_ROWS", 10)
+    assert_df_matches_oracle(
+        spec.fn(spark, sf_dir), oracle_con, spec.oracle,
+        empty_ok=spec.empty_ok,
+    )
+
+
 def test_asof_bucketed_duplicate_right_ts_is_deterministic(spark):
     """Two right rows at the SAME (key, timestamp) with different
     values: the bucketed carry summary must pick deterministically
