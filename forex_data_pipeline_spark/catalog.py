@@ -44,6 +44,14 @@ class QuerySpec:
     # vacuously hash-equal), so the harness FAILS empty oracles unless
     # the query is a violation detector where 0 rows IS the pass state
     empty_ok: bool = False
+    # output column whose md5-bucket partitions the RESULT SET for the
+    # sharded per-bucket checksum fallback (scripts/driver_sim.py): at
+    # rehearsal SFs DuckDB can exceed container disk materializing a
+    # heavy oracle in one shot; a bucket filter on this column pushes
+    # below the oracle's joins/aggregations so peak spill divides by
+    # the bucket count. Sharding is a partition of rows — soundness is
+    # unconditional; only the peak-reduction is query-dependent.
+    shard_key: str | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -55,6 +63,7 @@ def register(
     doc: str = "",
     tags: tuple[str, ...] = (),
     empty_ok: bool = False,
+    shard_key: str | None = None,
 ) -> Callable:
     """Decorator: register fn(spark, sf_dir) -> DataFrame under ``name``."""
 
@@ -66,7 +75,8 @@ def register(
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
         REGISTRY[name] = QuerySpec(
-            name, wrapped, oracle, doc or (fn.__doc__ or ""), tags, empty_ok
+            name, wrapped, oracle, doc or (fn.__doc__ or ""), tags,
+            empty_ok, shard_key,
         )
         return wrapped
 

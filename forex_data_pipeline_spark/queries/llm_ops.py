@@ -339,6 +339,7 @@ _LSH_PAIRS_ORACLE = f"""
     "agreement (wide row-to-row, no per-hash self-join), thresholded "
     "at 0.5. THE scalable near-dup dedup for 100 TB corpora.",
     tags=("llm", "dedup", "join"),
+    shard_key="a_id",
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One materialization of the signature table (docs × K longs); the
@@ -583,6 +584,7 @@ def _near_dup_pair_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     "verify, LSH-candidate generation, measured recall) and the "
     "MinHash/SimHash/ANN family; this op is their exact yardstick.",
     tags=("llm", "dedup", "similarity"),
+    shard_key="a_id",
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (
@@ -1075,6 +1077,7 @@ _SH_CAND_SQL = " UNION ".join(
     "the chunk-pair fan-out spreads the hot bucket's quadratic work "
     "over C(C+1)/2 tasks instead of one straggler.",
     tags=("llm", "dedup", "join"),
+    shard_key="a_id",
 )
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import simhash_bit_sums, simhash_from_sums
@@ -1679,6 +1682,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "op itself is deterministic, so it hash-checks against the "
     "identical DuckDB banding end-to-end.",
     tags=("llm", "dedup", "similarity"),
+    shard_key="a_id",
 )
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
@@ -2148,6 +2152,7 @@ def array_higher_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "so the hit count is exact; the rate is an integer/integer "
     "divide and the 5% flag an integer compare — no float drift.",
     tags=("llm", "text", "dedup", "join"),
+    shard_key="doc_id",
 )
 def cross_corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _doc_shingles(spark, sf_dir)
@@ -2723,6 +2728,7 @@ def _bloom_bit_sql(expr: str, idx: int) -> str:
     "as MinHash (indexes 8/9, disjoint from the signature), exact "
     "64-bit integers in both engines.",
     tags=("llm", "text", "dedup", "join", "sketch"),
+    shard_key="doc_id",
 )
 def bloom_pruned_contamination(
     spark: SparkSession, sf_dir: str
@@ -3734,6 +3740,7 @@ _INC_EST_SQL = (
     "reused from minhash_lsh_pairs: one join, no distinct over the "
     "candidate×band blow-up.",
     tags=("llm", "dedup", "join", "incremental"),
+    shard_key="older_id",
 )
 def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _sig_wide(spark, sf_dir).localCheckpoint(eager=True)
@@ -4668,6 +4675,7 @@ _SPAN_W = 8  # exact-substring window width, in tokens
     "pipeline's dedup stage (extract_forex.py:214 drop_duplicates) "
     "generalized to sub-document granularity.",
     tags=("llm", "dedup", "text"),
+    shard_key="doc_id",
 )
 def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(load(spark, sf_dir, "documents"))

@@ -64,6 +64,62 @@ def test_agg_checksum_column_order_is_name_sorted(spark, oracle_con):
     assert s == d
 
 
+def test_sharded_checksum_matches_identical_results(spark, oracle_con):
+    """Per-bucket fold over the shard key must agree bucket-for-bucket
+    with DuckDB executing one bucket at a time (the sf10 fallback for
+    oracles that exhaust DuckDB's spill disk in one shot)."""
+    from driver_sim import _sharded_checksum
+
+    df = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .selectExpr("doc_id", "lang", "CAST(n_chars AS BIGINT) AS n_chars")
+    )
+    s, d, dropped = _sharded_checksum(df, oracle_con, _docs_sql(),
+                                      "doc_id", 8)
+    assert dropped == []
+    assert s == d and len(s) > 1  # really split across buckets
+    assert sum(v[0] for v in s.values()) > 0
+
+
+def test_sharded_checksum_detects_single_row_difference(spark, oracle_con):
+    from driver_sim import _sharded_checksum
+
+    df = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .selectExpr("doc_id", "lang", "CAST(n_chars AS BIGINT) AS n_chars")
+    )
+    mn = oracle_con.execute(
+        f"SELECT min(doc_id) FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchone()[0]
+    s, d, _ = _sharded_checksum(
+        df, oracle_con, _docs_sql(f"doc_id <> {mn}"), "doc_id", 8
+    )
+    assert s != d
+    assert sum(v[0] for v in s.values()) == sum(v[0] for v in d.values()) + 1
+
+
+def test_sharded_checksum_drops_float_columns_honestly(spark, oracle_con):
+    """Float outputs are excluded from the row key (engine-specific
+    VARCHAR rendering) and REPORTED — the integer columns still check."""
+    from driver_sim import _sharded_checksum
+
+    df = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .selectExpr(
+            "doc_id", "CAST(n_chars AS BIGINT) AS n_chars",
+            "CAST(n_chars AS DOUBLE) / 7 AS ratio",
+        )
+    )
+    sql = (
+        "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, "
+        "CAST(n_chars AS DOUBLE) / 7 AS ratio "
+        f"FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    s, d, dropped = _sharded_checksum(df, oracle_con, sql, "doc_id", 4)
+    assert dropped == ["ratio"]
+    assert s == d
+
+
 def test_merkle_fingerprint_partitioning_invariant(spark, tmp_path):
     """The manifest must be identical however the table is laid out on
     disk or shuffled at runtime — the property that makes it usable to
