@@ -1,14 +1,17 @@
 #!/usr/bin/env python
 """Per-query bench regression check against a baseline bench JSON.
 
-The reference publishes no benchmark numbers (BASELINE.md), so prior
-rounds' BENCH_r{N}.json are the de-facto baseline. With no explicit
-baseline argument, the baseline for each query is its PREVIOUS BEST
-across every recorded round — comparing only against a fixed early
-round masked the round-3 fuzzy_name_pairs regression, because that
-query happened to be slow in round 1 too (r3 verdict finding #2).
-Runs `bench.py`, compares each query's wall time, and flags
-regressions beyond the threshold (default 1.5x).
+The reference publishes no benchmark numbers (BASELINE.md), so the
+default baseline is BENCH_baseline.json — a canary-bearing per-query
+record (round 8: min of 5 solo foreground runs) that supersedes the
+canary-less r1-r5 bests, which produced unfalsifiable raw-drift flags
+(r7's exact_substring_spans adjudication, recorded in that file's
+provenance block). If BENCH_baseline.json is absent, falls back to the
+per-query PREVIOUS BEST across every BENCH_r*.json — comparing only
+against a fixed early round masked the round-3 fuzzy_name_pairs
+regression, because that query happened to be slow in round 1 too
+(r3 verdict finding #2). Runs `bench.py`, compares each query's wall
+time, and flags regressions beyond the threshold (default 1.5x).
 
 Host normalization: hosts vary across rounds (round 6 measured a
 uniform 1.08-1.58x drift on identical code+data — 19 false raw flags).
@@ -96,11 +99,18 @@ def main() -> int:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 1.5
 
+    default_base = os.path.join(repo, "BENCH_baseline.json")
     if len(sys.argv) > 1:
         base = _load_bench(sys.argv[1])
         base["canaries"] = {
             name: _canary(base) for name in base.get("queries", {})
         }
+    elif os.path.exists(default_base):
+        base = _load_bench(default_base)
+        base["canaries"] = {
+            name: _canary(base) for name in base.get("queries", {})
+        }
+        print("baseline: BENCH_baseline.json (canary-bearing)")
     else:
         base = _best_of_rounds(repo)
 
