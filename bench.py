@@ -110,10 +110,13 @@ def main() -> None:
     # best-of-2 per query: single runs at these scales carry ±0.3-0.5 s
     # of scheduler/GC noise, which is larger than most queries — the min
     # is the standard low-variance statistic for short benchmarks.
+    # BENCH_RUNS=1 for rehearsal SFs where queries run minutes and the
+    # noise floor is irrelevant (sf10: triangle ~9 min/run).
+    n_runs = max(1, int(os.environ.get("BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(n_runs):
             # Release the previous query's executor-side state BEFORE the
             # timed section: localCheckpoint blocks are only freed when
             # the Python DataFrame is GC'd and the JVM ContextCleaner

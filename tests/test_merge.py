@@ -416,3 +416,90 @@ def test_merge_versioned_cas_concurrent_writers_both_land(
     # both merges present: k=2 updated by B, k=3 inserted by C, k=1 kept
     assert final == {(1, "a", 1), (2, "B", 2), (3, "C", 2)}
     assert latest_version(path) == 2
+
+
+def test_reader_snapshot_isolation_under_merge_and_vacuum(
+    spark, tmp_path
+):
+    """A reader pinned to version N while a concurrent writer lands
+    N+1, N+2, ... and vacuums to keep_last=2 must read N CONSISTENTLY
+    for as long as N's files exist, and fail with a CLEAN error once
+    VACUUM removes them — never silently partial or mixed-version
+    data. (Delta calls this reader-side snapshot isolation; the COW
+    ledger gets it from immutable v=<n> dirs + manifest-first
+    resolution, and the failure mode after retention expiry from
+    Spark's default ignoreMissingFiles=false.)"""
+    import threading
+
+    from forex_data_pipeline_spark.sources.writers import (
+        latest_version,
+        merge_versioned_cas,
+        read_version,
+        vacuum_versions,
+        write_version_cas,
+    )
+
+    assert spark.conf.get("spark.sql.files.ignoreMissingFiles") == "false"
+
+    path = f"{tmp_path}/t"
+    base = [(i, 0) for i in range(10)]
+    write_version_cas(
+        spark.createDataFrame(base, "k int, ver int"), path
+    )
+    pinned_v = latest_version(path)
+    pinned = read_version(spark, path, pinned_v)
+    snapshot0 = {tuple(r) for r in pinned.collect()}
+    assert snapshot0 == set(base)
+
+    stop = threading.Event()
+    writer_err: list = []
+
+    def writer() -> None:
+        try:
+            for j in range(1, 7):
+                upd = spark.createDataFrame(
+                    [(100 + j, j)], "k int, ver int"
+                )
+                merge_versioned_cas(spark, path, upd, ["k"])
+                vacuum_versions(path, keep_last=2)
+        except Exception as exc:  # noqa: BLE001
+            writer_err.append(exc)
+        finally:
+            stop.set()
+
+    t = threading.Thread(target=writer)
+    t.start()
+    consistent_reads = 0
+    clean_expiry = 0
+    try:
+        while not stop.is_set() or clean_expiry == 0:
+            try:
+                # re-resolve from the PINNED version number each pass
+                # (a fresh DataFrame, like a new reader session asking
+                # for time travel to N)
+                got = {
+                    tuple(r)
+                    for r in read_version(spark, path, pinned_v).collect()
+                }
+            except Exception:  # noqa: BLE001
+                # N vacuumed away: clean job-level failure is the
+                # contract (no partial rows may have been returned)
+                clean_expiry += 1
+                if stop.is_set():
+                    break
+                continue
+            assert got == snapshot0, (
+                f"pinned read of v={pinned_v} returned foreign rows: "
+                f"{got ^ snapshot0}"
+            )
+            consistent_reads += 1
+    finally:
+        t.join()
+    assert not writer_err, writer_err
+    # the race must have exercised BOTH phases: consistent pinned reads
+    # while N lived, clean errors after retention removed it
+    assert consistent_reads > 0
+    assert clean_expiry > 0
+    # and the writer's 6 merges all landed on top
+    final = {tuple(r) for r in read_version(spark, path).collect()}
+    assert final == set(base) | {(100 + j, j) for j in range(1, 7)}
