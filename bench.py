@@ -127,6 +127,20 @@ def main() -> None:
             spark.catalog.clearCache()
             gc.collect()
             spark.sparkContext._jvm.System.gc()
+            # clearCache+gc only ENQUEUE localCheckpoint block removal
+            # (ContextCleaner is async and the weak-ref chain through
+            # py4j can lag >15 s); at sf10 the blocks are big enough
+            # that the next query starts against a still-full storage
+            # pool and pays eviction/spill instead of compute
+            # (measured: exact_substring_spans 149.6 s in-suite vs
+            # 40.9 s solo at sf10). Between queries every persistent
+            # RDD is DEAD by construction (results are count()'d and
+            # dropped), so unpersist them explicitly and BLOCKING —
+            # deterministic, instant drain.
+            sc = spark.sparkContext._jsc.sc()
+            prdds = sc.getPersistentRDDs().toList()
+            for i in range(prdds.size()):
+                prdds.apply(i)._2().unpersist(True)
             t0 = time.perf_counter()
             catalog.REGISTRY[name].fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
