@@ -2663,11 +2663,12 @@ def _bloom_bit_sql(expr: str, idx: int) -> str:
 @register(
     "bloom_pruned_contamination",
     oracle=f"""
-    WITH sh AS ({_SH_CTE}),
+    WITH sh AS NOT MATERIALIZED ({_SH_CTE}),
     side AS (SELECT doc_id, strlen(source) = 4 AS is_train
              FROM documents),
-    tagged AS (SELECT sh.doc_id, sh.sh, side.is_train
-               FROM sh JOIN side ON sh.doc_id = side.doc_id),
+    tagged AS NOT MATERIALIZED
+           (SELECT sh.doc_id, sh.sh, side.is_train
+            FROM sh JOIN side ON sh.doc_id = side.doc_id),
     train_sh AS (SELECT DISTINCT sh FROM tagged WHERE is_train),
     p AS (SELECT {_BLOOM_M_SQL} AS m
           FROM (SELECT count(*) AS n FROM train_sh)),
@@ -2678,10 +2679,17 @@ def _bloom_bit_sql(expr: str, idx: int) -> str:
                      bit_or(CAST(1 AS BIGINT)
                             << CAST(bit % 32 AS INT)) AS msk
               FROM occ GROUP BY 1),
-    eval_sh AS (SELECT doc_id, sh,
-                       {_bloom_bit_sql('sh', 8)} AS bit0,
-                       {_bloom_bit_sql('sh', 9)} AS bit1
-                FROM tagged, p WHERE NOT is_train),
+    -- NOT MATERIALIZED on the corpus-sized CTEs (round 8): DuckDB
+    -- materializes multi-referenced CTEs, which (a) blocks the sharded
+    -- per-bucket doc_id filter from ever pushing into the tokenize
+    -- and (b) spilled >75 GB at the sf10 rehearsal. Inlining trades
+    -- a second tokenize pass for streaming pipelines and pushdown;
+    -- train_sh/words stay materialized (m-bounded / distinct-bounded).
+    eval_sh AS NOT MATERIALIZED
+            (SELECT doc_id, sh,
+                    {_bloom_bit_sql('sh', 8)} AS bit0,
+                    {_bloom_bit_sql('sh', 9)} AS bit1
+             FROM tagged, p WHERE NOT is_train),
     cand AS (SELECT doc_id, sh FROM eval_sh
              JOIN words w0 ON w0.wrd = bit0 >> 5
               AND (w0.msk & (CAST(1 AS BIGINT)
