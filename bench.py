@@ -76,6 +76,22 @@ HEADLINE: tuple[str, ...] = (
     "ks_drift_exact",
 )
 
+#: Secondary suite (BENCH_SET=extended → BENCH_extended.json): heavy
+#: queries that had never been benched while the headline set stayed
+#: fixed since r5 — a perf regression in the never-benched 270 could
+#: hide indefinitely (r8 verdict item 5). Solo, canary-gated, compared
+#: via scripts/bench_compare.py against BENCH_extended.json.
+EXTENDED: tuple[str, ...] = (
+    "dedup_clusters",
+    "cross_corpus_contamination",
+    "semdedup_prune",
+    "pagerank_part_graph",
+    "bfs_khop_reach",
+    "ols_normal_equations",
+    "embedding_near_dup_lsh",
+    "udtf_user_session_stats",
+)
+
 #: The round-1 headline set (BENCH_r01.json) — emitted as a separate
 #: subtotal so per-round totals stay apples-to-apples as the headline
 #: set widens.
@@ -97,7 +113,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("forex-spark-bench")
     catalog._ensure_loaded()
-    names = [n for n in HEADLINE if n in catalog.REGISTRY]
+    bench_set = os.environ.get("BENCH_SET", "headline")
+    pool = EXTENDED if bench_set == "extended" else HEADLINE
+    names = [n for n in pool if n in catalog.REGISTRY]
     extra = os.environ.get("BENCH_QUERIES")
     if extra == "all":
         names = sorted(catalog.REGISTRY)
@@ -137,6 +155,13 @@ def main() -> None:
             # RDD is DEAD by construction (results are count()'d and
             # dropped), so unpersist them explicitly and BLOCKING —
             # deterministic, instant drain.
+            # INVARIANT this relies on (also stated at the @register
+            # contract in catalog.py): a registered query must not
+            # retain checkpointed/persisted state across calls — each
+            # call builds its localCheckpoints fresh. If a query ever
+            # cached a DataFrame in a module global for reuse, this
+            # loop would truncate its lineage and the NEXT call would
+            # die with missing checkpoint blocks.
             sc = spark.sparkContext._jsc.sc()
             prdds = sc.getPersistentRDDs().toList()
             for i in range(prdds.size()):
@@ -173,7 +198,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline-suite wall time",
+                "metric": f"{bench_set}-suite wall time",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "stat": "best-of-2",

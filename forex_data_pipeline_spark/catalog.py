@@ -21,6 +21,13 @@ Determinism discipline (hash-matching contract):
 - Sequential recurrences (EMA, Heikin-Ashi, clamped balance) run as
   applyInPandas kernels executing the same IEEE op sequence as a
   DuckDB RECURSIVE CTE → strict equality without rounding.
+
+Lifecycle contract: a registered query must be SELF-CONTAINED per call
+— it may localCheckpoint/persist intermediates it builds during the
+call, but must never retain a checkpointed/persisted DataFrame in
+module state for reuse across calls. bench.py blocking-unpersists ALL
+persistent RDDs between queries (dead-block hygiene); cross-call
+cached state would have its lineage truncated and fail on the next use.
 """
 
 from __future__ import annotations
@@ -52,6 +59,19 @@ class QuerySpec:
     # the bucket count. Sharding is a partition of rows — soundness is
     # unconditional; only the peak-reduction is query-dependent.
     shard_key: str | None = None
+    # optional SOURCE-pushed sharded-oracle template: the full oracle
+    # SQL with a ``{pred}`` placeholder placed where a boolean over the
+    # shard_key restricts the oracle's PER-ROW side at the SOURCE (e.g.
+    # eval documents before tokenization), while global state (train
+    # sets, sketch params) stays full. Used by driver_sim's sharded
+    # mode instead of wrapping the plain oracle in an outer WHERE —
+    # required when the optimizer cannot push the outer bucket filter
+    # below the oracle's heavy CTEs (round 8: bloom's 8-bucket retry
+    # still exceeded the container spill disk because the filter never
+    # reached the tokenize). Correctness: the template must return
+    # EXACTLY the rows of the plain oracle whose shard_key satisfies
+    # pred.
+    oracle_sharded: str | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -64,6 +84,7 @@ def register(
     tags: tuple[str, ...] = (),
     empty_ok: bool = False,
     shard_key: str | None = None,
+    oracle_sharded: str | None = None,
 ) -> Callable:
     """Decorator: register fn(spark, sf_dir) -> DataFrame under ``name``."""
 
@@ -76,7 +97,7 @@ def register(
         wrapped.__doc__ = fn.__doc__
         REGISTRY[name] = QuerySpec(
             name, wrapped, oracle, doc or (fn.__doc__ or ""), tags,
-            empty_ok, shard_key,
+            empty_ok, shard_key, oracle_sharded,
         )
         return wrapped
 

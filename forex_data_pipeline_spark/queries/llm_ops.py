@@ -44,11 +44,22 @@ MINHASH_K = 8          # signature length
 LSH_BANDS = 2          # bands × rows: 2 × 4 — candidates at est-J ≥ ~0.5
 LSH_ROWS = MINHASH_K // LSH_BANDS
 
-_TOK_CTE = f"SELECT doc_id, {tokens_sql('text')} AS toks FROM documents"
-_SH_CTE = (
-    f"SELECT DISTINCT doc_id, unnest({shingles_sql('toks', 5)}) AS sh "
-    f"FROM ({_TOK_CTE})"
-)
+def _tok_cte(src: str = "documents") -> str:
+    """Tokenize CTE over an arbitrary documents-shaped source — the
+    ``src`` knob exists for source-pushed sharded oracles, where the
+    per-bucket doc filter must apply BEFORE tokenization."""
+    return f"SELECT doc_id, {tokens_sql('text')} AS toks FROM {src}"
+
+
+def _sh_cte(src: str = "documents") -> str:
+    return (
+        f"SELECT DISTINCT doc_id, unnest({shingles_sql('toks', 5)}) AS sh "
+        f"FROM ({_tok_cte(src)})"
+    )
+
+
+_TOK_CTE = _tok_cte()
+_SH_CTE = _sh_cte()
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -2628,6 +2639,8 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: independent.
 _BLOOM_M_LOGS = tuple(range(20, 27))
 _BLOOM_HASHES = (8, 9)
+#: 32-bit lane mask within a packed word: 1 << (bit % 32), as BIGINT
+_BLOOM_LANE = "shiftleft(CAST(1 AS BIGINT), CAST({b} % 32 AS INT))"
 
 
 def _bloom_m_of(n_train: int) -> int:
@@ -2660,12 +2673,66 @@ def _bloom_bit_sql(expr: str, idx: int) -> str:
     return f"({minhash_value_sql(expr, idx)} % p.m)"
 
 
-@register(
-    "bloom_pruned_contamination",
-    oracle=f"""
-    WITH sh AS NOT MATERIALIZED ({_SH_CTE}),
+def _bloom_build(spark: SparkSession, sf_dir: str):
+    """Shared bloom-filter construction: returns
+    ``(tagged, train_sh, m, words_raw)`` where ``words_raw`` is the
+    bit-packed word table BEFORE its localCheckpoint — exposed so the
+    plan lock in tests/test_plans.py can assert the bit_or packing
+    aggregation on the word table's own lineage (the checkpoint in the
+    query proper truncates it to a Scan ExistingRDD)."""
+    sh = _doc_shingles(spark, sf_dir)
+    side = load(spark, sf_dir, "documents").select(
+        "doc_id", (F.length("source") == 4).alias("is_train")
+    )
+    # The shingle table feeds five consumers (train set, occupied bits,
+    # eval totals, candidate prune, verify join); without materializing
+    # it each consumer re-tokenizes the corpus (16 scans, no exchange
+    # reuse — the projections differ). One linear, partition-parallel
+    # materialization; on a cluster this is persist(DISK_ONLY)/
+    # checkpoint of the (doc_id, shingle, side) relation.
+    tagged = sh.join(side, "doc_id").localCheckpoint(eager=True)
+    train_sh = (
+        tagged.filter(F.col("is_train")).select("sh").distinct()
+        .localCheckpoint(eager=True)  # reused by occ and the verify join
+    )
+    # adaptive filter size from the EXACT train cardinality (cheap on
+    # the checkpointed distinct set; one driver scalar) — the oracle's
+    # params CTE runs the identical CASE ladder on the identical count
+    m = _bloom_m_of(train_sh.count())
+    occ = (
+        train_sh.select(
+            F.explode(
+                F.array(
+                    _bloom_bit(F.col("sh"), 8, m),
+                    _bloom_bit(F.col("sh"), 9, m),
+                )
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    # bit-packed broadcast form: <= m/32 (wrd, msk) rows
+    words_raw = (
+        occ.select(
+            F.shiftright("bit", 5).alias("wrd"),
+            F.expr(_BLOOM_LANE.format(b="bit")).alias("b"),
+        )
+        .groupBy("wrd")
+        .agg(F.bit_or("b").alias("msk"))
+    )
+    return tagged, train_sh, m, words_raw
+
+
+def _bloom_oracle_sql(head: str, src: str) -> str:
+    """Bloom oracle body over a documents-shaped source ``src``. Two
+    instantiations: the plain oracle (src='documents') and the
+    source-pushed sharded template (src='docs_f', a bucket-filtered
+    CTE supplied via ``head``) — identical logic, so the sharded mode
+    can never drift from the strict oracle."""
+    return f"""
+    {head}
+    sh AS NOT MATERIALIZED ({_sh_cte(src)}),
     side AS (SELECT doc_id, strlen(source) = 4 AS is_train
-             FROM documents),
+             FROM {src}),
     tagged AS NOT MATERIALIZED
            (SELECT sh.doc_id, sh.sh, side.is_train
             FROM sh JOIN side ON sh.doc_id = side.doc_id),
@@ -2715,7 +2782,27 @@ def _bloom_bit_sql(expr: str, idx: int) -> str:
     FROM tot
     LEFT JOIN cc ON tot.doc_id = cc.doc_id
     LEFT JOIN hit ON tot.doc_id = hit.doc_id
-    """,
+    """
+
+
+@register(
+    "bloom_pruned_contamination",
+    oracle=_bloom_oracle_sql("WITH", "documents"),
+    # Source-pushed sharded template (driver_sim rehearsal-SF mode):
+    # the bucket predicate restricts EVAL documents before the
+    # tokenize, while train docs (strlen(source)=4) are always kept —
+    # train_sh, m, occ, words are computed over the FULL train set in
+    # every bucket, so each bucket's output rows equal the plain
+    # oracle's rows for that bucket's doc_ids. Peak spill per bucket
+    # ~ train_half + eval_half/B instead of the full corpus (round 8's
+    # outer-WHERE sharding never pushed below the tokenize and blew
+    # the 78 GB spill disk at sf10 even with 8 buckets).
+    oracle_sharded=_bloom_oracle_sql(
+        "WITH docs_f AS NOT MATERIALIZED "
+        "(SELECT doc_id, source, text FROM documents "
+        "WHERE strlen(source) = 4 OR ({pred})),",
+        "docs_f",
+    ),
     doc="Decontamination with Bloom-filter pruning — the 100 TB form "
     "of cross_corpus_contamination. The train shingle set is folded "
     "into a Bloom filter whose size ADAPTS to the exact train "
@@ -2741,52 +2828,13 @@ def _bloom_bit_sql(expr: str, idx: int) -> str:
 def bloom_pruned_contamination(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    sh = _doc_shingles(spark, sf_dir)
-    side = load(spark, sf_dir, "documents").select(
-        "doc_id", (F.length("source") == 4).alias("is_train")
-    )
-    # The shingle table feeds five consumers (train set, occupied bits,
-    # eval totals, candidate prune, verify join); without materializing
-    # it each consumer re-tokenizes the corpus (16 scans, no exchange
-    # reuse — the projections differ). One linear, partition-parallel
-    # materialization; on a cluster this is persist(DISK_ONLY)/
-    # checkpoint of the (doc_id, shingle, side) relation.
-    tagged = sh.join(side, "doc_id").localCheckpoint(eager=True)
-    train_sh = (
-        tagged.filter(F.col("is_train")).select("sh").distinct()
-        .localCheckpoint(eager=True)  # reused by occ and the verify join
-    )
-    # adaptive filter size from the EXACT train cardinality (cheap on
-    # the checkpointed distinct set; one driver scalar) — the oracle's
-    # params CTE runs the identical CASE ladder on the identical count
-    m = _bloom_m_of(train_sh.count())
-    occ = (
-        train_sh.select(
-            F.explode(
-                F.array(
-                    _bloom_bit(F.col("sh"), 8, m),
-                    _bloom_bit(F.col("sh"), 9, m),
-                )
-            ).alias("bit")
-        )
-        .distinct()
-    )
-    # bit-packed broadcast form: <= m/32 (wrd, msk) rows
-    lane = "shiftleft(CAST(1 AS BIGINT), CAST({b} % 32 AS INT))"
-    words = (
-        occ.select(
-            F.shiftright("bit", 5).alias("wrd"),
-            F.expr(lane.format(b="bit")).alias("b"),
-        )
-        .groupBy("wrd")
-        .agg(F.bit_or("b").alias("msk"))
-        # two differently-aliased broadcast selects consume this DF;
-        # without materializing it each branch re-runs the explode +
-        # bit_or over the train subtree (no ReusedExchange across
-        # differing projections). m-bounded (<= m/32 rows), so the
-        # checkpoint is constant-sized.
-        .localCheckpoint(eager=True)
-    )
+    tagged, train_sh, m, words_raw = _bloom_build(spark, sf_dir)
+    # two differently-aliased broadcast selects consume the word table;
+    # without materializing it each branch re-runs the explode + bit_or
+    # over the train subtree (no ReusedExchange across differing
+    # projections). m-bounded (<= m/32 rows), so the checkpoint is
+    # constant-sized.
+    words = words_raw.localCheckpoint(eager=True)
     eval_sh = (
         tagged.filter(~F.col("is_train"))
         .select(
@@ -2806,7 +2854,7 @@ def bloom_pruned_contamination(
             ),
             "w0",
         )
-        .filter(F.expr(f"(m0 & {lane.format(b='bit0')}) != 0"))
+        .filter(F.expr(f"(m0 & {_BLOOM_LANE.format(b='bit0')}) != 0"))
         .withColumn("w1", F.shiftright("bit1", 5))
         .join(
             F.broadcast(
@@ -2816,7 +2864,7 @@ def bloom_pruned_contamination(
             ),
             "w1",
         )
-        .filter(F.expr(f"(m1 & {lane.format(b='bit1')}) != 0"))
+        .filter(F.expr(f"(m1 & {_BLOOM_LANE.format(b='bit1')}) != 0"))
         .select("doc_id", "sh")
     )
     tot = eval_sh.groupBy("doc_id").agg(

@@ -319,6 +319,29 @@ def latest_version(table_dir: str) -> "int | None":
         return int(f.read().strip())
 
 
+_FILELIST = "_filelist"
+
+
+def _write_filelist(version_dir: str) -> None:
+    """Record the version's data files inside the version dir BEFORE it
+    is published (the transaction-log analogue of Delta listing data
+    files in the commit json). Readers resolve files from this list,
+    never from a directory listing — a directory listing raced against
+    a concurrent VACUUM's rmtree can return a SUBSET of part files and
+    silently serve torn (partial) data, the exact failure the
+    stress test in tests/test_merge.py caught: with an explicit file
+    list, a vacuumed file fails the scan (FileNotFound → clean job
+    error), it can never shrink the scan."""
+    parts = sorted(
+        f for f in os.listdir(version_dir)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+    tmp = os.path.join(version_dir, f".{_FILELIST}.{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write("\n".join(parts))
+    os.replace(tmp, os.path.join(version_dir, _FILELIST))
+
+
 def write_version(df: DataFrame, table_dir: str) -> int:
     """Copy-on-write versioned write (Delta/Iceberg-style time travel,
     minus the transaction log): data lands in ``v=<n>``, then a tiny
@@ -331,7 +354,9 @@ def write_version(df: DataFrame, table_dir: str) -> int:
     os.makedirs(table_dir, exist_ok=True)
     cur = latest_version(table_dir)
     nxt = 0 if cur is None else cur + 1
-    df.write.mode("overwrite").parquet(os.path.join(table_dir, f"v={nxt}"))
+    vdir = os.path.join(table_dir, f"v={nxt}")
+    df.write.mode("overwrite").parquet(vdir)
+    _write_filelist(vdir)  # before the manifest flip publishes it
     tmp = os.path.join(table_dir, f".{_LATEST}.{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         f.write(str(nxt))
@@ -343,11 +368,31 @@ def read_version(
     spark: SparkSession, table_dir: str, version: "int | None" = None
 ) -> DataFrame:
     """Time-travel read: ``version=None`` resolves the committed
-    latest via the manifest."""
+    latest via the manifest.
+
+    The scan is built from the version's ``_filelist`` (written at
+    commit time), NOT a directory listing: listing a version dir that
+    a concurrent VACUUM is rmtree-ing can return a subset of part
+    files and silently serve torn data (caught by the r9 stress test
+    in tests/test_merge.py). With explicit paths every vacuumed file
+    fails the scan cleanly (FileNotFound), and a fully-vacuumed
+    version fails at filelist-open — the reader contract is committed
+    snapshot or clean error, never partial. Legacy version dirs
+    without a filelist fall back to the directory scan."""
     v = latest_version(table_dir) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
-    return spark.read.parquet(os.path.join(table_dir, f"v={v}"))
+    vdir = os.path.join(table_dir, f"v={v}")
+    # No directory-listing fallback when the filelist is gone: every
+    # ledger writer commits one, so its absence means a VACUUM is (or
+    # was) removing this version — rmtree deletes the filelist and the
+    # part files in arbitrary order, and listing the half-deleted dir
+    # would serve a silent subset. Missing filelist → clean error.
+    with open(os.path.join(vdir, _FILELIST)) as f:
+        parts = [ln for ln in f.read().splitlines() if ln]
+    if not parts:  # empty-table version: scan the (empty-schema) dir
+        return spark.read.parquet(vdir)
+    return spark.read.parquet(*[os.path.join(vdir, p) for p in parts])
 
 
 def merge_versioned(
@@ -462,6 +507,7 @@ def write_version_cas(
         ) + 1
     staging = os.path.join(table_dir, f".staging-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
+    _write_filelist(staging)  # travels into v=<n> with the rename
     try:
         os.rename(staging, os.path.join(table_dir, f"v={nxt}"))
     except OSError as exc:

@@ -99,7 +99,15 @@ def main() -> int:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 1.5
 
-    default_base = os.path.join(repo, "BENCH_baseline.json")
+    # BENCH_SET=extended benches the EXTENDED suite (bench.py inherits
+    # the env via subprocess); its default baseline is the extended
+    # record, not the headline one.
+    bench_set = os.environ.get("BENCH_SET", "headline")
+    default_base = os.path.join(
+        repo,
+        "BENCH_extended.json" if bench_set == "extended"
+        else "BENCH_baseline.json",
+    )
     if len(sys.argv) > 1:
         base = _load_bench(sys.argv[1])
         base["canaries"] = {
@@ -110,7 +118,7 @@ def main() -> int:
         base["canaries"] = {
             name: _canary(base) for name in base.get("queries", {})
         }
-        print("baseline: BENCH_baseline.json (canary-bearing)")
+        print(f"baseline: {os.path.basename(default_base)} (canary-bearing)")
     else:
         base = _best_of_rounds(repo)
 

@@ -131,12 +131,17 @@ def _spec(name: str):
 
 def _duck_resource_error(exc: Exception) -> bool:
     """DuckDB ran out of memory or spill disk materializing the oracle
-    — the class of failure the sharded mode exists for."""
+    — the class of failure the sharded mode exists for. Matched against
+    DuckDB's actual resource-exhaustion phrasings only (a broad 'disk'/
+    'IOException' substring would reroute unrelated failures into the
+    sharded retry and hide the original error); the caller prints the
+    original exception before retrying regardless."""
     s = f"{type(exc).__name__}: {exc}"
     return any(
         k in s for k in (
-            "OutOfMemory", "Out of Memory", "could not allocate",
-            "No space left", "IOException", "disk",
+            "OutOfMemoryException", "Out of Memory Error",
+            "could not allocate", "failed to allocate",
+            "No space left on device",
         )
     )
 
@@ -144,7 +149,8 @@ def _duck_resource_error(exc: Exception) -> bool:
 _B52_DUCK = "CAST(('0x'||substr(md5({key}),1,13)) AS BIGINT)"
 
 
-def _sharded_checksum(df, con, oracle_sql: str, key: str, buckets: int):
+def _sharded_checksum(df, con, oracle_sql: str, key: str, buckets: int,
+                      sharded_template: "str | None" = None):
     """Per-bucket (count, sum-of-52-bit-md5) comparison: rows partition
     by md5-bucket of the shard_key OUTPUT column — a pure partition of
     the result set, so equality of all bucket tuples iff equality of
@@ -156,10 +162,18 @@ def _sharded_checksum(df, con, oracle_sql: str, key: str, buckets: int):
 
     Float/double columns are EXCLUDED from the row key (their VARCHAR
     rendering is engine-specific); the dropped names are returned and
-    printed/logged so the weakening is on the record. For the queries
-    that register a shard_key, every float output is a derived ratio
-    of integer outputs that ARE checksummed (e.g. contamination_rate =
-    n_contaminated / n_shingles), so the drop loses nothing there.
+    printed/logged so the weakening is on the record. How much the drop
+    weakens the check depends on the query: for the doc-keyed shard
+    queries every float output is a derived ratio of integer outputs
+    that ARE checksummed (e.g. contamination_rate = n_contaminated /
+    n_shingles), so the drop loses nothing there — but for the PAIR
+    queries (minhash_lsh_pairs' est_jaccard, embedding_near_dup_pairs'
+    / embedding_near_dup_lsh's cos_sim) the similarity value is NOT a
+    ratio of checksummed integer columns, so sharded mode verifies only
+    (a_id, b_id) pair MEMBERSHIP for those: a similarity-value
+    divergence that stays on the same side of the threshold would pass
+    at the rehearsal SFs where sharding kicks in. The strict value-hash
+    runs at sf0.001/0.01/0.1 still compare those floats exactly.
     Returns (spark_dict, duck_dict, dropped_cols)."""
     from pyspark.sql import functions as F
 
@@ -195,11 +209,29 @@ def _sharded_checksum(df, con, oracle_sql: str, key: str, buckets: int):
     bkt_sql = f"({_B52_DUCK.format(key=skey_sql)} % {buckets})"
     exp = {}
     for i in range(buckets):
-        n2, h2 = con.execute(
-            f"SELECT count(*), "
-            f"sum(CAST({_B52_DUCK.format(key=key_sql)} AS DECIMAL(38,0)))"
-            f" FROM ({oracle_sql}) WHERE {bkt_sql} = {i}"
-        ).fetchone()
+        if sharded_template is not None:
+            # SOURCE-pushed template (QuerySpec.oracle_sharded): the
+            # bucket predicate restricts the oracle's per-row side at
+            # the source, before its heavy CTEs — no outer WHERE that
+            # the optimizer may fail to push (round 8: bloom's outer
+            # bucket filter never reached the tokenize; every bucket
+            # materialized the full corpus and blew the spill disk).
+            # str.replace, not .format: generated SQL can contain
+            # regex quantifiers like {4} that .format would reject.
+            body = sharded_template.replace("{pred}", f"{bkt_sql} = {i}")
+            sql = (
+                f"SELECT count(*), "
+                f"sum(CAST({_B52_DUCK.format(key=key_sql)} "
+                f"AS DECIMAL(38,0))) FROM ({body})"
+            )
+        else:
+            sql = (
+                f"SELECT count(*), "
+                f"sum(CAST({_B52_DUCK.format(key=key_sql)} "
+                f"AS DECIMAL(38,0)))"
+                f" FROM ({oracle_sql}) WHERE {bkt_sql} = {i}"
+            )
+        n2, h2 = con.execute(sql).fetchone()
         if n2:
             exp[i] = (int(n2), None if h2 is None else int(h2))
     return got, exp, dropped
@@ -275,7 +307,8 @@ def main() -> int:
         spec = _spec(name)
         try:
             s, d, dropped = _sharded_checksum(
-                df, con, oracles[name], spec.shard_key, buckets
+                df, con, oracles[name], spec.shard_key, buckets,
+                sharded_template=getattr(spec, "oracle_sharded", None),
             )
         except Exception as exc:  # noqa: BLE001
             fails.append(name)
@@ -336,6 +369,11 @@ def main() -> int:
                         _duck_resource_error(exc2)
                         and spec is not None and spec.shard_key
                     ):
+                        print(
+                            f"{name}: duck resource error on one-shot "
+                            f"checksum ({type(exc2).__name__}: {exc2}) "
+                            "— retrying sharded"
+                        )
                         _sharded(name, df, "sharded-checksum")
                         continue
                     fails.append(name)
@@ -370,6 +408,10 @@ def main() -> int:
                 _duck_resource_error(exc)
                 and spec is not None and spec.shard_key
             ):
+                print(
+                    f"{name}: duck resource error on oracle "
+                    f"({type(exc).__name__}: {exc}) — retrying sharded"
+                )
                 _sharded(name, df, "sharded-checksum")
                 continue
             fails.append(name)

@@ -233,10 +233,23 @@ def test_bloom_prune_uses_broadcast_semi_joins(spark, sf_dir):
     shuffle of the eval shingle stream against it. (Round-7 form:
     inner joins on the word index + mask filters replaced the
     one-row-per-occupied-bit LeftSemi pair, which saturated and
-    stopped pruning at the sf10 rehearsal.)"""
+    stopped pruning at the sf10 rehearsal.)
+
+    The word table is localCheckpoint'ed inside the query (round 8:
+    two differently-projected consumers re-ran the explode+bit_or
+    subtree otherwise), which truncates its lineage in the main plan
+    to a Scan ExistingRDD — so the bit_or packing aggregation is
+    asserted on the PRE-checkpoint word-table plan via _bloom_build,
+    not on the main plan."""
+    from forex_data_pipeline_spark.queries import llm_ops
+
+    _, _, _, words_raw = llm_ops._bloom_build(spark, sf_dir)
+    words_plan = plan_of(words_raw)
+    assert "bit_or" in words_plan  # bit-packed aggregation, pre-checkpoint
+    assert "shiftright" in words_plan  # bit>>5 word index
+
     plan = plan_of(run("bloom_pruned_contamination", spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2
-    assert "bit_or" in plan  # the bit-packed aggregation is in the plan
     assert "CartesianProduct" not in plan
 
 
@@ -320,15 +333,45 @@ def test_fuzzy_name_pairs_plan_is_kernel_shaped(spark, sf_dir):
     broadcast, r3's 7.1x regression; Theta(n^2) rows materialized
     between operators). The only stages allowed are the block-keyed
     shuffle into FlatMapGroupsInPandas and the 125-row aggregate above
-    it."""
+    it.
+
+    The ONE join-like node permitted (round 8) is the chunk-pair
+    fan-out: a BroadcastNestedLoopJoin whose build side is the literal
+    C*(C+1)/2-row (ca, cb) table (C <= 16, so <= 136 rows — a constant
+    multiplier, NOT a pair-producing self-join). The lock pins that
+    shape exactly: at most one BNLJ, its build side the sole Scan
+    ExistingRDD emitting exactly [ca, cb], its condition the chunk
+    routing disjunction, and exactly ONE parquet scan in the whole
+    plan (customer is never joined against customer)."""
+    import re
+
     df = run("fuzzy_name_pairs", spark, sf_dir)
     plan = plan_of(df)
     assert "FlatMapGroupsInPandas" in plan
     for joinlike in (
         "SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
-        "CartesianProduct", "BroadcastNestedLoopJoin",
+        "CartesianProduct",
     ):
         assert joinlike not in plan, joinlike
+    # the formatted plan names each node twice (tree + detail block);
+    # count nodes in the tree section only
+    tree = plan.split("\n\n(1)")[0]
+    assert tree.count("Scan parquet") == 1, tree  # customer scanned ONCE
+    n_bnlj = tree.count("BroadcastNestedLoopJoin")
+    assert n_bnlj <= 1, tree
+    if n_bnlj:
+        # build side is the literal chunk-pair table: the only
+        # ExistingRDD scan, emitting exactly the two chunk columns
+        assert tree.count("Scan ExistingRDD") == 1, tree
+        assert re.search(
+            r"Scan ExistingRDD\s*\nOutput \[2\]: \[ca#\d+, cb#\d+\]", plan
+        ), plan
+        # condition is chunk ROUTING (each row kept for the <= C+1
+        # chunk-pairs naming its chunk), not a pair predicate
+        assert re.search(
+            r"Join condition: \(\(ca#\d+ = c#\d+\) OR \(cb#\d+ = c#\d+\)\)",
+            plan,
+        ), plan
     # the kernel input is shuffled by the FULL block key (nation,
     # segment, length, prefix) so block growth in a diverse corpus
     # spreads across the cluster instead of landing on 25 nations
