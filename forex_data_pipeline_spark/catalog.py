@@ -72,6 +72,18 @@ class QuerySpec:
     # EXACTLY the rows of the plain oracle whose shard_key satisfies
     # pred.
     oracle_sharded: str | None = None
+    # optional one-time setup script for the sharded mode (multi-
+    # statement SQL, run once before the bucket loop): CREATE OR
+    # REPLACE TEMP TABLE statements that materialize the oracle's
+    # GLOBAL state (train sets, sketch parameters) exactly once, so
+    # per-bucket templates neither re-derive it per bucket (16 full
+    # tokenize passes) nor force DuckDB's all-or-nothing CTE
+    # materialization choice (inline → the heavy subtree replicates
+    # per consumer, ~10 UNNEST passes and concurrent spilling
+    # group-bys, measured ~45 min/bucket at sf10; materialize → the
+    # corpus-sized intermediate spills 78 GB). Staging under our
+    # control keeps only the SMALL distilled state resident.
+    oracle_shard_setup: str | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -85,6 +97,7 @@ def register(
     empty_ok: bool = False,
     shard_key: str | None = None,
     oracle_sharded: str | None = None,
+    oracle_shard_setup: str | None = None,
 ) -> Callable:
     """Decorator: register fn(spark, sf_dir) -> DataFrame under ``name``."""
 
@@ -97,7 +110,7 @@ def register(
         wrapped.__doc__ = fn.__doc__
         REGISTRY[name] = QuerySpec(
             name, wrapped, oracle, doc or (fn.__doc__ or ""), tags,
-            empty_ok, shard_key, oracle_sharded,
+            empty_ok, shard_key, oracle_sharded, oracle_shard_setup,
         )
         return wrapped
 

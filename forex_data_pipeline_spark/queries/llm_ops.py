@@ -2785,24 +2785,79 @@ def _bloom_oracle_sql(head: str, src: str) -> str:
     """
 
 
+#: Staged sharded oracle for bloom (driver_sim rehearsal-SF mode).
+#: The GLOBAL state — the distinct train shingle set and the bit-
+#: packed word table — is materialized ONCE into temp tables under
+#: our control; each bucket then tokenizes ONLY its eval slice and
+#: joins the temp tables. Every alternative was measured to fail at
+#: sf10: the one-shot oracle spills 78 GB (DuckDB materializes the
+#: multi-referenced corpus-sized CTEs), an outer-WHERE bucket filter
+#: never pushes below the tokenize (r8), and a source-pushed filter
+#: with NOT MATERIALIZED CTEs inlines the heavy subtree ~10x per
+#: bucket (10 UNNEST passes + concurrent spilling group-bys, ~45 min
+#: and ~45 GB spill PER BUCKET, r9). Staging keeps only the distilled
+#: ~n_train-row state resident; per-bucket work is eval/B-sized.
+#: m is re-derived per statement from count(t_bloom_train_sh) via the
+#: same CASE ladder as the plain oracle and the Spark side.
+_BLOOM_SHARD_SETUP = f"""
+CREATE OR REPLACE TEMP TABLE t_bloom_train_sh AS
+SELECT DISTINCT sh FROM (
+  {_sh_cte("(SELECT doc_id, text FROM documents WHERE strlen(source) = 4)")}
+);
+CREATE OR REPLACE TEMP TABLE t_bloom_words AS
+WITH p AS (SELECT {_BLOOM_M_SQL} AS m
+           FROM (SELECT count(*) AS n FROM t_bloom_train_sh)),
+occ AS (SELECT DISTINCT unnest([{_bloom_bit_sql('sh', 8)},
+                                {_bloom_bit_sql('sh', 9)}]) AS bit
+        FROM t_bloom_train_sh, p)
+SELECT bit >> 5 AS wrd,
+       bit_or(CAST(1 AS BIGINT) << CAST(bit % 32 AS INT)) AS msk
+FROM occ GROUP BY 1;
+"""
+
+_BLOOM_SHARDED_TEMPLATE = f"""
+    WITH p AS (SELECT {_BLOOM_M_SQL} AS m
+               FROM (SELECT count(*) AS n FROM t_bloom_train_sh)),
+    eval_sh AS NOT MATERIALIZED
+            (SELECT doc_id, sh,
+                    {_bloom_bit_sql('sh', 8)} AS bit0,
+                    {_bloom_bit_sql('sh', 9)} AS bit1
+             FROM ({_sh_cte(
+                 "(SELECT doc_id, text FROM documents "
+                 "WHERE strlen(source) <> 4 AND ({pred}))")}), p),
+    cand AS (SELECT doc_id, sh FROM eval_sh
+             JOIN t_bloom_words w0 ON w0.wrd = bit0 >> 5
+              AND (w0.msk & (CAST(1 AS BIGINT)
+                             << CAST(bit0 % 32 AS INT))) != 0
+             JOIN t_bloom_words w1 ON w1.wrd = bit1 >> 5
+              AND (w1.msk & (CAST(1 AS BIGINT)
+                             << CAST(bit1 % 32 AS INT))) != 0),
+    tot AS (SELECT doc_id, count(*) AS n_shingles
+            FROM eval_sh GROUP BY doc_id),
+    cc AS (SELECT doc_id, count(*) AS n_cand
+           FROM cand GROUP BY doc_id),
+    hit AS (SELECT c.doc_id, count(*) AS n_hits
+            FROM cand c JOIN t_bloom_train_sh t ON c.sh = t.sh
+            GROUP BY c.doc_id)
+    SELECT tot.doc_id,
+           CAST(tot.n_shingles AS BIGINT) AS n_shingles,
+           CAST(coalesce(cc.n_cand, 0) AS BIGINT) AS n_bloom_candidates,
+           CAST(coalesce(hit.n_hits, 0) AS BIGINT) AS n_contaminated,
+           CAST(coalesce(cc.n_cand, 0) - coalesce(hit.n_hits, 0)
+                AS BIGINT) AS n_bloom_fp,
+           CAST(coalesce(hit.n_hits, 0) AS DOUBLE) / tot.n_shingles
+               AS contamination_rate
+    FROM tot
+    LEFT JOIN cc ON tot.doc_id = cc.doc_id
+    LEFT JOIN hit ON tot.doc_id = hit.doc_id
+    """
+
+
 @register(
     "bloom_pruned_contamination",
     oracle=_bloom_oracle_sql("WITH", "documents"),
-    # Source-pushed sharded template (driver_sim rehearsal-SF mode):
-    # the bucket predicate restricts EVAL documents before the
-    # tokenize, while train docs (strlen(source)=4) are always kept —
-    # train_sh, m, occ, words are computed over the FULL train set in
-    # every bucket, so each bucket's output rows equal the plain
-    # oracle's rows for that bucket's doc_ids. Peak spill per bucket
-    # ~ train_half + eval_half/B instead of the full corpus (round 8's
-    # outer-WHERE sharding never pushed below the tokenize and blew
-    # the 78 GB spill disk at sf10 even with 8 buckets).
-    oracle_sharded=_bloom_oracle_sql(
-        "WITH docs_f AS NOT MATERIALIZED "
-        "(SELECT doc_id, source, text FROM documents "
-        "WHERE strlen(source) = 4 OR ({pred})),",
-        "docs_f",
-    ),
+    oracle_sharded=_BLOOM_SHARDED_TEMPLATE,
+    oracle_shard_setup=_BLOOM_SHARD_SETUP,
     doc="Decontamination with Bloom-filter pruning — the 100 TB form "
     "of cross_corpus_contamination. The train shingle set is folded "
     "into a Bloom filter whose size ADAPTS to the exact train "

@@ -53,6 +53,17 @@ def get_spark(app_name: str = "forex-data-pipeline-spark") -> SparkSession:
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.ui.enabled", "false")
     )
+    # Rehearsal-scale escape hatch (local mode: the driver IS the one
+    # JVM). First use: Java 17's GCLocker can fail a large array
+    # allocation after a bounded retry count even with free heap when
+    # Arrow-native sections pin regions — triangle's sf10 plan audit
+    # died this way at 24g; "-XX:+UnlockDiagnosticVMOptions
+    # -XX:GCLockerRetryAllocationCount=100" (unlock flag FIRST — the
+    # retry count is a diagnostic option) resolves it without more
+    # memory.
+    jopts = os.environ.get("SPARK_DRIVER_JAVA_OPTS")
+    if jopts:
+        builder = builder.config("spark.driver.extraJavaOptions", jopts)
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     return tune(builder.getOrCreate())

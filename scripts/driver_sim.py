@@ -150,7 +150,8 @@ _B52_DUCK = "CAST(('0x'||substr(md5({key}),1,13)) AS BIGINT)"
 
 
 def _sharded_checksum(df, con, oracle_sql: str, key: str, buckets: int,
-                      sharded_template: "str | None" = None):
+                      sharded_template: "str | None" = None,
+                      setup_sql: "str | None" = None):
     """Per-bucket (count, sum-of-52-bit-md5) comparison: rows partition
     by md5-bucket of the shard_key OUTPUT column — a pure partition of
     the result set, so equality of all bucket tuples iff equality of
@@ -207,6 +208,11 @@ def _sharded_checksum(df, con, oracle_sql: str, key: str, buckets: int,
     ) + ")"
     skey_sql = f"coalesce(CAST({key} AS VARCHAR), '~null~')"
     bkt_sql = f"({_B52_DUCK.format(key=skey_sql)} % {buckets})"
+    if sharded_template is not None and setup_sql:
+        # one-time global-state staging (CREATE OR REPLACE TEMP TABLE
+        # …): the train set / sketch params materialize once instead
+        # of once per bucket (QuerySpec.oracle_shard_setup)
+        con.execute(setup_sql)
     exp = {}
     for i in range(buckets):
         if sharded_template is not None:
@@ -305,10 +311,13 @@ def main() -> int:
 
     def _sharded(name, df, mode_label):
         spec = _spec(name)
+        if getattr(spec, "oracle_sharded", None):
+            mode_label += "-source-pushed"
         try:
             s, d, dropped = _sharded_checksum(
                 df, con, oracles[name], spec.shard_key, buckets,
                 sharded_template=getattr(spec, "oracle_sharded", None),
+                setup_sql=getattr(spec, "oracle_shard_setup", None),
             )
         except Exception as exc:  # noqa: BLE001
             fails.append(name)
