@@ -148,6 +148,11 @@ def _duck_resource_error(exc: Exception) -> bool:
 
 _B52_DUCK = "CAST(('0x'||substr(md5({key}),1,13)) AS BIGINT)"
 
+#: row cap for the sharded mode's smallest-bucket strict spot-check
+#: (full rows cross the driver there; beyond this it is exactly the
+#: failure class sharding avoids)
+_SPOT_MAX_ROWS = 500_000
+
 
 def _sharded_checksum(df, con, oracle_sql: str, key: str, buckets: int,
                       sharded_template: "str | None" = None,
@@ -171,11 +176,15 @@ def _sharded_checksum(df, con, oracle_sql: str, key: str, buckets: int,
     queries (minhash_lsh_pairs' est_jaccard, embedding_near_dup_pairs'
     / embedding_near_dup_lsh's cos_sim) the similarity value is NOT a
     ratio of checksummed integer columns, so sharded mode verifies only
-    (a_id, b_id) pair MEMBERSHIP for those: a similarity-value
-    divergence that stays on the same side of the threshold would pass
-    at the rehearsal SFs where sharding kicks in. The strict value-hash
-    runs at sf0.001/0.01/0.1 still compare those floats exactly.
-    Returns (spark_dict, duck_dict, dropped_cols)."""
+    (a_id, b_id) pair MEMBERSHIP for those in the checksums: a
+    similarity-value divergence that stays on the same side of the
+    threshold would pass the per-bucket sums. Two mitigations: the
+    strict value-hash runs at sf0.001/0.01/0.1 compare those floats
+    exactly, and the smallest non-empty bucket additionally gets a
+    FULL-ROW strict spot-check (floats included, same value_hash as
+    the normal path) inside every sharded run.
+    Returns (spark_dict, duck_dict, dropped_cols, spot) where spot is
+    None (no non-empty bucket) or (bucket, ok|None-if-skipped, rows)."""
     from pyspark.sql import functions as F
 
     safe = {c for c, t in df.dtypes if _agg_safe_type(t)}
@@ -240,7 +249,40 @@ def _sharded_checksum(df, con, oracle_sql: str, key: str, buckets: int,
         n2, h2 = con.execute(sql).fetchone()
         if n2:
             exp[i] = (int(n2), None if h2 is None else int(h2))
-    return got, exp, dropped
+    # Smallest-bucket STRICT spot-check (floats included): the bucket
+    # checksums above drop float columns (engine-specific VARCHAR
+    # rendering), which for pair queries weakens the check to id
+    # membership. One full-row fetch of the smallest non-empty bucket
+    # runs the SAME strict value-hash as the normal path (pandas repr
+    # on both engines), so each sharded record carries at least one
+    # float-exact slice. Skipped (spot ok=None) above _SPOT_MAX_ROWS —
+    # a bucket that large is the driver-maxResultSize class of result
+    # this mode exists to avoid collecting.
+    spot = None
+    if exp:
+        i_min = min(exp, key=lambda i: exp[i][0])
+        if exp[i_min][0] <= _SPOT_MAX_ROWS:
+            if sharded_template is not None:
+                body = sharded_template.replace(
+                    "{pred}", f"{bkt_sql} = {i_min}"
+                )
+                full_sql = f"SELECT * FROM ({body})"
+            else:
+                full_sql = (
+                    f"SELECT * FROM ({oracle_sql}) "
+                    f"WHERE {bkt_sql} = {i_min}"
+                )
+            duck_rows = con.execute(full_sql).df()
+            spark_rows = df.filter(bkt == i_min).toPandas()
+            spot = (
+                i_min,
+                len(spark_rows) == len(duck_rows)
+                and value_hash(spark_rows) == value_hash(duck_rows),
+                len(duck_rows),
+            )
+        else:
+            spot = (i_min, None, exp[i_min][0])
+    return got, exp, dropped, spot
 
 
 _RUN_ID = datetime.datetime.now().strftime("%Y%m%dT%H%M%S")
@@ -314,7 +356,7 @@ def main() -> int:
         if getattr(spec, "oracle_sharded", None):
             mode_label += "-source-pushed"
         try:
-            s, d, dropped = _sharded_checksum(
+            s, d, dropped, spot = _sharded_checksum(
                 df, con, oracles[name], spec.shard_key, buckets,
                 sharded_template=getattr(spec, "oracle_sharded", None),
                 setup_sql=getattr(spec, "oracle_shard_setup", None),
@@ -328,15 +370,25 @@ def main() -> int:
         n_s = sum(v[0] for v in s.values())
         n_d = sum(v[0] for v in d.values())
         ok = s == d and n_s > 0
+        if spot is not None and spot[1] is False:
+            ok = False  # float-exact slice disagreed
         if not ok:
             fails.append(name)
         note = f", dropped={dropped}" if dropped else ""
+        if spot is not None:
+            verdict = {True: "ok", False: "MISMATCH", None: "skipped"}[
+                spot[1]
+            ]
+            note += (
+                f", strict-spot bucket {spot[0]} ({spot[2]} rows, "
+                f"floats incl.): {verdict}"
+            )
         print(
             f"{name}: {'OK' if ok else 'MISMATCH'} "
             f"({mode_label}, {buckets} buckets{note}) rows={n_s}/{n_d}"
         )
         _log_sweep(sf_dir, name, mode_label, ok, n_s, n_d,
-                   f"dropped={dropped}" if dropped else "")
+                   note.lstrip(", "))
 
     for name, fn in qs.items():
         df = None
