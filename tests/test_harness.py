@@ -74,11 +74,13 @@ def test_sharded_checksum_matches_identical_results(spark, oracle_con):
         spark.read.parquet(f"{SF_DIR}/documents.parquet")
         .selectExpr("doc_id", "lang", "CAST(n_chars AS BIGINT) AS n_chars")
     )
-    s, d, dropped = _sharded_checksum(df, oracle_con, _docs_sql(),
-                                      "doc_id", 8)
+    s, d, dropped, spot = _sharded_checksum(df, oracle_con, _docs_sql(),
+                                            "doc_id", 8)
     assert dropped == []
     assert s == d and len(s) > 1  # really split across buckets
     assert sum(v[0] for v in s.values()) > 0
+    # smallest-bucket strict spot-check ran and agreed
+    assert spot is not None and spot[1] is True and spot[2] > 0
 
 
 def test_sharded_checksum_detects_single_row_difference(spark, oracle_con):
@@ -91,7 +93,7 @@ def test_sharded_checksum_detects_single_row_difference(spark, oracle_con):
     mn = oracle_con.execute(
         f"SELECT min(doc_id) FROM read_parquet('{SF_DIR}/documents.parquet')"
     ).fetchone()[0]
-    s, d, _ = _sharded_checksum(
+    s, d, _, _spot = _sharded_checksum(
         df, oracle_con, _docs_sql(f"doc_id <> {mn}"), "doc_id", 8
     )
     assert s != d
@@ -115,9 +117,13 @@ def test_sharded_checksum_drops_float_columns_honestly(spark, oracle_con):
         "CAST(n_chars AS DOUBLE) / 7 AS ratio "
         f"FROM read_parquet('{SF_DIR}/documents.parquet')"
     )
-    s, d, dropped = _sharded_checksum(df, oracle_con, sql, "doc_id", 4)
+    s, d, dropped, spot = _sharded_checksum(df, oracle_con, sql,
+                                            "doc_id", 4)
     assert dropped == ["ratio"]
     assert s == d
+    # the spot-check covers what the checksums drop: full rows of the
+    # smallest bucket compare strictly WITH the float column
+    assert spot is not None and spot[1] is True
 
 
 def test_merkle_fingerprint_partitioning_invariant(spark, tmp_path):
