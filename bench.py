@@ -92,6 +92,29 @@ EXTENDED: tuple[str, ...] = (
     "udtf_user_session_stats",
 )
 
+#: Second extended tranche (BENCH_SET=extended2 → BENCH_extended2.json):
+#: the tranche rotates per round so extended coverage ACCUMULATES
+#: instead of freezing at the first 8 (r9 verdict item 4) — each
+#: tranche keeps its own baseline record and is re-comparable forever
+#: via BENCH_SET=extended2 scripts/bench_compare.py.
+EXTENDED2: tuple[str, ...] = (
+    "exact_substring_dedup_report",
+    "lsh_precision_recall",
+    "chunk_dedup_ratio",
+    "mann_kendall_trend",
+    "kaplan_meier_shipping",
+    "haar_energy_spectrum",
+    "classifier_auc_exact",
+    "bpe_top_merges",
+)
+
+#: BENCH_SET → query pool. Headline stays the per-round driver suite.
+BENCH_SETS: dict[str, tuple[str, ...]] = {
+    "headline": HEADLINE,
+    "extended": EXTENDED,
+    "extended2": EXTENDED2,
+}
+
 #: The round-1 headline set (BENCH_r01.json) — emitted as a separate
 #: subtotal so per-round totals stay apples-to-apples as the headline
 #: set widens.
@@ -114,7 +137,7 @@ def main() -> None:
     spark = get_spark("forex-spark-bench")
     catalog._ensure_loaded()
     bench_set = os.environ.get("BENCH_SET", "headline")
-    pool = EXTENDED if bench_set == "extended" else HEADLINE
+    pool = BENCH_SETS.get(bench_set, HEADLINE)
     names = [n for n in pool if n in catalog.REGISTRY]
     extra = os.environ.get("BENCH_QUERIES")
     if extra == "all":
@@ -122,8 +145,38 @@ def main() -> None:
     elif extra:
         names = [n for n in extra.split(",") if n in catalog.REGISTRY]
 
-    # warmup: JVM + codegen + parquet footer caches
+    # Host-speed canaries: fixed-size single-thread Python work and a
+    # fixed JVM job. Hosts vary across rounds (r6's measured ~1.2-1.5x
+    # slower than r5's on identical code+data); recording the canary
+    # alongside the suite lets bench_compare distinguish a code
+    # regression from a slower machine. Measured BEFORE and AFTER the
+    # query loop (r9 verdict item 2: a single post-suite canary cannot
+    # see a mid-suite degradation window — r9's 0.225 post-canary
+    # certified a record whose early queries may have run degraded);
+    # the gate value canary_jvm_sec is the MAX of the bracket, so a
+    # record is only as healthy as its worst observed host state.
+    # Both best-of-2, unmeasured work.
+    def _canary_py() -> float:
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(5_000_000):
+            x += i * i
+        assert x  # keep the loop un-elidable
+        return time.perf_counter() - t0
+
+    def _canary_jvm() -> float:
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr(
+            "sum(CAST(id AS DOUBLE) * id)"
+        ).collect()
+        return time.perf_counter() - t0
+
+    # warmup: JVM + codegen + parquet footer caches (before the pre-
+    # canary so the canary measures a warm JVM, same as the post one)
     catalog.REGISTRY[names[0]].fn(spark, sf_dir).count()
+
+    canary_py_pre = round(min(_canary_py(), _canary_py()), 3)
+    canary_jvm_pre = round(min(_canary_jvm(), _canary_jvm()), 3)
 
     # best-of-2 per query: single runs at these scales carry ±0.3-0.5 s
     # of scheduler/GC noise, which is larger than most queries — the min
@@ -171,47 +224,34 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
-    # Host-speed canaries: fixed-size single-thread Python work and a
-    # fixed JVM job. Hosts vary across rounds (r6's measured ~1.2-1.5x
-    # slower than r5's on identical code+data); recording the canary
-    # alongside the suite lets bench_compare distinguish a code
-    # regression from a slower machine. Both best-of-2, unmeasured work.
-    def _canary_py() -> float:
-        t0 = time.perf_counter()
-        x = 0
-        for i in range(5_000_000):
-            x += i * i
-        assert x  # keep the loop un-elidable
-        return time.perf_counter() - t0
-
-    def _canary_jvm() -> float:
-        t0 = time.perf_counter()
-        spark.range(200_000_000).selectExpr(
-            "sum(CAST(id AS DOUBLE) * id)"
-        ).collect()
-        return time.perf_counter() - t0
-
-    canary_py = round(min(_canary_py(), _canary_py()), 3)
-    canary_jvm = round(min(_canary_jvm(), _canary_jvm()), 3)
+    canary_py_post = round(min(_canary_py(), _canary_py()), 3)
+    canary_jvm_post = round(min(_canary_jvm(), _canary_jvm()), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": f"{bench_set}-suite wall time",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "stat": "best-of-2",
-                "canary_py_sec": canary_py,
-                "canary_jvm_sec": canary_jvm,
-                "r1_comparable_sec": round(
-                    sum(v for n, v in timings.items() if n in R1_SET), 3
-                ),
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    rec = {
+        "metric": f"{bench_set}-suite wall time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "stat": "best-of-2",
+        # gate value = worst of the bracket (conservative: a record is
+        # only as trustworthy as its worst observed host window)
+        "canary_py_sec": max(canary_py_pre, canary_py_post),
+        "canary_jvm_sec": max(canary_jvm_pre, canary_jvm_post),
+        "canary_py_pre": canary_py_pre,
+        "canary_py_post": canary_py_post,
+        "canary_jvm_pre": canary_jvm_pre,
+        "canary_jvm_post": canary_jvm_post,
+        # r1 subtotal is only meaningful for the headline set (no
+        # extended query is in R1_SET — emitting 0.0 there misread as
+        # a massive speedup to cross-record consumers; ADVICE r9)
+        "r1_comparable_sec": (
+            round(sum(v for n, v in timings.items() if n in R1_SET), 3)
+            if bench_set == "headline" else None
+        ),
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -2723,11 +2723,14 @@ def _bloom_build(spark: SparkSession, sf_dir: str):
 
 
 def _bloom_oracle_sql(head: str, src: str) -> str:
-    """Bloom oracle body over a documents-shaped source ``src``. Two
-    instantiations: the plain oracle (src='documents') and the
-    source-pushed sharded template (src='docs_f', a bucket-filtered
-    CTE supplied via ``head``) — identical logic, so the sharded mode
-    can never drift from the strict oracle."""
+    """Bloom oracle body over a documents-shaped source ``src``;
+    instantiated once, as the plain oracle (src='documents'). The
+    sharded path uses the separately-staged ``_BLOOM_SHARDED_TEMPLATE``
+    (temp-table setup + per-bucket body), NOT a second instantiation of
+    this function — equivalence between the two is pinned by
+    tests/test_correctness.py::
+    test_sharded_oracle_templates_equal_plain_oracle, which runs both
+    forms and compares bucket checksums, not by shared construction."""
     return f"""
     {head}
     sh AS NOT MATERIALIZED ({_sh_cte(src)}),

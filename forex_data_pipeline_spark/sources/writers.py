@@ -377,8 +377,10 @@ def read_version(
     in tests/test_merge.py). With explicit paths every vacuumed file
     fails the scan cleanly (FileNotFound), and a fully-vacuumed
     version fails at filelist-open — the reader contract is committed
-    snapshot or clean error, never partial. Legacy version dirs
-    without a filelist fall back to the directory scan."""
+    snapshot or clean error, never partial. There is deliberately NO
+    directory-scan fallback for a missing filelist (see the inline
+    comment): every ledger writer commits one, so its absence means a
+    vacuum is (or was) deleting this version."""
     v = latest_version(table_dir) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")

@@ -99,14 +99,15 @@ def main() -> int:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 1.5
 
-    # BENCH_SET=extended benches the EXTENDED suite (bench.py inherits
-    # the env via subprocess); its default baseline is the extended
-    # record, not the headline one.
+    # BENCH_SET=extended / extended2 bench the rotating tranche suites
+    # (bench.py inherits the env via subprocess); each tranche keeps
+    # its own canary-bearing baseline record so per-round extended
+    # coverage accumulates instead of freezing at the first 8.
     bench_set = os.environ.get("BENCH_SET", "headline")
     default_base = os.path.join(
         repo,
-        "BENCH_extended.json" if bench_set == "extended"
-        else "BENCH_baseline.json",
+        "BENCH_baseline.json" if bench_set == "headline"
+        else f"BENCH_{bench_set}.json",
     )
     if len(sys.argv) > 1:
         base = _load_bench(sys.argv[1])

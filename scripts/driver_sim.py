@@ -184,7 +184,10 @@ def _sharded_checksum(df, con, oracle_sql: str, key: str, buckets: int,
     FULL-ROW strict spot-check (floats included, same value_hash as
     the normal path) inside every sharded run.
     Returns (spark_dict, duck_dict, dropped_cols, spot) where spot is
-    None (no non-empty bucket) or (bucket, ok|None-if-skipped, rows)."""
+    None (no non-empty bucket) or (label, ok|None-if-skipped, rows);
+    label is the bucket index, or "i.j/k" when the smallest bucket
+    exceeded _SPOT_MAX_ROWS and sub-slice j of k was checked instead
+    (see the spot-check comment below)."""
     from pyspark.sql import functions as F
 
     safe = {c for c, t in df.dtypes if _agg_safe_type(t)}
@@ -255,33 +258,72 @@ def _sharded_checksum(df, con, oracle_sql: str, key: str, buckets: int,
     # membership. One full-row fetch of the smallest non-empty bucket
     # runs the SAME strict value-hash as the normal path (pandas repr
     # on both engines), so each sharded record carries at least one
-    # float-exact slice. Skipped (spot ok=None) above _SPOT_MAX_ROWS —
-    # a bucket that large is the driver-maxResultSize class of result
-    # this mode exists to avoid collecting.
+    # float-exact slice. If even the smallest bucket exceeds
+    # _SPOT_MAX_ROWS (the smallest bucket IS the global minimum, so no
+    # other bucket can fit either), the bucket is SUB-SHARDED with an
+    # independently-salted second hash of the shard key and the largest
+    # sub-slice under the cap is spot-checked instead — previously the
+    # spot silently skipped here (r9 verdict item 6), meaning a sharded
+    # record's float coverage could vanish just because the row count
+    # grew past the cap. A skip (ok=None) now requires every sub-slice
+    # to exceed the cap too — i.e. extreme key skew where one shard-key
+    # value alone holds > _SPOT_MAX_ROWS rows — and the caller treats
+    # it as a FAILURE unless SPARK_SIM_ALLOW_SPOT_SKIP=1.
     spot = None
     if exp:
         i_min = min(exp, key=lambda i: exp[i][0])
-        if exp[i_min][0] <= _SPOT_MAX_ROWS:
-            if sharded_template is not None:
-                body = sharded_template.replace(
-                    "{pred}", f"{bkt_sql} = {i_min}"
-                )
-                full_sql = f"SELECT * FROM ({body})"
-            else:
-                full_sql = (
-                    f"SELECT * FROM ({oracle_sql}) "
-                    f"WHERE {bkt_sql} = {i_min}"
-                )
-            duck_rows = con.execute(full_sql).df()
-            spark_rows = df.filter(bkt == i_min).toPandas()
-            spot = (
-                i_min,
-                len(spark_rows) == len(duck_rows)
-                and value_hash(spark_rows) == value_hash(duck_rows),
-                len(duck_rows),
+        n_min = exp[i_min][0]
+        spot_label: "int | str" = i_min
+        pred_sql = f"{bkt_sql} = {i_min}"
+        pred_spark = bkt == i_min
+        if n_min > _SPOT_MAX_ROWS:
+            # salt-prefixed second md5: independent of the bucket hash
+            # (same key → same bucket, but sub-slices split it further)
+            k = max(2, 2 * -(-n_min // max(1, _SPOT_MAX_ROWS)))
+            sub = (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("~spot~"), skey)), 1, 13
+                    ), 16, 10,
+                ).cast("bigint") % k
             )
+            sizes = {
+                int(r["sub"]): int(r["n"])
+                for r in df.filter(pred_spark)
+                .groupBy(sub.alias("sub"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            fitting = [
+                j for j, n in sizes.items()
+                if 0 < n <= _SPOT_MAX_ROWS
+            ]
+            if not fitting:
+                return got, exp, dropped, (i_min, None, n_min)
+            # largest fitting sub-slice = maximum float coverage the
+            # cap allows (the whole-bucket path keeps "smallest bucket"
+            # because bucket counts are fixed and small; here every
+            # candidate already fits, so bigger is strictly better)
+            j = max(fitting, key=lambda j: sizes[j])
+            sub_sql = _B52_DUCK.format(key=f"'~spot~'||{skey_sql}")
+            pred_sql += f" AND ({sub_sql} % {k}) = {j}"
+            pred_spark = pred_spark & (sub == j)
+            spot_label = f"{i_min}.{j}/{k}"
+        if sharded_template is not None:
+            body = sharded_template.replace("{pred}", pred_sql)
+            full_sql = f"SELECT * FROM ({body})"
         else:
-            spot = (i_min, None, exp[i_min][0])
+            full_sql = (
+                f"SELECT * FROM ({oracle_sql}) WHERE {pred_sql}"
+            )
+        duck_rows = con.execute(full_sql).df()
+        spark_rows = df.filter(pred_spark).toPandas()
+        spot = (
+            spot_label,
+            len(spark_rows) == len(duck_rows)
+            and value_hash(spark_rows) == value_hash(duck_rows),
+            len(duck_rows),
+        )
     return got, exp, dropped, spot
 
 
@@ -372,6 +414,15 @@ def main() -> int:
         ok = s == d and n_s > 0
         if spot is not None and spot[1] is False:
             ok = False  # float-exact slice disagreed
+        if (
+            spot is not None and spot[1] is None
+            and not os.environ.get("SPARK_SIM_ALLOW_SPOT_SKIP")
+        ):
+            # no float-exact slice could run (even sub-sharding found
+            # no slice under the cap — extreme shard-key skew): a
+            # sharded record may not ship with a silently-skipped
+            # spot (r9 verdict item 6); escape hatch for forensics
+            ok = False
         if not ok:
             fails.append(name)
         note = f", dropped={dropped}" if dropped else ""

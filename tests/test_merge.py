@@ -11,6 +11,32 @@ from forex_data_pipeline_spark.sources.writers import (
 )
 
 
+def _is_clean_vacuum_race(exc: Exception) -> bool:
+    """Only the expected vacuum-race failure shapes count as a CLEAN
+    read_version failure in the concurrency tests: the filelist open on
+    a deleted version dir (FileNotFoundError/OSError), Spark analysis
+    of a vanished path (AnalysisException PATH_NOT_FOUND), or a scan
+    that lost part files mid-job (Py4JJavaError / SparkException
+    wrapping FileNotFoundException). Anything else — e.g. a TypeError
+    in filelist parsing — is a reader BUG and must surface instead of
+    being absorbed into the clean-failure counter (ADVICE r9)."""
+    if isinstance(exc, OSError):  # FileNotFoundError is a subclass
+        return True
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    if isinstance(exc, (Py4JJavaError, PySparkException)):
+        s = str(exc)
+        return any(
+            k in s
+            for k in (
+                "FileNotFound", "PATH_NOT_FOUND", "does not exist",
+                "No such file",
+            )
+        )
+    return False
+
+
 def _rows(spark, path, order=("k",)):
     return (
         spark.read.parquet(path)
@@ -491,9 +517,14 @@ def test_reader_snapshot_isolation_under_merge_and_vacuum(
                     tuple(r)
                     for r in read_version(spark, path, pinned_v).collect()
                 }
-            except Exception:  # noqa: BLE001
+            except Exception as exc:  # noqa: BLE001
                 # N vacuumed away: clean job-level failure is the
-                # contract (no partial rows may have been returned)
+                # contract (no partial rows may have been returned).
+                # Only the expected FileNotFound shapes qualify —
+                # any other exception is a reader bug and must fail
+                # the test, not count as a clean race.
+                if not _is_clean_vacuum_race(exc):
+                    raise
                 clean_expiry += 1
                 if stop.is_set():
                     break
@@ -592,10 +623,15 @@ def test_cas_ledger_concurrent_merge_read_vacuum_stress(
             while not stop.is_set():
                 try:
                     rows = read_version(spark, path).collect()
-                except Exception:  # noqa: BLE001
+                except Exception as exc:  # noqa: BLE001
                     # resolved version vacuumed between manifest read
                     # and file scan: clean job-level failure is the
-                    # contract (never partial rows)
+                    # contract (never partial rows). Narrowed to the
+                    # expected FileNotFound shapes — an unrelated
+                    # reader bug re-raises into `errors` and fails
+                    # the test instead of hiding in this counter.
+                    if not _is_clean_vacuum_race(exc):
+                        raise
                     clean_fail[r] += 1
                     continue
                 got = [(x["k"], x["w"], x["j"]) for x in rows]
