@@ -283,9 +283,18 @@ def main() -> None:
         help="fraction of orders.o_custkey / events.user_id rows "
         "reassigned to key 0 (hot-key robustness rehearsal)",
     )
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated subset to generate (plus the verbatim "
+        "region/nation dims); default all. Lets a decade probe that "
+        "touches one fact table (e.g. events at sf100) skip the "
+        "corpus regeneration, which dominates generation time",
+    )
     args = ap.parse_args()
     mult, out_dir = args.mult, args.out
     os.makedirs(out_dir, exist_ok=True)
+    wanted = set(args.tables.split(",")) if args.tables else set(_TABLE_IDS)
 
     load = lambda t: pq.read_table(os.path.join(args.src, f"{t}.parquet"))
 
@@ -297,7 +306,6 @@ def main() -> None:
     supp = load("supplier")
     part = load("part")
     orders = load("orders")
-    li = load("lineitem")
     ev = load("events")
     nc, ns, npart, no = (
         t.num_rows for t in (cust, supp, part, orders)
@@ -305,25 +313,37 @@ def main() -> None:
     ne = ev.num_rows
     nu = int(pc.max(ev["user_id"]).as_py()) + 1
 
-    _write(out_dir, "customer", _replicate_keyed(
-        cust, mult, {"c_custkey": nc},
-        names={"c_name": ("Customer#%09d", "c_custkey")}))
-    _write(out_dir, "supplier", _replicate_keyed(
-        supp, mult, {"s_suppkey": ns},
-        names={"s_name": ("Supplier#%09d", "s_suppkey")}))
-    _write(out_dir, "part", _replicate_keyed(part, mult, {"p_partkey": npart}))
-    ord_rep = _replicate_keyed(
-        orders, mult, {"o_orderkey": no, "o_custkey": nc})
-    ev_rep = _replicate_keyed(ev, mult, {"event_id": ne, "user_id": nu})
-    if args.skew > 0:
-        ord_rep = _skew_column(ord_rep, "o_custkey", args.skew, 0, mult)
-        ev_rep = _skew_column(ev_rep, "user_id", args.skew, 0, mult)
-    _write(out_dir, "orders", ord_rep)
-    _write(out_dir, "lineitem", _replicate_keyed(
-        li, mult, {"l_orderkey": no, "l_partkey": npart, "l_suppkey": ns}))
-    _write(out_dir, "events", ev_rep)
-    _write(out_dir, "documents", _gen_documents(load("documents"), mult))
-    _write(out_dir, "embeddings", _gen_embeddings(load("embeddings"), mult))
+    if "customer" in wanted:
+        _write(out_dir, "customer", _replicate_keyed(
+            cust, mult, {"c_custkey": nc},
+            names={"c_name": ("Customer#%09d", "c_custkey")}))
+    if "supplier" in wanted:
+        _write(out_dir, "supplier", _replicate_keyed(
+            supp, mult, {"s_suppkey": ns},
+            names={"s_name": ("Supplier#%09d", "s_suppkey")}))
+    if "part" in wanted:
+        _write(out_dir, "part",
+               _replicate_keyed(part, mult, {"p_partkey": npart}))
+    if "orders" in wanted:
+        ord_rep = _replicate_keyed(
+            orders, mult, {"o_orderkey": no, "o_custkey": nc})
+        if args.skew > 0:
+            ord_rep = _skew_column(ord_rep, "o_custkey", args.skew, 0, mult)
+        _write(out_dir, "orders", ord_rep)
+    if "lineitem" in wanted:
+        _write(out_dir, "lineitem", _replicate_keyed(
+            load("lineitem"), mult,
+            {"l_orderkey": no, "l_partkey": npart, "l_suppkey": ns}))
+    if "events" in wanted:
+        ev_rep = _replicate_keyed(ev, mult, {"event_id": ne, "user_id": nu})
+        if args.skew > 0:
+            ev_rep = _skew_column(ev_rep, "user_id", args.skew, 0, mult)
+        _write(out_dir, "events", ev_rep)
+    if "documents" in wanted:
+        _write(out_dir, "documents", _gen_documents(load("documents"), mult))
+    if "embeddings" in wanted:
+        _write(out_dir, "embeddings",
+               _gen_embeddings(load("embeddings"), mult))
     print(f"done: sf{0.1 * mult:g} at {out_dir}")
 
 

@@ -26,7 +26,10 @@ def main() -> None:
     spark = get_spark("probe-one")
     catalog._ensure_loaded()
     # warmup on something tiny so JVM/codegen startup stays out of run 1
-    catalog.REGISTRY["pricing_summary"].fn(spark, sf_dir).count()
+    # (PROBE_WARMUP overrides for partial rehearsal dirs, e.g. the sf100
+    # events-only probe where the default's lineitem scan has no file)
+    warm = os.environ.get("PROBE_WARMUP", "pricing_summary")
+    catalog.REGISTRY[warm].fn(spark, sf_dir).count()
     for name in names:
         spark.catalog.clearCache()
         gc.collect()
