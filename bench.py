@@ -184,41 +184,45 @@ def main() -> None:
     # BENCH_RUNS=1 for rehearsal SFs where queries run minutes and the
     # noise floor is irrelevant (sf10: triangle ~9 min/run).
     n_runs = max(1, int(os.environ.get("BENCH_RUNS", "2")))
+
+    def _release_state() -> None:
+        # Release the previous query's executor-side state BEFORE each
+        # timed section: localCheckpoint blocks are only freed when the
+        # Python DataFrame is GC'd and the JVM ContextCleaner runs, so
+        # across a 36-query suite the storage memory fills with dead
+        # blocks and late queries pay eviction + GC instead of compute
+        # (measured 3.2x inflation on the last queries at sf1: triangle
+        # 33s alone vs 107s in-suite before this).
+        spark.catalog.clearCache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        # clearCache+gc only ENQUEUE localCheckpoint block removal
+        # (ContextCleaner is async and the weak-ref chain through py4j
+        # can lag >15 s); at sf10 the blocks are big enough that the
+        # next query starts against a still-full storage pool and pays
+        # eviction/spill instead of compute (measured:
+        # exact_substring_spans 149.6 s in-suite vs 40.9 s solo at
+        # sf10). Between queries every persistent RDD is DEAD by
+        # construction (results are count()'d and dropped), so
+        # unpersist them explicitly and BLOCKING — deterministic,
+        # instant drain.
+        # INVARIANT this relies on (also stated at the @register
+        # contract in catalog.py): a registered query must not retain
+        # checkpointed/persisted state across calls — each call builds
+        # its localCheckpoints fresh. If a query ever cached a
+        # DataFrame in a module global for reuse, this loop would
+        # truncate its lineage and the NEXT call would die with
+        # missing checkpoint blocks.
+        sc = spark.sparkContext._jsc.sc()
+        prdds = sc.getPersistentRDDs().toList()
+        for i in range(prdds.size()):
+            prdds.apply(i)._2().unpersist(True)
+
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
         for _ in range(n_runs):
-            # Release the previous query's executor-side state BEFORE the
-            # timed section: localCheckpoint blocks are only freed when
-            # the Python DataFrame is GC'd and the JVM ContextCleaner
-            # runs, so across a 36-query suite the storage memory fills
-            # with dead blocks and late queries pay eviction + GC instead
-            # of compute (measured 3.2x inflation on the last queries at
-            # sf1: triangle 33s alone vs 107s in-suite before this).
-            spark.catalog.clearCache()
-            gc.collect()
-            spark.sparkContext._jvm.System.gc()
-            # clearCache+gc only ENQUEUE localCheckpoint block removal
-            # (ContextCleaner is async and the weak-ref chain through
-            # py4j can lag >15 s); at sf10 the blocks are big enough
-            # that the next query starts against a still-full storage
-            # pool and pays eviction/spill instead of compute
-            # (measured: exact_substring_spans 149.6 s in-suite vs
-            # 40.9 s solo at sf10). Between queries every persistent
-            # RDD is DEAD by construction (results are count()'d and
-            # dropped), so unpersist them explicitly and BLOCKING —
-            # deterministic, instant drain.
-            # INVARIANT this relies on (also stated at the @register
-            # contract in catalog.py): a registered query must not
-            # retain checkpointed/persisted state across calls — each
-            # call builds its localCheckpoints fresh. If a query ever
-            # cached a DataFrame in a module global for reuse, this
-            # loop would truncate its lineage and the NEXT call would
-            # die with missing checkpoint blocks.
-            sc = spark.sparkContext._jsc.sc()
-            prdds = sc.getPersistentRDDs().toList()
-            for i in range(prdds.size()):
-                prdds.apply(i)._2().unpersist(True)
+            _release_state()
             t0 = time.perf_counter()
             catalog.REGISTRY[name].fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
@@ -226,6 +230,68 @@ def main() -> None:
 
     canary_py_post = round(min(_canary_py(), _canary_py()), 3)
     canary_jvm_post = round(min(_canary_jvm(), _canary_jvm()), 3)
+
+    # Self-adjudication (r9 lesson): a >2x canary-normalized exceedance
+    # recorded without re-probing cost the repo two weak-counts, and the
+    # r10 adjudication proved the mechanism was transient host windows
+    # (minhash read 6.58 s mid-suite under canary_pre 0.487, then
+    # 1.49-1.96 s solo on a healthy bracket). So adjudicate INSIDE the
+    # record: any query whose reading exceeds 2x its baseline after
+    # canary normalization (0.5 s noise floor) is re-probed best-of-2 at
+    # suite end with its own paired canary, and the MIN of initial and
+    # re-probe is recorded (same min-approximates-the-uncontended-host
+    # convention as best-of-2 itself). Both readings plus the re-probe
+    # canary ship under "reprobes" so a persistent regression still
+    # shows (re-probe as slow as initial on a healthy canary), while a
+    # host window can no longer masquerade as one. Capped at 6 worst
+    # offenders: if more than that flag, the whole record is degraded
+    # and a doubled suite would measure the same bad window twice.
+    base_path = os.environ.get("BENCH_BASELINE") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH_baseline.json" if bench_set == "headline"
+        else f"BENCH_{bench_set}.json",
+    )
+    reprobes: dict[str, dict[str, float]] = {}
+    if os.path.exists(base_path) and not os.environ.get("BENCH_NO_REPROBE"):
+        with open(base_path) as f:
+            base = json.load(f)
+        sf_token = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        sf_matches = (
+            sf_token.replace(".", "").isdigit()
+            and base.get("sf") == float(sf_token)
+        )
+        if sf_matches:
+            # RAW ratio, deliberately un-normalized: the canary-
+            # normalized form would excuse exactly the degraded-window
+            # readings a re-probe exists to rescue (a 1.5 s pre-canary
+            # divides every ratio by ~8 and nothing flags). Over-
+            # flagging is harmless — the re-probe is one best-of-2 and
+            # the cap bounds the worst case; bench_compare still does
+            # its canary-normalized gating on the final record.
+            flagged = sorted(
+                (
+                    (t / b, name)
+                    for name, t in timings.items()
+                    for b in [base.get("queries", {}).get(name)]
+                    if b and t > 0.5 and t / b > 2.0
+                ),
+                reverse=True,
+            )[:6]
+            for _, name in flagged:
+                _release_state()
+                c0 = round(min(_canary_jvm(), _canary_jvm()), 3)
+                best = float("inf")
+                for _ in range(n_runs):
+                    _release_state()
+                    t0 = time.perf_counter()
+                    catalog.REGISTRY[name].fn(spark, sf_dir).count()
+                    best = min(best, time.perf_counter() - t0)
+                reprobes[name] = {
+                    "initial": timings[name],
+                    "reprobe": round(best, 3),
+                    "canary_jvm_at_reprobe": c0,
+                }
+                timings[name] = round(min(timings[name], best), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     rec = {
@@ -251,6 +317,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if reprobes:
+        rec["reprobes"] = reprobes
     print(json.dumps(rec))
 
 
