@@ -108,11 +108,28 @@ EXTENDED2: tuple[str, ...] = (
     "bpe_top_merges",
 )
 
+#: Third extended tranche (BENCH_SET=extended3 → BENCH_extended3.json):
+#: the 8 heaviest of the remaining never-benched queries, selected by
+#: a 16-candidate probe_one sweep at sf0.1 in round 10 (19.0 s ann_ivf
+#: down to 7.2 s embedding_near_dup_pairs; next-heaviest candidate was
+#: ngram_jaccard_pairs at 3.9 s).
+EXTENDED3: tuple[str, ...] = (
+    "ann_ivf_topk",
+    "containment_pairs",
+    "doc_novelty_ppm",
+    "ann_lsh_topk",
+    "collocation_pmi_top20",
+    "dedup_survivorship",
+    "ts_similarity_pairs",
+    "embedding_near_dup_pairs",
+)
+
 #: BENCH_SET → query pool. Headline stays the per-round driver suite.
 BENCH_SETS: dict[str, tuple[str, ...]] = {
     "headline": HEADLINE,
     "extended": EXTENDED,
     "extended2": EXTENDED2,
+    "extended3": EXTENDED3,
 }
 
 #: The round-1 headline set (BENCH_r01.json) — emitted as a separate

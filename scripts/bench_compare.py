@@ -159,6 +159,16 @@ def main() -> int:
             f"{name}: {t:.2f}s vs baseline {b:.2f}s "
             f"({raw_ratio:.2f}x raw{norm_txt}){mark}"
         )
+        rep = cur.get("reprobes", {}).get(name)
+        if rep:
+            # bench.py already self-adjudicated this reading: show the
+            # in-suite value and the re-probe's paired canary so a
+            # flagged query carries its own host-window evidence
+            print(
+                f"    reprobed: in-suite {rep['initial']:.2f}s -> "
+                f"solo {rep['reprobe']:.2f}s (canary "
+                f"{rep['canary_jvm_at_reprobe']:.3f}s at reprobe)"
+            )
         if name in INTRINSIC_COST_NOTES and gate > 1.2:
             print(f"    note: {INTRINSIC_COST_NOTES[name]}")
 
