@@ -124,12 +124,28 @@ EXTENDED3: tuple[str, ...] = (
     "embedding_near_dup_pairs",
 )
 
+#: Fourth extended tranche (BENCH_SET=extended4 → BENCH_extended4.json):
+#: the 8 heaviest remaining BATCH queries from the round-10 full-catalog
+#: census (QUERY_COSTS.md; streaming batch twins excluded — their cost
+#: is fixed micro-batch overhead, covered by streaming_scale_bench.py).
+EXTENDED4: tuple[str, ...] = (
+    "dup_label_consistency",
+    "ann_ivfpq_topk",
+    "breakout_backtest_pnl",
+    "clamped_running_balance",
+    "knn_label_eval",
+    "compaction_file_audit",
+    "bollinger_bands",
+    "dedup_cluster_size_histogram",
+)
+
 #: BENCH_SET → query pool. Headline stays the per-round driver suite.
 BENCH_SETS: dict[str, tuple[str, ...]] = {
     "headline": HEADLINE,
     "extended": EXTENDED,
     "extended2": EXTENDED2,
     "extended3": EXTENDED3,
+    "extended4": EXTENDED4,
 }
 
 #: The round-1 headline set (BENCH_r01.json) — emitted as a separate
