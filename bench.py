@@ -301,12 +301,16 @@ def main() -> None:
             # flagging is harmless — the re-probe is one best-of-2 and
             # the cap bounds the worst case; bench_compare still does
             # its canary-normalized gating on the final record.
+            # The 0.5 s noise floor is env-overridable so the contract
+            # test can exercise the re-probe path with a sub-noise
+            # query (a fixed floor made the test host-speed-dependent).
+            floor = float(os.environ.get("BENCH_REPROBE_FLOOR", "0.5"))
             flagged = sorted(
                 (
                     (t / b, name)
                     for name, t in timings.items()
                     for b in [base.get("queries", {}).get(name)]
-                    if b and t > 0.5 and t / b > 2.0
+                    if b and t > floor and t / b > 2.0
                 ),
                 reverse=True,
             )[:6]

@@ -63,6 +63,10 @@ def test_bench_reprobes_raw_exceedances_against_matching_baseline(tmp_path):
         SPARK_GRAFT_CPUS="8",
         BENCH_QUERIES="candles_5m,pricing_summary",
         BENCH_BASELINE=str(base),
+        # zero the noise floor: candles_5m at sf0.001 runs well under
+        # the production 0.5 s floor on a healthy host, and this test
+        # exists to exercise the re-probe path, not host speed
+        BENCH_REPROBE_FLOOR="0",
     )
     proc = subprocess.run(
         [sys.executable, "bench.py"],
