@@ -36,7 +36,7 @@ from ..functions.text import (
     tokens,
     tokens_sql,
 )
-from ..functions.vector import cosine, cosine_sql, dot_sql
+from ..functions.vector import cosine, cosine_sql, dot, dot_sql, norm
 from ..scratch import scratch_dir
 from ..tables import load
 
@@ -504,16 +504,27 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "similarity", "topk"),
 )
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    # Norms precomputed once per vector/query instead of inside every
+    # pairwise cosine (3 interpreted folds/pair -> 1); dot/(q_nrm*nrm)
+    # is the bit-identical IEEE expression cosine() builds.
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
     q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     scored = (
         emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -639,12 +650,24 @@ def _ivf_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: broadcast scoring is map-side; the
     argmax is a partial-aggregating max_by over skinny (vec_id, cell_id,
     c_sim) rows — embeddings never ride the shuffle. Ties break to the
-    lowest cell_id."""
+    lowest cell_id. Norms are precomputed once per vector/centroid
+    (n + k folds) instead of inside each of the n·k cosines (3
+    interpreted folds/pair -> 1); dot/(nrm*cnrm) is the bit-identical
+    IEEE expression cosine() builds, so assignments are unchanged."""
+    embn = emb.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("_nrm")
+    )
+    centn = cent.select(
+        "cell_id", "c_emb", norm(F.col("c_emb")).alias("_cnrm")
+    )
     return (
-        emb.crossJoin(F.broadcast(cent))
+        embn.crossJoin(F.broadcast(centn))
         .select(
             "vec_id", "cell_id",
-            cosine(F.col("embedding"), F.col("c_emb")).alias("c_sim"),
+            (
+                dot(F.col("embedding"), F.col("c_emb"))
+                / (F.col("_nrm") * F.col("_cnrm"))
+            ).alias("c_sim"),
         )
         .groupBy("vec_id")
         .agg(
@@ -952,26 +975,34 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id"), F.col("doc_id").alias("cluster_id"))
         .localCheckpoint(eager=True)
     )
+    # Convergence via the label-sum invariant: min-label propagation is
+    # monotone non-increasing per node, so the label table changed iff
+    # sum(cluster_id) strictly decreased — one scalar aggregate over the
+    # already-checkpointed table instead of the old full join of old vs
+    # new labels per round (r10: 2 jobs/round -> 1 cheap agg).
+    # DECIMAL(38,0): an int64 sum overflows once n_docs * max(doc_id)
+    # nears 9.2e18 (CLAUDE.md integer-moment rule).
+    def _label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _round in range(20):
         neighbor = (
             edges.join(labels, edges.src == labels.doc_id)
             .select(F.col("dst").alias("doc_id"), "cluster_id")
         )
-        new_labels = (
+        labels = (
             labels.unionByName(neighbor)
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint(eager=True)  # truncate plan lineage per round
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
-            .filter(F.col("cluster_id") != F.col("prev"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(
         "doc_id",
         "cluster_id",
@@ -4610,18 +4641,31 @@ _SEMDEDUP_TAU = 0.45  # within-cluster cosine threshold ("1 - eps")
     tags=("llm", "dedup", "similarity", "embedding"),
 )
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # Norms are precomputed ONCE per vector (n + K norm folds) instead
+    # of re-derived inside every pairwise cosine (3 interpreted folds
+    # per pair -> 1): cosine(a,b) = dot(a,b)/(nrm_a*nrm_b) evaluates
+    # the bit-identical IEEE expression — norm(x) is the same fold,
+    # and the division by the product is the same association cosine()
+    # uses — so oracle hashes are unchanged (r10 measured the n·K
+    # assignment 0.85 s -> 0.44 s at sf0.1 from this alone).
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
     cent = emb.filter(F.col("vec_id") < _SEMDEDUP_K).select(
-        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("cell_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
     )
     assign = (
         emb.crossJoin(F.broadcast(cent))
         .select(
             "vec_id",
             "cell_id",
-            F.round(cosine(F.col("embedding"), F.col("c_emb")), 6).alias(
-                "csim"
-            ),
+            F.round(
+                dot(F.col("embedding"), F.col("c_emb"))
+                / (F.col("nrm") * F.col("c_nrm")),
+                6,
+            ).alias("csim"),
         )
         .groupBy("vec_id")
         .agg(
@@ -4632,19 +4676,30 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "best.cell_id", "best.csim")
     )
-    assigned = assign.join(emb, "vec_id")
+    # Two consumers below (both sides of the cell self-join): without a
+    # checkpoint the whole n·K assignment re-executes per side (the
+    # known no-ReusedExchange-for-differently-projected-branches
+    # gotcha); the table is corpus-row-sized but skinny.
+    assigned = assign.join(emb, "vec_id").localCheckpoint(eager=True)
     a = assigned.select(
         F.col("cell_id").alias("a_cell"),
         F.col("csim").alias("a_csim"),
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
     )
     b = assigned.select(
         F.col("cell_id").alias("b_cell"),
         F.col("csim").alias("b_csim"),
         F.col("vec_id").alias("b_id"),
         F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
     )
+    # The whole verify chain lives IN the join condition, cheapest kill
+    # first (r7 join-condition lesson): the integer/float ordering
+    # predicate halves the candidate pairs before any cosine fold runs.
+    # Left as a trailing .filter, Catalyst pushes the cosine in FRONT
+    # of the cheap conjunct.
     pairs = a.join(
         b,
         (F.col("a_cell") == F.col("b_cell"))
@@ -4654,9 +4709,15 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("a_csim") == F.col("b_csim"))
                 & (F.col("a_id") < F.col("b_id"))
             )
+        )
+        & (
+            F.round(
+                dot(F.col("a_emb"), F.col("b_emb"))
+                / (F.col("a_nrm") * F.col("b_nrm")),
+                6,
+            )
+            >= _SEMDEDUP_TAU
         ),
-    ).filter(
-        F.round(cosine(F.col("a_emb"), F.col("b_emb")), 6) >= _SEMDEDUP_TAU
     )
     return (
         pairs.groupBy(

@@ -37,7 +37,7 @@ from ..functions.text import (
     tokens,
     tokens_sql,
 )
-from ..functions.vector import cosine, cosine_sql
+from ..functions.vector import cosine, cosine_sql, dot, norm
 from ..scratch import scratch_dir
 from ..tables import load
 
@@ -612,11 +612,18 @@ _KNN_K = 5
     tags=("llm", "similarity", "eval"),
 )
 def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    # Norms precomputed once per vector (n + |Q| norm folds) instead of
+    # inside every pairwise cosine (3 interpreted folds/pair -> 1);
+    # dot/(q_nrm*nrm) is the bit-identical IEEE expression cosine()
+    # builds, so ranks are unchanged (same pattern as semdedup_prune).
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label", norm(F.col("embedding")).alias("nrm")
+    )
     q = emb.filter(F.col("vec_id") < _KNN_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("label").alias("true_label"),
+        F.col("nrm").alias("q_nrm"),
     )
     scored = emb.join(
         F.broadcast(q), F.col("vec_id") != F.col("query_id")
@@ -625,7 +632,10 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_label",
         "label",
         "vec_id",
-        cosine(F.col("q_emb"), F.col("embedding")).alias("cos"),
+        (
+            dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_nrm") * F.col("nrm"))
+        ).alias("cos"),
     )
     w_nn = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), "vec_id"

@@ -4076,15 +4076,36 @@ def pagerank_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    nodes = und.select(F.col("src").alias("node")).distinct()
-    n_nodes = nodes.count()
+    # The static edge table is laid out by the iteration join key ONCE
+    # (repartition before the checkpoint): at bench SF the per-round
+    # join broadcasts the node-sized rank table so this is moot, but at
+    # cluster scale (rank table too big to broadcast -> SMJ/SHJ) the
+    # src layout keeps the 10 per-round joins from reshuffling the
+    # edge table every round.
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    edges = und.join(deg, "src").localCheckpoint(eager=True)
+    edges = (
+        und.join(deg, "src").repartition("src").localCheckpoint(eager=True)
+    )
+    # node universe = distinct src; checkpointed because iteration 0
+    # consumes it and the co-order graph is symmetric, so every node
+    # ALSO appears as a dst — every node receives >= 1 contribution
+    # each round, which lets the update read ranks straight off the
+    # contribution aggregate instead of left-joining the node table
+    # back in every iteration (r10: 3 stages/round -> 2, and the dead
+    # nodes.count() job the old form ran is gone with it).
+    nodes = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     d = 0.85
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     for i in range(10):
-        contribs = (
+        # every node has in-degree >= 1 (symmetric graph), so the
+        # contribution aggregate already covers the full node universe
+        # — the teleport base applies directly, no outer join needed
+        ranks = (
             edges.join(
                 ranks.withColumnRenamed("node", "src"), "src"
             )
@@ -4093,18 +4114,8 @@ def pagerank_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("rank") / F.col("out_deg")).alias("c"),
             )
             .groupBy("node")
-            .agg(F.sum("c").alias("in_sum"))
-        )
-        # every node has degree >= 1 here (co-order graph), but keep
-        # the no-inbound case: teleport-only base
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(1.0 - d)
-                    + F.lit(d) * F.coalesce("in_sum", F.lit(0.0))
-                ).alias("rank"),
+            .agg(
+                (F.lit(1.0 - d) + F.lit(d) * F.sum("c")).alias("rank")
             )
         )
         if i % 4 == 3:
