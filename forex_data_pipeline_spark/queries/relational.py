@@ -2741,29 +2741,94 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("quality", "join"),
 )
 def fk_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from functools import reduce
-
-    edges = [
-        ("orders", "o_custkey", "customer", "c_custkey"),
-        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
-        ("lineitem", "l_partkey", "part", "p_partkey"),
-        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
-        ("customer", "c_nationkey", "nation", "n_nationkey"),
-    ]
-    parts = []
-    for child, fk, parent, pk in edges:
+    def _anti_edge(child: str, fk: str, parent: str, pk: str) -> DataFrame:
         ch = load(spark, sf_dir, child).filter(F.col(fk).isNotNull())
         pa = load(spark, sf_dir, parent).select(pk)
-        orphans = ch.join(
-            F.broadcast(pa), ch[fk] == pa[pk], "left_anti"
-        )
-        parts.append(
-            orphans.agg(F.count(F.lit(1)).alias("n_orphans")).select(
-                F.lit(f"{child}.{fk} -> {parent}.{pk}").alias("relationship"),
+        return (
+            ch.join(F.broadcast(pa), ch[fk] == pa[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(
+                F.lit(f"{child}.{fk} -> {parent}.{pk}").alias(
+                    "relationship"
+                ),
                 "n_orphans",
             )
         )
-    return reduce(lambda a, b: a.unionByName(b), parts)
+
+    # The fact table's three FK edges share ONE lineitem pass (was: 3
+    # separate scans, one per anti-join branch): probe each parent key
+    # set with a left join + null-match indicator, count all three
+    # orphan tallies in a single aggregate. The part/supplier parents
+    # are true dimensions and stay broadcast; the orders probe is left
+    # to the planner — the old form FORCED a broadcast of orders,
+    # which is data-proportional, not a dimension (a 100 TB driver
+    # OOM waiting to happen).
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    ordk = load(spark, sf_dir, "orders").select("o_orderkey")
+    partk = load(spark, sf_dir, "part").select("p_partkey")
+    suppk = load(spark, sf_dir, "supplier").select("s_suppkey")
+    probed = (
+        li.join(
+            F.broadcast(partk), li.l_partkey == partk.p_partkey, "left"
+        )
+        .join(F.broadcast(suppk), li.l_suppkey == suppk.s_suppkey, "left")
+        .join(ordk, li.l_orderkey == ordk.o_orderkey, "left")
+    )
+
+    def _orphans(fk: str, pk: str) -> F.Column:
+        # NULL FKs are excluded per dbt relationship-test semantics;
+        # coalesce keeps the count 0 (not NULL) on an empty fact table,
+        # matching the anti-join count() the oracle computes.
+        return F.coalesce(
+            F.sum(
+                F.when(
+                    F.col(fk).isNotNull() & F.col(pk).isNull(), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("bigint")
+
+    li_edges = (
+        probed.agg(
+            _orphans("l_orderkey", "o_orderkey").alias("ord_o"),
+            _orphans("l_partkey", "p_partkey").alias("part_o"),
+            _orphans("l_suppkey", "s_suppkey").alias("supp_o"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(
+                            "lineitem.l_orderkey -> orders.o_orderkey"
+                        ).alias("relationship"),
+                        F.col("ord_o").alias("n_orphans"),
+                    ),
+                    F.struct(
+                        F.lit(
+                            "lineitem.l_partkey -> part.p_partkey"
+                        ).alias("relationship"),
+                        F.col("part_o").alias("n_orphans"),
+                    ),
+                    F.struct(
+                        F.lit(
+                            "lineitem.l_suppkey -> supplier.s_suppkey"
+                        ).alias("relationship"),
+                        F.col("supp_o").alias("n_orphans"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.relationship", "e.n_orphans")
+    )
+    return (
+        _anti_edge("orders", "o_custkey", "customer", "c_custkey")
+        .unionByName(li_edges)
+        .unionByName(
+            _anti_edge("customer", "c_nationkey", "nation", "n_nationkey")
+        )
+    )
 
 
 @register(
