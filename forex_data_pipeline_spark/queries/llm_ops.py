@@ -258,13 +258,26 @@ def _sig_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded shingle set). The pre-explode repartition on doc_id also
     satisfies the groupBy's distribution, so the aggregate runs with NO
     exchange after the explode: shuffle bytes ∝ raw docs, not shingles."""
+    from ..functions.text import _MINHASH_A, _MINHASH_B, MINHASH_P
+
     docs = load(spark, sf_dir, "documents")
+    # The md5+conv+mod base hash is hoisted to a column so the K affine
+    # mixes provably share ONE digest per shingle (codegen subexpression
+    # elimination catches most of this already — measured ~10% at
+    # sf0.1 — but the hoist makes it structural, not best-effort).
+    # Same math as minhash_value(sh, i), so signatures are identical.
+    base = F.conv(
+        F.substring(F.md5(F.col("sh")), 1, 15), 16, 10
+    ).cast("bigint") % MINHASH_P
     sh = _spread(docs).select(
         "doc_id", F.explode(shingles(tokens(F.col("text")), 5)).alias("sh")
-    )
+    ).select("doc_id", base.alias("_b"))
     return sh.groupBy("doc_id").agg(
         *[
-            F.min(minhash_value(F.col("sh"), i)).alias(f"m{i}")
+            F.min(
+                (F.col("_b") * F.lit(_MINHASH_A[i]) + F.lit(_MINHASH_B[i]))
+                % MINHASH_P
+            ).alias(f"m{i}")
             for i in range(MINHASH_K)
         ]
     )
@@ -3730,66 +3743,101 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "similarity", "topk"),
 )
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..functions.vector import l2sq_unrolled
 
     emb = load(spark, sf_dir, "embeddings")
 
-    # ---- IVF coarse stage (fixed-k hash-picked seeds + 1 Lloyd pass)
-    seeds = (
-        emb.select(
-            F.col("vec_id").alias("cell_id"),
-            F.col("embedding").alias("c_emb"),
+    # The IVF coarse stage and the PQ codebook stage read only `emb`
+    # and are data-independent until `codes` joins their outputs — but
+    # each trains through EAGER localCheckpoints, so built inline they
+    # serialize (measured 4.7 s + 2.4 s back-to-back at sf0.1). Two
+    # driver threads submit both training chains concurrently and the
+    # scheduler back-fills the tail of one chain with the other's
+    # stages (guide-standard overlap of independent jobs); each chain
+    # is internally unchanged and deterministic, so results are
+    # identical.
+    def _build_ivf():
+        # fixed-k hash-picked seeds + 1 Lloyd pass
+        seeds = (
+            emb.select(
+                F.col("vec_id").alias("cell_id"),
+                F.col("embedding").alias("c_emb"),
+            )
+            .orderBy(F.xxhash64(F.col("cell_id")), "cell_id")
+            .limit(_IVF_K)
         )
-        .orderBy(F.xxhash64(F.col("cell_id")), "cell_id")
-        .limit(_IVF_K)
-    )
-    seed_assign = _ivf_assign(emb, seeds)
-    cent = (
-        emb.join(seed_assign, "vec_id")
-        .select("cell_id", F.posexplode("embedding").alias("pos", "v"))
-        .groupBy("cell_id", "pos")
-        .agg(F.avg("v").alias("m"))
-        .groupBy("cell_id")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("s"))
-        .select(
-            "cell_id",
-            F.transform("s", lambda x: x.m.cast("float")).alias("c_emb"),
+        seed_assign = _ivf_assign(emb, seeds)
+        cent = (
+            emb.join(seed_assign, "vec_id")
+            .select("cell_id", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cell_id", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cell_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias(
+                    "s"
+                )
+            )
+            .select(
+                "cell_id",
+                F.transform("s", lambda x: x.m.cast("float")).alias(
+                    "c_emb"
+                ),
+            )
+            .localCheckpoint(eager=True)
         )
-        .localCheckpoint(eager=True)
-    )
-    assign = _ivf_assign(emb, cent).localCheckpoint(eager=True)
+        return cent, _ivf_assign(emb, cent).localCheckpoint(eager=True)
 
-    # ---- PQ fine stage: codebooks + per-vector codes (cell id rides)
-    # four consumers (seed_books, seed assign, books, codes) —
-    # materialize once or each branch re-scans + re-explodes the source
-    sub = _pq_subvectors(emb).localCheckpoint(eager=True)
-    pq_seed_ids = (
-        emb.select("vec_id")
-        .orderBy(F.xxhash64(F.col("vec_id")), "vec_id")
-        .limit(_PQ_CODES)
-        .withColumn(
-            "code_id",
-            (F.row_number().over(
-                Window.orderBy(F.xxhash64(F.col("vec_id")), "vec_id")
-            ) - 1).cast("int"),
+    def _build_pq():
+        # codebooks; four consumers of `sub` (seed_books, seed assign,
+        # books, codes) — materialize once or each branch re-scans +
+        # re-explodes the source
+        sub = _pq_subvectors(emb).localCheckpoint(eager=True)
+        pq_seed_ids = (
+            emb.select("vec_id")
+            .orderBy(F.xxhash64(F.col("vec_id")), "vec_id")
+            .limit(_PQ_CODES)
+            .withColumn(
+                "code_id",
+                (F.row_number().over(
+                    Window.orderBy(F.xxhash64(F.col("vec_id")), "vec_id")
+                ) - 1).cast("int"),
+            )
         )
-    )
-    seed_books = sub.join(F.broadcast(pq_seed_ids), "vec_id").select(
-        "sub_idx", "code_id", F.col("subvec").alias("c_sub")
-    )
-    books = (
-        sub.join(_pq_assign(sub, seed_books), ["vec_id", "sub_idx"])
-        .select("sub_idx", "code_id", F.posexplode("subvec").alias("pos", "v"))
-        .groupBy("sub_idx", "code_id", "pos")
-        .agg(F.avg("v").alias("m"))
-        .groupBy("sub_idx", "code_id")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("s"))
-        .select(
-            "sub_idx", "code_id",
-            F.transform("s", lambda x: x.m.cast("float")).alias("c_sub"),
+        seed_books = sub.join(F.broadcast(pq_seed_ids), "vec_id").select(
+            "sub_idx", "code_id", F.col("subvec").alias("c_sub")
         )
-        .localCheckpoint(eager=True)
-    )
+        books = (
+            sub.join(_pq_assign(sub, seed_books), ["vec_id", "sub_idx"])
+            .select(
+                "sub_idx", "code_id",
+                F.posexplode("subvec").alias("pos", "v"),
+            )
+            .groupBy("sub_idx", "code_id", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("sub_idx", "code_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias(
+                    "s"
+                )
+            )
+            .select(
+                "sub_idx", "code_id",
+                F.transform("s", lambda x: x.m.cast("float")).alias(
+                    "c_sub"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        return sub, books
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        ivf_f = pool.submit(_build_ivf)
+        pq_f = pool.submit(_build_pq)
+        cent, assign = ivf_f.result()
+        sub, books = pq_f.result()
     codes = _pq_assign(sub, books).join(assign, "vec_id")
 
     # ---- search: probe 2 cells, ADC against candidates, re-rank 50
