@@ -436,30 +436,37 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "join"),
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # three consumers (self-join sides + counts) → materialize once
-    sh = _doc_shingles(spark, sf_dir).localCheckpoint(eager=True)
-    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # Same shape as containment_pairs (r11): the shingle-set size rides
+    # with each row via a window count over the doc_id partitioning
+    # _spread already established — the separate counts aggregate (the
+    # checkpoint's third consumer) and both size broadcast joins
+    # disappear; min(na)/min(nb) recover the group-constant sizes
+    # exactly.
+    sh = _doc_shingles(spark, sf_dir)
+    shn = sh.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
     common = (
-        a.join(
-            b,
+        shn.alias("a")
+        .join(
+            shn.alias("b"),
             (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
             F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.min(F.col("a.n")).alias("na"),
+            F.min(F.col("b.n")).alias("nb"),
+        )
     )
-    ca = cnt.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
-    cb = cnt.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
     j = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
     return (
-        common.join(F.broadcast(ca), "a_id")
-        .join(F.broadcast(cb), "b_id")
-        .select("a_id", "b_id", j.alias("jaccard"))
+        common.select("a_id", "b_id", j.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
     )
 
@@ -983,39 +990,66 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pairs.selectExpr("b_id AS src", "a_id AS dst"))
         .localCheckpoint(eager=True)  # reused every round
     )
-    labels = (
-        load(spark, sf_dir, "documents")
-        .select(F.col("doc_id"), F.col("doc_id").alias("cluster_id"))
-        .localCheckpoint(eager=True)
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.col("doc_id").alias("cluster_id")
     )
-    # Convergence via the label-sum invariant: min-label propagation is
-    # monotone non-increasing per node, so the label table changed iff
-    # sum(cluster_id) strictly decreased — one scalar aggregate over the
-    # already-checkpointed table instead of the old full join of old vs
-    # new labels per round (r10: 2 jobs/round -> 1 cheap agg).
-    # DECIMAL(38,0): an int64 sum overflows once n_docs * max(doc_id)
-    # nears 9.2e18 (CLAUDE.md integer-moment rule).
-    def _label_sum(df: DataFrame):
-        return df.agg(
-            F.sum(F.col("cluster_id").cast("decimal(38,0)"))
-        ).collect()[0][0]
 
-    prev_sum = _label_sum(labels)
-    for _round in range(20):
-        neighbor = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .select(F.col("dst").alias("doc_id"), "cluster_id")
-        )
-        labels = (
-            labels.unionByName(neighbor)
+    # Each propagation round carries the node's incoming label ("old")
+    # through the union: exactly one union row per doc_id has old
+    # non-null (its own label row — one per node by construction), so
+    # max(old) recovers it and the convergence check becomes a
+    # short-circuit filter over the checkpointed output. That replaces
+    # the r10 full DECIMAL(38,0) scalar aggregate per round (plus one
+    # upfront), whose cost showed as a +25% extended-record regression:
+    # take(1) scans partitions incrementally, so every NON-final round
+    # ends after the first non-empty partition, and only the final
+    # (converged) round pays one full scan of the doc-count-sized
+    # table. min/max over exact integers — order-independent, output
+    # identical. An empty corpus yields an empty label table and
+    # _changed() == False — no None-vs-None sentinel comparison
+    # (the r10 form's silent-break shape on zero docs).
+    def _propagate(base: DataFrame, neighbor: DataFrame) -> DataFrame:
+        return (
+            base.select(
+                "doc_id", "cluster_id", F.col("cluster_id").alias("old")
+            )
+            .unionByName(
+                neighbor.select(
+                    "doc_id",
+                    "cluster_id",
+                    F.lit(None).cast("long").alias("old"),
+                )
+            )
             .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
+            .agg(
+                F.min("cluster_id").alias("cluster_id"),
+                F.max("old").alias("old"),
+            )
             .localCheckpoint(eager=True)  # truncate plan lineage per round
         )
-        cur_sum = _label_sum(labels)
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+
+    def _changed(lab: DataFrame) -> bool:
+        # monotone non-increasing labels: changed ⇔ some label strictly
+        # decreased this round
+        return bool(lab.filter(F.col("cluster_id") < F.col("old")).take(1))
+
+    # Round 1 unrolled: against identity labels the neighbor table IS
+    # the reversed edge table — no join and no label broadcast build.
+    first_neighbor = edges.select(
+        F.col("dst").alias("doc_id"), F.col("src").alias("cluster_id")
+    )
+    labels = _propagate(docs, first_neighbor)
+    if _changed(labels):
+        for _round in range(19):
+            neighbor = (
+                edges.join(labels, edges.src == labels.doc_id)
+                .select(F.col("dst").alias("doc_id"), "cluster_id")
+            )
+            labels = _propagate(
+                labels.select("doc_id", "cluster_id"), neighbor
+            )
+            if not _changed(labels):
+                break
     return labels.select(
         "doc_id",
         "cluster_id",
@@ -2227,12 +2261,12 @@ def array_higher_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Train/eval decontamination (the GPT-3/PaLM n-gram overlap "
     "check): corpus split by source, eval docs scored by the fraction "
     "of their distinct 5-gram shingles that appear ANYWHERE in the "
-    "train split. The shingle is the blocking key — one shuffle "
-    "equi-join of eval shingles against the deduplicated train "
-    "shingle set (train side is corpus-sized, so it is NOT broadcast "
-    "— the join shuffles both sides by shingle hash, which scales to "
-    "any corpus). train_sh's DISTINCT guarantees join multiplicity 1, "
-    "so the hit count is exact; the rate is an integer/integer "
+    "train split. The shingle is the blocking key — ONE shuffle of "
+    "the tagged shingle table by shingle hash, where a window "
+    "bool_or(is_train) marks contaminated shingles in place (no "
+    "distinct train set, no equi-join, no broadcast — scales to any "
+    "corpus). Per-doc distinctness of shingles keeps hit multiplicity "
+    "1, so the hit count is exact; the rate is an integer/integer "
     "divide and the 5% flag an integer compare — no float drift.",
     tags=("llm", "text", "dedup", "join"),
     shard_key="doc_id",
@@ -2242,21 +2276,31 @@ def cross_corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     side = load(spark, sf_dir, "documents").select(
         "doc_id", (F.length("source") == 4).alias("is_train")
     )
+    # "Does this eval shingle appear anywhere in train?" is a WINDOW
+    # max over the shingle partition of the tagged table, not a
+    # distinct train set + equi-join + left join back: the tokenize+
+    # tag subtree executes ONCE and the whole query is three exchanges
+    # (doc spread, shingle window, doc aggregate) with no join after
+    # the doc tag attach (r11: 12 parquet scans → 2, 20 exchanges → 4).
+    # bool_or(is_train) over the sh partition is exact — a shingle is
+    # contaminated iff ANY row of its partition is a train row — so
+    # n_hits keeps multiplicity 1 per distinct eval shingle, exactly
+    # what the old DISTINCT train side guaranteed.
     tagged = sh.join(side, "doc_id")
-    train_sh = (
-        tagged.filter(F.col("is_train")).select("sh").distinct()
+    flagged = tagged.withColumn(
+        "in_train",
+        F.max(F.col("is_train").cast("int")).over(Window.partitionBy("sh")),
     )
-    eval_sh = tagged.filter(~F.col("is_train")).select("doc_id", "sh")
-    tot = eval_sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles")
-    )
-    hit = (
-        eval_sh.join(train_sh, "sh")
+    per_doc = (
+        flagged.filter(~F.col("is_train"))
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("in_train").alias("n_hits"),
+        )
     )
-    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
-    return tot.join(hit, "doc_id", "left").select(
+    n_hits = F.col("n_hits")
+    return per_doc.select(
         "doc_id",
         "n_shingles",
         n_hits.cast("bigint").alias("n_contaminated"),
@@ -2555,25 +2599,41 @@ def token_prefix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "join"),
 )
 def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The doc's shingle-set size rides WITH each shingle row (window
+    # count over the doc_id partitioning _spread already established —
+    # no extra exchange) instead of living in a separate counts
+    # aggregate: that drops the third execution of the tokenize+
+    # distinct subtree AND both vocabulary broadcast joins the old
+    # shape needed to re-attach sizes after the pair aggregation
+    # (r11: 8 parquet scans → 4, 2 BroadcastExchange → 0, solo
+    # 1.69 s → 0.98 s at sf0.1). min(na)/min(nb) recover the
+    # group-constant sizes exactly — integer min, order-independent.
     sh = _doc_shingles(spark, sf_dir)
-    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("a_id"), "sh")
-    b = sh.select(F.col("doc_id").alias("b_id"), "sh")
-    common = (
-        a.join(b, "sh")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    shn = sh.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
-    ca = cnt.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
-    cb = cnt.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    common = (
+        shn.alias("a")
+        .join(
+            shn.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.min(F.col("a.n")).alias("na"),
+            F.min(F.col("b.n")).alias("nb"),
+        )
+    )
     containment = F.col("n_common").cast("double") / F.least(
         F.col("na"), F.col("nb")
     )
     return (
-        common.join(F.broadcast(ca), "a_id")
-        .join(F.broadcast(cb), "b_id")
-        .select(
+        common.select(
             "a_id", "b_id", "n_common",
             containment.alias("containment"),
         )
@@ -6012,9 +6072,15 @@ def lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "text"),
 )
 def doc_novelty_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # first_doc per shingle is a WINDOW min over the shingle partition,
+    # not a groupBy(sh) + join back: one execution of the tokenize+
+    # distinct subtree and one sh-keyed exchange instead of two of each
+    # (r11: 4 parquet scans → 2, 8 exchanges → 3, no join). Integer
+    # min — order-independent, output identical.
     sh = _doc_shingles(spark, sf_dir)
-    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
-    joined = sh.join(first, "sh")
+    joined = sh.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("sh"))
+    )
     return joined.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
         F.sum((F.col("doc_id") == F.col("first_doc")).cast("int"))
@@ -6147,13 +6213,27 @@ def collocation_pmi_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens(F.col("text"))
     base = _spread(docs).select("doc_id", toks.alias("toks"))
     n = F.size(F.col("toks"))
-    uni = (
-        base.select(F.explode(F.col("toks")).alias("term"))
-        .filter(F.col("term") != "")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_t"))
-    )
-    nu = uni.agg(F.sum("n_t").cast("bigint").alias("n_uni"))
+    # uni feeds three consumers (total, both broadcast sides) and bi two
+    # (total, scored): checkpoint the VOCAB-sized aggregates so the
+    # corpus tokenize+explode runs once per count table instead of once
+    # per consumer (plan showed 10 parquet scans before; the corpus-
+    # sized `base` stays unmaterialized — at scale you re-tokenize
+    # twice rather than checkpoint a corpus of token arrays). The two
+    # count tables are data-independent, so their eager checkpoints are
+    # submitted from a 2-thread pool (§2.6 overlap, the ann_ivfpq
+    # pattern) — built inline they would serialize the two tokenize
+    # passes that previously overlapped inside one job.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _build_uni() -> DataFrame:
+        return (
+            base.select(F.explode(F.col("toks")).alias("term"))
+            .filter(F.col("term") != "")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_t"))
+            .localCheckpoint(eager=True)
+        )
+
     pairs = F.when(
         n >= 2,
         F.zip_with(
@@ -6162,14 +6242,23 @@ def collocation_pmi_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, b: F.struct(a.alias("a"), b.alias("b")),
         ),
     ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-    bi = (
-        base.select(F.explode(pairs).alias("p"))
-        .filter((F.col("p.a") != "") & (F.col("p.b") != ""))
-        .groupBy(
-            F.col("p.a").alias("term_a"), F.col("p.b").alias("term_b")
+    def _build_bi() -> DataFrame:
+        return (
+            base.select(F.explode(pairs).alias("p"))
+            .filter((F.col("p.a") != "") & (F.col("p.b") != ""))
+            .groupBy(
+                F.col("p.a").alias("term_a"), F.col("p.b").alias("term_b")
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+            .localCheckpoint(eager=True)
         )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
-    )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        uni_f = pool.submit(_build_uni)
+        bi_f = pool.submit(_build_bi)
+        uni, bi = uni_f.result(), bi_f.result()
+
+    nu = uni.agg(F.sum("n_t").cast("bigint").alias("n_uni"))
     nb = bi.agg(F.sum("n_ab").cast("bigint").alias("n_bi"))
     ua = uni.select(
         F.col("term").alias("term_a"), F.col("n_t").alias("na")

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Optimization-round probe: for each named query, record a bracketed
 solo timing (canary + best-of-N) and dump `.explain("formatted")` to
-plans/r10/<name>_<tag>.txt.
+plans/$OPT_PLAN_ROUND/<name>_<tag>.txt (default r11).
 
 Usage: python scripts/opt_probe.py TAG NAME [NAME...]
   TAG is `before` or `after` (the plans/r10 file suffix).
@@ -52,7 +52,7 @@ def main() -> None:
     runs = max(1, int(os.environ.get("OPT_RUNS", "2")))
     plan_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r10",
+        "plans", os.environ.get("OPT_PLAN_ROUND", "r11"),
     )
     os.makedirs(plan_dir, exist_ok=True)
     spark = get_spark("opt-probe")
