@@ -3220,8 +3220,10 @@ _PQ_SUBDIM = 4
 _PQ_CODES = 16   # codebook entries per subspace — FIXED, data-independent
 
 
-def _pq_subvectors(emb: DataFrame) -> DataFrame:
-    """(vec_id, sub_idx, subvec) — m skinny slices per vector via ONE
+def _pq_subvectors(
+    emb: DataFrame, id_cols: tuple[str, ...] = ("vec_id",)
+) -> DataFrame:
+    """(*id_cols, sub_idx, subvec) — m skinny slices per vector via ONE
     map-side explode (a union of m selects would scan the source m
     times); total bytes equal the input."""
     slices = F.array(
@@ -3236,8 +3238,8 @@ def _pq_subvectors(emb: DataFrame) -> DataFrame:
         ]
     )
     return emb.select(
-        "vec_id", F.explode(slices).alias("s")
-    ).select("vec_id", F.col("s.sub_idx"), F.col("s.subvec"))
+        *id_cols, F.explode(slices).alias("s")
+    ).select(*id_cols, F.col("s.sub_idx"), F.col("s.subvec"))
 
 
 def _pq_assign(sub: DataFrame, books: DataFrame) -> DataFrame:
@@ -3292,13 +3294,17 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vector import l2sq_unrolled
 
     emb = load(spark, sf_dir, "embeddings")
-    # four consumers below (seed_books, seed_assign, books, codes) —
-    # materialize once or each branch re-scans + re-explodes the source
+    # three consumers below (seed_assign, books, codes) — materialize
+    # once or each branch re-scans + re-explodes the source
     sub = _pq_subvectors(emb).localCheckpoint(eager=True)
     # Deterministic seed rows (shared across subspaces): the k vectors
     # with smallest xxhash64(vec_id) — TakeOrderedAndProject, O(n).
-    seed_ids = (
-        emb.select("vec_id")
+    # The seed codebook is sliced straight from the k surviving FULL
+    # vectors (identical F.slice values) instead of broadcast-joining
+    # the ids back against the corpus-sized subvector table — r11:
+    # one fewer full pass over `sub` per call.
+    seed_vecs = (
+        emb.select("vec_id", "embedding")
         .orderBy(F.xxhash64(F.col("vec_id")), "vec_id")
         .limit(_PQ_CODES)
         .withColumn(
@@ -3308,9 +3314,8 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) - 1).cast("int"),
         )
     )
-    seed_books = (
-        sub.join(F.broadcast(seed_ids), "vec_id")
-        .select("sub_idx", "code_id", F.col("subvec").alias("c_sub"))
+    seed_books = _pq_subvectors(seed_vecs, id_cols=("code_id",)).select(
+        "sub_idx", "code_id", F.col("subvec").alias("c_sub")
     )
     # One Lloyd refinement per subspace: code centroid <- mean of its
     # assigned subvectors; (sub, code, dim)-keyed partial agg, output
@@ -3855,8 +3860,12 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # books, codes) — materialize once or each branch re-scans +
         # re-explodes the source
         sub = _pq_subvectors(emb).localCheckpoint(eager=True)
-        pq_seed_ids = (
-            emb.select("vec_id")
+        # seed codebook sliced straight from the k surviving FULL
+        # vectors (identical F.slice values) instead of broadcast-
+        # joining the ids back against the corpus-sized subvector
+        # table — r11, same fusion as ann_pq_topk
+        pq_seed_vecs = (
+            emb.select("vec_id", "embedding")
             .orderBy(F.xxhash64(F.col("vec_id")), "vec_id")
             .limit(_PQ_CODES)
             .withColumn(
@@ -3866,9 +3875,9 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ) - 1).cast("int"),
             )
         )
-        seed_books = sub.join(F.broadcast(pq_seed_ids), "vec_id").select(
-            "sub_idx", "code_id", F.col("subvec").alias("c_sub")
-        )
+        seed_books = _pq_subvectors(
+            pq_seed_vecs, id_cols=("code_id",)
+        ).select("sub_idx", "code_id", F.col("subvec").alias("c_sub"))
         books = (
             sub.join(_pq_assign(sub, seed_books), ["vec_id", "sub_idx"])
             .select(
@@ -4550,16 +4559,25 @@ def streaming_covariance_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
     emb_path = f"{sf_dir}/embeddings.parquet"
     schema = spark.read.parquet(emb_path).schema
     src = scratch_dir("fx_cov_src_")
-    # stage three deterministic hash-chunks as separate stream files
+    # stage three deterministic hash-chunks as separate stream files —
+    # in ONE corpus pass (write.partitionBy on the chunk key) instead
+    # of three filtered scans (r11). Chunk contents identical (same
+    # hash expression); row order within a chunk changes, which the
+    # moment-cell fold is insensitive to (commutative exact-integer
+    # monoid).
     emb = load(spark, sf_dir, "embeddings")
-    for k in range(3):
-        chunk_dir = scratch_dir(f"fx_cov_chunk{k}_")
-        (
-            emb.filter((F.col("vec_id") * F.lit(2654435761)) % 3 == k)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(chunk_dir)
+    stage = scratch_dir("fx_cov_stage_")
+    (
+        emb.withColumn(
+            "chunk", (F.col("vec_id") * F.lit(2654435761)) % 3
         )
+        .repartition(3, "chunk")
+        .write.mode("overwrite")
+        .partitionBy("chunk")
+        .parquet(stage)
+    )
+    for k in range(3):
+        chunk_dir = os.path.join(stage, f"chunk={k}")
         part = next(
             f for f in os.listdir(chunk_dir) if f.endswith(".parquet")
         )

@@ -4151,25 +4151,25 @@ def pagerank_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         und.join(deg, "src").repartition("src").localCheckpoint(eager=True)
     )
-    # node universe = distinct src; checkpointed because iteration 0
-    # consumes it and the co-order graph is symmetric, so every node
-    # ALSO appears as a dst — every node receives >= 1 contribution
-    # each round, which lets the update read ranks straight off the
-    # contribution aggregate instead of left-joining the node table
-    # back in every iteration (r10: 3 stages/round -> 2, and the dead
-    # nodes.count() job the old form ran is gone with it).
-    nodes = (
-        und.select(F.col("src").alias("node"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-
     d = 0.85
-    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
-    for i in range(10):
-        # every node has in-degree >= 1 (symmetric graph), so the
-        # contribution aggregate already covers the full node universe
-        # — the teleport base applies directly, no outer join needed
+    # Iteration 0 unrolled: every starting rank is the literal 1.0, so
+    # joining the constant rank table into the edge list is an identity
+    # — the first round's contributions read straight off the edge
+    # table (same IEEE expression, 1.0/out_deg). With it the node
+    # universe table disappears entirely (r11; it was a distinct
+    # shuffle + an eager checkpoint consumed exactly once): the
+    # contribution aggregate covers every node because the symmetric
+    # co-order graph has in-degree >= 1, which is also why no outer
+    # join is needed in later rounds (r10).
+    ranks = (
+        edges.select(
+            F.col("dst").alias("node"),
+            (F.lit(1.0) / F.col("out_deg")).alias("c"),
+        )
+        .groupBy("node")
+        .agg((F.lit(1.0 - d) + F.lit(d) * F.sum("c")).alias("rank"))
+    )
+    for i in range(1, 10):
         ranks = (
             edges.join(
                 ranks.withColumnRenamed("node", "src"), "src"

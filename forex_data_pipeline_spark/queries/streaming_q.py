@@ -19,6 +19,8 @@ from ..catalog import register
 from ..streaming.candles_stream import (
     read_tick_stream,
     run_available_now_to_table,
+    state_partitions_for,
+    stream_shuffle_partitions,
     streaming_candles,
 )
 from ..tables import load
@@ -58,7 +60,10 @@ def streaming_candles_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table = f"stream_candles_{uuid.uuid4().hex[:8]}"
     ckpt = scratch_dir("fx_stream_ckpt_")
-    run_available_now_to_table(candles, table, ckpt)
+    run_available_now_to_table(
+        candles, table, ckpt,
+        shuffle_partitions=state_partitions_for(spark, src),
+    )
     return spark.table(table).select(
         "candle_start", "event_type", "open_value", "high_value",
         "low_value", "close_value", "n_ticks",
@@ -153,7 +158,10 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table = f"stream_slide_{uuid.uuid4().hex[:8]}"
     ckpt = scratch_dir("fx_slide_ckpt_")
-    run_available_now_to_table(agg, table, ckpt)
+    run_available_now_to_table(
+        agg, table, ckpt,
+        shuffle_partitions=state_partitions_for(spark, src),
+    )
     return spark.table(table)
 
 
@@ -207,15 +215,22 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     table = f"stream_join_{uuid.uuid4().hex[:8]}"
     ckpt = scratch_dir("fx_ssj_ckpt_")
-    (
-        joined.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    # stream-stream join state stores are the heaviest per-partition
+    # fixture (4 stores per partition: left/right keyToNumValues +
+    # keyWithIndexToValue) — size the partition count to the staged
+    # input, not the session default
+    with stream_shuffle_partitions(
+        spark, state_partitions_for(spark, src)
+    ):
+        (
+            joined.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return spark.table(table)
 
 
@@ -258,7 +273,10 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table = f"stream_dedup_{uuid.uuid4().hex[:8]}"
     ckpt = scratch_dir("fx_dedup_ckpt_")
-    run_available_now_to_table(counted, table, ckpt, output_mode="complete")
+    run_available_now_to_table(
+        counted, table, ckpt, output_mode="complete",
+        shuffle_partitions=state_partitions_for(spark, src),
+    )
     return spark.table(table).select(
         "event_type", F.col("n_events").cast("bigint").alias("n_events")
     )
@@ -309,7 +327,10 @@ def streaming_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table = f"stream_enrich_{uuid.uuid4().hex[:8]}"
     ckpt = scratch_dir("fx_stream_dim_ckpt_")
-    run_available_now_to_table(enriched, table, ckpt)
+    run_available_now_to_table(
+        enriched, table, ckpt,
+        shuffle_partitions=state_partitions_for(spark, src),
+    )
     return spark.table(table).select(
         "c_mktsegment", "event_type", "n_events", "value_micro"
     )

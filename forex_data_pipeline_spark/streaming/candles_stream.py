@@ -25,7 +25,9 @@ state size ∝ active windows × series, independent of history length.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,6 +35,56 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.candles import _ohlc_aggs
+
+#: Target bytes of staged input per state-store partition. A stateful
+#: streaming operator creates one state store (files, maintenance
+#: thread, per-batch commit) per shuffle partition per micro-batch, so
+#: partitioning far wider than the data pays pure fixed cost.
+_STATE_PARTITION_BYTES = 32 << 20
+
+
+def state_partitions_for(spark: SparkSession, *paths: str) -> int:
+    """State-store partition count for a bounded availableNow drain,
+    derived from the STAGED INPUT SIZE: one partition per ~32 MB of
+    source bytes (floor 1), capped at the session's configured shuffle
+    parallelism. AQE coalesces ordinary post-shuffle partitions at
+    runtime but cannot coalesce state-store partitions — their count is
+    frozen into the checkpoint at query start — so this derivation is
+    the streaming equivalent of AQE partition coalescing. It is keyed
+    to DATA, not cores: the count grows linearly with input and returns
+    to the session default once the staged source reaches
+    default × 32 MB, so a cluster-scale ingest keeps the operator's
+    configured width (nothing here is tuned to local[32])."""
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p, followlinks=True):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f)) for f in files
+                )
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    try:
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        cap = spark.sparkContext.defaultParallelism
+    return max(1, min(cap, -(-total // _STATE_PARTITION_BYTES)))
+
+
+@contextmanager
+def stream_shuffle_partitions(spark: SparkSession, n: int | None):
+    """Set spark.sql.shuffle.partitions around a streaming start/drain
+    (the value a stateful query freezes into its checkpoint), restoring
+    the session default afterwards so batch queries are untouched."""
+    if n is None:
+        yield
+        return
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def read_tick_stream(
@@ -89,21 +141,26 @@ def streaming_candles(
 def run_available_now_to_table(
     result: DataFrame, table_name: str, checkpoint_dir: str,
     output_mode: str = "complete",
+    shuffle_partitions: int | None = None,
 ) -> StreamingQuery:
     """Drain everything currently in the source (the daily-cron
     equivalent) into an in-memory table, then stop. ``complete`` mode
     emits every window including still-open ones, matching a batch
     recompute; production continuous mode would use append+watermark
-    into a parquet/Delta sink instead."""
-    q = (
-        result.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    into a parquet/Delta sink instead. ``shuffle_partitions`` (from
+    ``state_partitions_for``) sizes the state-store partition count to
+    the staged input — AQE cannot coalesce state-store partitions."""
+    spark = result.sparkSession
+    with stream_shuffle_partitions(spark, shuffle_partitions):
+        q = (
+            result.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return q
 
 
