@@ -204,12 +204,29 @@ def main() -> None:
         ).collect()
         return time.perf_counter() - t0
 
+    def _canary_job_ms() -> float:
+        # Per-JOB fixed latency (median of 10 trivial 1-task jobs).
+        # The big-job canary above is blind to this host dimension:
+        # r11 measured ~100-130 ms/job (vs ~20-30 ms healthy) while
+        # canary_jvm sat at a healthy 0.19 s — which fully explained
+        # chained-job queries (cms_heavy_hitters 8 jobs, ann_pq_topk
+        # 18) reading 1.1-1.4x over a baseline recorded in a
+        # low-latency window. Recording it per suite lets
+        # bench_compare adjudicate that class directly.
+        ts = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            spark.range(1).count()
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[5] * 1000.0
+
     # warmup: JVM + codegen + parquet footer caches (before the pre-
     # canary so the canary measures a warm JVM, same as the post one)
     catalog.REGISTRY[names[0]].fn(spark, sf_dir).count()
 
     canary_py_pre = round(min(_canary_py(), _canary_py()), 3)
     canary_jvm_pre = round(min(_canary_jvm(), _canary_jvm()), 3)
+    canary_job_ms_pre = round(_canary_job_ms(), 1)
 
     # best-of-2 per query: single runs at these scales carry ±0.3-0.5 s
     # of scheduler/GC noise, which is larger than most queries — the min
@@ -263,6 +280,7 @@ def main() -> None:
 
     canary_py_post = round(min(_canary_py(), _canary_py()), 3)
     canary_jvm_post = round(min(_canary_jvm(), _canary_jvm()), 3)
+    canary_job_ms_post = round(_canary_job_ms(), 1)
 
     # Self-adjudication (r9 lesson): a >2x canary-normalized exceedance
     # recorded without re-probing cost the repo two weak-counts, and the
@@ -344,6 +362,8 @@ def main() -> None:
         "canary_py_post": canary_py_post,
         "canary_jvm_pre": canary_jvm_pre,
         "canary_jvm_post": canary_jvm_post,
+        "canary_job_ms_pre": canary_job_ms_pre,
+        "canary_job_ms_post": canary_job_ms_post,
         # r1 subtotal is only meaningful for the headline set (no
         # extended query is in R1_SET — emitting 0.0 there misread as
         # a massive speedup to cross-record consumers; ADVICE r9)

@@ -4232,7 +4232,9 @@ def embedding_covariance_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         lambda e: F.round(e.cast("double") * 1000).cast("bigint"),
     )
-    mv = emb.select(milli.alias("m"))
+    # spread before the dim(dim+1)/2-per-vector expansion (r11): the
+    # single-file source otherwise runs the 2080× explode on one core
+    mv = _spread_vecs(emb).select(milli.alias("m"))
     # upper-triangle outer product, map-side per vector
     cells = F.flatten(
         F.transform(
@@ -4429,13 +4431,31 @@ def embedding_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stacked.select("r.check_name", "r.n_violations")
 
 
+def _spread_vecs(df: DataFrame) -> DataFrame:
+    """Spread an embedding frame across the session parallelism, keyed
+    by vec_id — the embeddings twin of ``_spread`` (single parquet file
+    → one input partition, so a dim²-amplifying explode would run on
+    one core). Gated on the actual partition count so an already-wide
+    input (a real cluster scan) pays NO extra shuffle."""
+    try:
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, "vec_id")
+
+
 def _moment_cells(df: DataFrame) -> DataFrame:
     """The mergeable covariance moment state of an embedding frame:
     upper-triangle outer-product cells (i, j, s_ij, n) in exact milli
     units, expanded map-side per vector (no self-join) and aggregated
     behind one dim(dim+1)/2-cell shuffle. States from disjoint batches
     merge by cell-wise addition — the monoid the incremental and
-    streaming covariance paths rely on."""
+    streaming covariance paths rely on. The input is spread first
+    (r11): the dim(dim+1)/2-per-vector expansion is the hot loop and a
+    single-file source would otherwise run it on one core."""
+    df = _spread_vecs(df)
     milli = F.transform(
         "embedding",
         lambda e: F.round(e.cast("double") * 1000).cast("bigint"),

@@ -2763,12 +2763,24 @@ def fk_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to the planner — the old form FORCED a broadcast of orders,
     # which is data-proportional, not a dimension (a 100 TB driver
     # OOM waiting to happen).
+    # The single-pass probe replaces anti-joins with left joins, which
+    # are only count-preserving when parent keys are UNIQUE — a
+    # duplicated parent key would fan out fact rows and corrupt the
+    # OTHER edges' orphan tallies (the old per-edge anti-join was
+    # immune). TPC-H PKs are unique, but an FK *integrity audit* is
+    # exactly the operator that meets dirty data: dropDuplicates() on
+    # the three parent-key projections is cheap insurance
+    # (dimension-sized for part/supplier; one extra same-key aggregate
+    # for orders that shares the probe join's partitioning at scale)
+    # and provably a no-op on clean parents.
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey"
     )
-    ordk = load(spark, sf_dir, "orders").select("o_orderkey")
-    partk = load(spark, sf_dir, "part").select("p_partkey")
-    suppk = load(spark, sf_dir, "supplier").select("s_suppkey")
+    ordk = load(spark, sf_dir, "orders").select("o_orderkey").dropDuplicates()
+    partk = load(spark, sf_dir, "part").select("p_partkey").dropDuplicates()
+    suppk = (
+        load(spark, sf_dir, "supplier").select("s_suppkey").dropDuplicates()
+    )
     probed = (
         li.join(
             F.broadcast(partk), li.l_partkey == partk.p_partkey, "left"

@@ -174,3 +174,50 @@ def test_fk_integrity_single_pass_matches_per_edge_anti_joins(
         pa = load(spark, sf_dir, parent).select(pk)
         expected = ch.join(pa, ch[fk] == pa[pk], "left_anti").count()
         assert got[f"{child}.{fk} -> {parent}.{pk}"] == expected
+
+
+def test_fk_single_pass_counts_survive_duplicate_parent_keys(spark):
+    """r11 hardening: the single-pass probe dedups parent-key
+    projections, so a duplicated parent key must neither fan out fact
+    rows (corrupting the OTHER edges' counts) nor change its own
+    edge's orphan count. Synthetic frame: orders key 10 duplicated,
+    one lineitem orphan per edge."""
+    li = spark.createDataFrame(
+        [(10, 1, 1), (10, 2, 2), (99, 1, 1), (10, 98, 1), (10, 1, 97)],
+        "l_orderkey long, l_partkey long, l_suppkey long",
+    )
+    ordk = spark.createDataFrame(
+        [(10,), (10,), (11,)], "o_orderkey long"
+    ).dropDuplicates()
+    partk = spark.createDataFrame(
+        [(1,), (2,)], "p_partkey long"
+    ).dropDuplicates()
+    suppk = spark.createDataFrame(
+        [(1,), (2,)], "s_suppkey long"
+    ).dropDuplicates()
+    import pyspark.sql.functions as F2
+
+    probed = (
+        li.join(F2.broadcast(partk), li.l_partkey == partk.p_partkey, "left")
+        .join(F2.broadcast(suppk), li.l_suppkey == suppk.s_suppkey, "left")
+        .join(ordk, li.l_orderkey == ordk.o_orderkey, "left")
+    )
+
+    def orphans(fk, pk):
+        return F2.coalesce(
+            F2.sum(
+                F2.when(F2.col(fk).isNotNull() & F2.col(pk).isNull(), 1)
+                .otherwise(0)
+            ),
+            F2.lit(0),
+        ).cast("bigint")
+
+    row = probed.agg(
+        orphans("l_orderkey", "o_orderkey").alias("ord_o"),
+        orphans("l_partkey", "p_partkey").alias("part_o"),
+        orphans("l_suppkey", "s_suppkey").alias("supp_o"),
+    ).collect()[0]
+    # per-edge anti-join ground truth on the same frames
+    assert row.ord_o == 1   # l_orderkey=99
+    assert row.part_o == 1  # l_partkey=98
+    assert row.supp_o == 1  # l_suppkey=97
