@@ -4225,6 +4225,14 @@ def _order_part_pairs(li: DataFrame) -> DataFrame:
     ps = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
+    return _pairs_from_partsets(ps)
+
+
+def _pairs_from_partsets(ps: DataFrame) -> DataFrame:
+    """Map-side C(n,2) pair expansion of a (…, ps: sorted part array)
+    frame — the second half of ``_order_part_pairs``, split out so a
+    caller that needs the part sets for OTHER aggregates too (basket
+    lift: item counts, basket total) can materialize ``ps`` once."""
     pair_structs = F.flatten(
         F.transform(
             "ps",
@@ -4753,21 +4761,33 @@ def bfs_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    # ONE lineitem pass: the per-order sorted part set feeds the pair
+    # expansion AND the per-item order counts AND the basket total —
+    # the old shape scanned and shuffled lineitem three times (the
+    # (order,part) distinct twice, the collect_set once). ps is
+    # order-count-sized with bounded arrays (TPC-H <= 7 parts/order),
+    # so materializing it is the cheap side of that trade (r11).
+    ps = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .localCheckpoint(eager=True)
+    )
     # per-order pairs appear exactly once per order (collect_set dedups
     # in-order), so the pair count IS the co-occurrence count
     pair = (
-        _order_part_pairs(li)
+        _pairs_from_partsets(ps)
         .groupBy(F.col("s").alias("pa"), F.col("d").alias("pb"))
         .agg(F.count(F.lit(1)).alias("cab"))
         .filter(F.col("cab") >= 2)
     )
-    item = op.groupBy(F.col("l_partkey").alias("p")).agg(
-        F.count(F.lit(1)).alias("c")
+    # exploding the distinct part sets reproduces the (order, part)
+    # distinct relation exactly — same counts, no second corpus pass
+    item = (
+        ps.select(F.explode("ps").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    total = op.agg(
-        F.count_distinct("l_orderkey").alias("total")
-    )
+    total = ps.agg(F.count(F.lit(1)).alias("total"))
     ia = item.select(F.col("p").alias("pa"), F.col("c").alias("ca"))
     ib = item.select(F.col("p").alias("pb"), F.col("c").alias("cb"))
     lift = (
