@@ -1199,6 +1199,11 @@ def prf_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("fb_tf"))
+        # two consumers (the dfs broadcast probe + the weighted join) —
+        # without materializing, each re-scans the corpus to rebuild
+        # the feedback vocabulary (r11); the table is feedback-doc-
+        # vocab-sized, constant at any corpus scale
+        .localCheckpoint(eager=True)
     )
     dfs = (
         docs.select(

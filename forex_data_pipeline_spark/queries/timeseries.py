@@ -2464,6 +2464,11 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def kmv_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed, kmv = _kmv_day_sets(spark, sf_dir)
+    # kmv feeds four consumers (two theta broadcast builds + both join
+    # sides); materialize the ≤ k-rows/day sketch once instead of
+    # re-running the corpus distinct + two-level top-k per consumer
+    # (r11, same fix as kmv_theta_set_algebra)
+    kmv = kmv.localCheckpoint(eager=True)
     thetas = kmv.groupBy("day").agg(
         F.when(F.count(F.lit(1)) >= _KMV_K, F.max("h"))
         .otherwise(F.lit(_TWO52))
@@ -2495,13 +2500,16 @@ def kmv_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_sample")
         )
     )
-    ha = hashed.select(
-        F.col("day").alias("day_a"), F.date_add("day", 1).alias("nxt"), "h"
-    )
-    hb = hashed.select(F.col("day").alias("nxt"), "h")
+    # exact |H_day ∩ H_day+1| in ONE pass over the corpus-distinct
+    # set: a hash contributes to day_a iff its NEXT distinct day is
+    # day_a + 1 — a lead() window keyed by hash, replacing the
+    # two-branch self-join that executed the distinct subtree twice
+    # and shuffled both sides (r11)
+    w_h = Window.partitionBy("h").orderBy("day")
     exact = (
-        ha.join(hb, ["nxt", "h"])
-        .groupBy("day_a")
+        hashed.withColumn("nxt", F.lead("day").over(w_h))
+        .filter(F.col("nxt") == F.date_add("day", 1))
+        .groupBy(F.col("day").alias("day_a"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("exact_common"))
     )
     est = (
@@ -2771,6 +2779,13 @@ def psi_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def kmv_theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed, kmv = _kmv_day_sets(spark, sf_dir)
+    # kmv feeds FOUR consumers (bounds, thetas, both tagged branches)
+    # and each re-executed the whole corpus distinct + two-level top-k
+    # chain (~6 corpus passes total in the old plan, r11). The sketch
+    # table is ≤ k rows/day — materialize it; `hashed` (the corpus-
+    # distinct audit side) deliberately stays lazy: it is corpus-sized
+    # at 100 TB, and its one remaining consumer below executes it once.
+    kmv = kmv.localCheckpoint(eager=True)
     bounds = kmv.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
     thetas = kmv.groupBy("day").agg(
         F.when(F.count(F.lit(1)) >= _KMV_K, F.max("h"))
@@ -2820,14 +2835,19 @@ def kmv_theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_bonly"),
         )
     )
+    # ONE pass over the corpus-distinct hash set instead of two: each
+    # (day, h) row fans out map-side to its ≤ 2 pair slots (day_a =
+    # day and day − 1, bounds-gated) — the explode of the two WHEN
+    # slots emits exactly the rows the old two-branch union produced,
+    # and the distinct collapses them identically (r11).
     hb = hashed.crossJoin(F.broadcast(bounds))
+    pair_days = F.array(
+        F.when(F.col("day") < F.col("mx"), F.col("day")),
+        F.when(F.col("day") > F.col("mn"), F.date_sub("day", 1)),
+    )
     exact = (
-        hb.filter(F.col("day") < F.col("mx"))
-        .select(F.col("day").alias("day_a"), "h")
-        .union(
-            hb.filter(F.col("day") > F.col("mn"))
-            .select(F.date_sub("day", 1).alias("day_a"), "h")
-        )
+        hb.select(F.explode(pair_days).alias("day_a"), "h")
+        .filter(F.col("day_a").isNotNull())
         .distinct()
         .groupBy("day_a")
         .agg(F.count(F.lit(1)).cast("bigint").alias("exact_union"))
