@@ -139,6 +139,22 @@ EXTENDED4: tuple[str, ...] = (
     "dedup_cluster_size_histogram",
 )
 
+#: Fifth extended tranche (BENCH_SET=extended5 → BENCH_extended5.json):
+#: the round-11 coverage rotation — ngram_jaccard_pairs (the r10
+#: verdict's never-benched callout) plus the heaviest never-tranched
+#: queries surfaced by the r11 healthy-host solo probe sweep (the r10
+#: census overstated most of the tail 3-8x under a degraded window).
+EXTENDED5: tuple[str, ...] = (
+    "ngram_jaccard_pairs",
+    "kmv_theta_set_algebra",
+    "kmv_theta_intersection",
+    "prf_expansion_terms",
+    "basket_lift_pairs",
+    "span_width_sensitivity",
+    "leakage_safe_split",
+    "time_travel_diff",
+)
+
 #: BENCH_SET → query pool. Headline stays the per-round driver suite.
 BENCH_SETS: dict[str, tuple[str, ...]] = {
     "headline": HEADLINE,
@@ -146,6 +162,7 @@ BENCH_SETS: dict[str, tuple[str, ...]] = {
     "extended2": EXTENDED2,
     "extended3": EXTENDED3,
     "extended4": EXTENDED4,
+    "extended5": EXTENDED5,
 }
 
 #: The round-1 headline set (BENCH_r01.json) — emitted as a separate
