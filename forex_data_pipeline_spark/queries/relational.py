@@ -4145,13 +4145,23 @@ def concurrent_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pagerank_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    canon = _order_part_pairs(li).distinct()
-    und = (
-        canon.select(F.col("s").alias("src"), F.col("d").alias("dst"))
-        .unionAll(
-            canon.select(F.col("d").alias("src"), F.col("s").alias("dst"))
-        )
-        .localCheckpoint(eager=True)
+    # Checkpoint the CANONICAL pair set (s < d) — half the rows of the
+    # bidirectional table the r10 form materialized (r11: the sf1
+    # profile put 7.8 s of 38 in that first checkpoint alone); both
+    # consumers below (degree counts, edge expansion) read it from RAM
+    # and the doubling happens map-side inside the one edge build.
+    canon = _order_part_pairs(li).distinct().localCheckpoint(eager=True)
+    # out_deg(x) = #pairs touching x — one map-side explode of the
+    # checkpointed pairs, no bidirectional table needed
+    deg = (
+        canon.select(F.explode(F.array("s", "d")).alias("src"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+    )
+    und = canon.select(
+        F.col("s").alias("src"), F.col("d").alias("dst")
+    ).unionAll(
+        canon.select(F.col("d").alias("src"), F.col("s").alias("dst"))
     )
     # The static edge table is laid out by the iteration join key ONCE
     # (repartition before the checkpoint): at bench SF the per-round
@@ -4159,7 +4169,6 @@ def pagerank_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster scale (rank table too big to broadcast -> SMJ/SHJ) the
     # src layout keeps the 10 per-round joins from reshuffling the
     # edge table every round.
-    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     edges = (
         und.join(deg, "src").repartition("src").localCheckpoint(eager=True)
     )
