@@ -2281,7 +2281,7 @@ def cross_corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct train set + equi-join + left join back: the tokenize+
     # tag subtree executes ONCE and the whole query is three exchanges
     # (doc spread, shingle window, doc aggregate) with no join after
-    # the doc tag attach (r11: 12 parquet scans → 2, 20 exchanges → 4).
+    # the doc tag attach (r11: plan audit scans 6 → 2, shuffles 6 → 3).
     # bool_or(is_train) over the sh partition is exact — a shingle is
     # contaminated iff ANY row of its partition is a train row — so
     # n_hits keeps multiplicity 1 per distinct eval shingle, exactly
@@ -2605,9 +2605,10 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate: that drops the third execution of the tokenize+
     # distinct subtree AND both vocabulary broadcast joins the old
     # shape needed to re-attach sizes after the pair aggregation
-    # (r11: 8 parquet scans → 4, 2 BroadcastExchange → 0, solo
-    # 1.69 s → 0.98 s at sf0.1). min(na)/min(nb) recover the
-    # group-constant sizes exactly — integer min, order-independent.
+    # (r11: scans 4 → 2 in the plan audit, both size broadcasts gone;
+    # solo probe 1.69 → 1.51 s, warm reruns ~1.0 s at sf0.1).
+    # min(na)/min(nb) recover the group-constant sizes exactly —
+    # integer min, order-independent.
     sh = _doc_shingles(spark, sf_dir)
     shn = sh.withColumn(
         "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
@@ -6113,7 +6114,7 @@ def doc_novelty_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # first_doc per shingle is a WINDOW min over the shingle partition,
     # not a groupBy(sh) + join back: one execution of the tokenize+
     # distinct subtree and one sh-keyed exchange instead of two of each
-    # (r11: 4 parquet scans → 2, 8 exchanges → 3, no join). Integer
+    # (r11: plan audit scans 2 → 1, broadcast join gone). Integer
     # min — order-independent, output identical.
     sh = _doc_shingles(spark, sf_dir)
     joined = sh.withColumn(
